@@ -1,0 +1,179 @@
+"""Synthetic assembly-graph generation for tests and benchmarks.
+
+The reference has no test fixtures at all (SURVEY.md §4); its graphs come from
+external assemblers (hifiasm/Raven) over PBSIM-simulated reads.  This module
+fabricates the same *shape* of data end-to-end in-process: a random genome,
+error-free reads sampled along it on both strands, suffix-prefix overlap edges
+derived from the true layout (what a perfect OLC assembler would emit), and
+optional GFA/FASTA serialisation so the real parser path can be exercised.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..utils.fastx import FastxRecord, reverse_complement, write_fasta, format_training_header
+from .container import AssemblyGraph, ReadStore
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def random_genome(length: int, rng: np.random.Generator) -> str:
+    return _BASES[rng.integers(0, 4, size=length)].tobytes().decode("ascii")
+
+
+def simulate_reads_from_genome(genome: str, n_reads: int, read_len: int,
+                               rng: np.random.Generator, chrom: int = 1):
+    """Evenly-ish spaced reads with random strands.
+
+    Returns (records, starts, ends, strands): record ``i`` covers
+    ``genome[starts[i]:ends[i]]`` (RC'd when ``strands[i] == -1``), with
+    training headers in the PBSIM-rewritten convention
+    (reference generate_data.py:43-60).
+    """
+    L = len(genome)
+    max_start = max(1, L - read_len)
+    starts = np.sort(rng.integers(0, max_start, size=n_reads))
+    ends = np.minimum(starts + read_len, L)
+    strands = rng.choice([1, -1], size=n_reads)
+    records = []
+    for i in range(n_reads):
+        seq = genome[starts[i]:ends[i]]
+        if strands[i] == -1:
+            seq = reverse_complement(seq)
+        rid = f"read{i}"
+        records.append(FastxRecord(
+            id=rid,
+            description=format_training_header(rid, int(strands[i]),
+                                               int(starts[i]), int(ends[i]), chrom),
+            seq=seq))
+    return records, starts, ends, strands
+
+
+def _add_false_edges(src, dst, ol, n_reads: int, n_false: int,
+                     rng: np.random.Generator, typical_ol: int):
+    """Spurious chimeric/wrong-strand edges (real assembler graphs contain
+    them; they are what the GNN learns to score down)."""
+    existing = set(zip(src.tolist(), dst.tolist()))
+    f_src, f_dst, f_ol = [], [], []
+    trials = 0
+    while len(f_src) < 2 * n_false and trials < 50 * n_false:
+        trials += 1
+        u = int(rng.integers(0, 2 * n_reads))
+        v = int(rng.integers(0, 2 * n_reads))
+        if v in (u, u ^ 1) or (u, v) in existing:
+            continue
+        L = int(rng.integers(max(1, typical_ol // 4), typical_ol))
+        existing.add((u, v)); existing.add((v ^ 1, u ^ 1))
+        f_src.extend((u, v ^ 1)); f_dst.extend((v, u ^ 1)); f_ol.extend((L, L))
+    return (np.concatenate([src, np.asarray(f_src, dtype=np.int32)]),
+            np.concatenate([dst, np.asarray(f_dst, dtype=np.int32)]),
+            np.concatenate([ol, np.asarray(f_ol, dtype=np.int64)]))
+
+
+def _layout_edges(starts, ends, strands, min_overlap: int = 1):
+    """True suffix-prefix overlaps implied by the genome layout.
+
+    For reads i, j with start_i < start_j < end_i (same genomic interval
+    overlap), the forward-strand edge runs i->j; node orientation follows the
+    real/virtual convention (real node 2i = sequenced strand).
+    """
+    n = len(starts)
+    e_src, e_dst, e_ol = [], [], []
+    order = np.argsort(starts, kind="stable")
+    for a_pos in range(n):
+        i = order[a_pos]
+        for b_pos in range(a_pos + 1, n):
+            j = order[b_pos]
+            if starts[j] >= ends[i]:
+                break
+            ol = int(ends[i] - starts[j])
+            if ol < min_overlap or ol >= ends[i] - starts[i] or ol >= ends[j] - starts[j]:
+                continue
+            # genome-forward edge i -> j; express in node space
+            u_fwd = 2 * i if strands[i] == 1 else 2 * i + 1
+            v_fwd = 2 * j if strands[j] == 1 else 2 * j + 1
+            e_src.append(u_fwd); e_dst.append(v_fwd); e_ol.append(ol)
+            # RC twin j^rc -> i^rc
+            e_src.append(v_fwd ^ 1); e_dst.append(u_fwd ^ 1); e_ol.append(ol)
+    return (np.asarray(e_src, dtype=np.int32), np.asarray(e_dst, dtype=np.int32),
+            np.asarray(e_ol, dtype=np.int64))
+
+
+def synthetic_assembly_graph(n_reads: int = 200, genome_len: int = 20_000,
+                             read_len: int = 300, seed: int = 0,
+                             with_labels: bool = True,
+                             with_sequences: bool = True,
+                             false_edge_frac: float = 0.15):
+    """In-memory synthetic AssemblyGraph (+ReadStore) with GT attributes."""
+    rng = np.random.default_rng(seed)
+    genome = random_genome(genome_len, rng)
+    records, starts, ends, strands = simulate_reads_from_genome(
+        genome, n_reads, read_len, rng)
+    src, dst, ol = _layout_edges(starts, ends, strands)
+    if false_edge_frac > 0 and src.size:
+        n_false = max(1, int(false_edge_frac * src.size / 2))
+        src, dst, ol = _add_false_edges(src, dst, ol, n_reads, n_false, rng,
+                                        typical_ol=read_len // 2)
+
+    order = np.argsort(src, kind="stable")
+    src, dst, ol = src[order], dst[order], ol[order]
+
+    read_length = np.repeat((ends - starts).astype(np.int64), 2)
+    graph = AssemblyGraph(
+        num_nodes=2 * n_reads, src=src, dst=dst,
+        read_length=read_length,
+        prefix_length=read_length[src] - ol,
+        overlap_length=ol,
+    )
+    graph.read_strand = np.repeat(strands.astype(np.int8), 2).copy()
+    graph.read_strand[1::2] *= -1
+    graph.read_start = np.repeat(starts.astype(np.int64), 2)
+    graph.read_end = np.repeat(ends.astype(np.int64), 2)
+    graph.read_chr = np.full(2 * n_reads, 1, dtype=np.int16)
+
+    if with_labels:
+        from .labels import compute_gt_labels
+        graph.y = compute_gt_labels(src, dst, graph.read_strand, graph.read_start,
+                                    graph.read_end, graph.read_chr)
+
+    reads = None
+    if with_sequences:
+        from .similarity import overlap_similarities
+        reads = ReadStore.from_sequences([r.seq for r in records])
+        graph.overlap_similarity = overlap_similarities(src, dst, ol, reads)
+    return graph, reads, records, genome
+
+
+def write_synthetic_gfa(records, starts, ends, strands, gfa_path: str,
+                        reads_path: str, dialect: str = "raven",
+                        min_overlap: int = 1) -> None:
+    """Serialise the synthetic layout as GFA + FASTA to exercise the parser."""
+    src, dst, ol = _layout_edges(starts, ends, strands, min_overlap)
+    with open(gfa_path, "w") as f:
+        for i, r in enumerate(records):
+            f.write(f"S\t{r.id}\t{r.seq}\tLN:i:{len(r.seq)}\n")
+        for k in range(0, len(src), 2):  # real edges only; twin implied by orientations
+            u, v, L = int(src[k]), int(dst[k]), int(ol[k])
+            id1, o1 = records[u >> 1].id, "+" if u % 2 == 0 else "-"
+            id2, o2 = records[v >> 1].id, "+" if v % 2 == 0 else "-"
+            if dialect == "raven":
+                f.write(f"L\t{id1}\t{o1}\t{id2}\t{o2}\t{L}M\n")
+            else:  # hifiasm 7-column
+                f.write(f"L\t{id1}:0-1\t{o1}\t{id2}:0-1\t{o2}\t{L}M\tL1:i:0\n")
+    write_fasta(records, reads_path)
+
+
+def random_bench_graph(num_nodes: int, avg_degree: float, seed: int = 0,
+                       locality: int = 64):
+    """Banded random digraph shaped like an assembly graph (mostly
+    chain-local edges), for kernel benchmarking.  Returns src, dst int32."""
+    rng = np.random.default_rng(seed)
+    n_edges = int(num_nodes * avg_degree)
+    src = rng.integers(0, num_nodes, size=n_edges)
+    jump = rng.geometric(1.0 / locality, size=n_edges)
+    dst = (src + jump) % num_nodes
+    keep = src != dst
+    return src[keep].astype(np.int32), dst[keep].astype(np.int32)

@@ -1,0 +1,187 @@
+// gnnome_native — C++ support library for gnnome_tpu.
+//
+// Provides the CPU-bound preprocessing/decoding primitives that the reference
+// delegates to third-party native code:
+//   * exact global edit distance (replaces the edlib dependency,
+//     reference graph_parser.py:110 — banded DP with Ukkonen band doubling,
+//     exact for any inputs, fast for the high-identity overlaps seen in
+//     assembly graphs);
+//   * batch overlap-similarity computation straight from the packed read
+//     store (real strand stored, reverse complements materialised on the fly
+//     — node i^1 is the RC of node i, reference graph_parser.py:174-184);
+//   * greedy decode walk inner loop (reference inference.py:70-157) over CSR
+//     arrays.
+//
+// Exposed with a plain C ABI for ctypes.  Build: native/build.sh -> libgnnome.so
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline char complement(char c) {
+  switch (c) {
+    case 'A': return 'T';
+    case 'C': return 'G';
+    case 'G': return 'C';
+    case 'T': return 'A';
+    case 'a': return 't';
+    case 'c': return 'g';
+    case 'g': return 'c';
+    case 't': return 'a';
+    default:  return 'N';
+  }
+}
+
+// Banded Levenshtein with band half-width k.  Returns the exact global edit
+// distance if it is <= k, otherwise some value > k (caller must widen).
+int64_t banded_levenshtein(const char* a, int64_t n, const char* b, int64_t m,
+                           int64_t k) {
+  if (n > m) { std::swap(a, b); std::swap(n, m); }
+  if (m - n > k) return k + 1;
+  const int64_t INF = k + 1;
+  // dp row over diagonal window [i - k, i + k] intersect [0, m]
+  std::vector<int64_t> prev(2 * k + 1, INF), cur(2 * k + 1, INF);
+  // row 0: D[0][j] = j for j in [0, k]
+  for (int64_t d = 0; d <= k && d + k < (int64_t)prev.size(); ++d) prev[k + d] = d;
+  for (int64_t i = 1; i <= n; ++i) {
+    int64_t lo = std::max<int64_t>(1, i - k);
+    int64_t hi = std::min<int64_t>(m, i + k);
+    std::fill(cur.begin(), cur.end(), INF);
+    if (i - k <= 0) cur[k - i] = i;  // D[i][0] = i sits at offset j - i + k with j=0
+    for (int64_t j = lo; j <= hi; ++j) {
+      int64_t off = j - i + k;
+      int64_t best = INF;
+      // substitution / match from D[i-1][j-1] (same offset in prev)
+      int64_t sub = prev[off] + (a[i - 1] == b[j - 1] ? 0 : 1);
+      best = std::min(best, sub);
+      // deletion from D[i-1][j] (offset + 1 in prev)
+      if (off + 1 <= 2 * k) best = std::min(best, prev[off + 1] + 1);
+      // insertion from D[i][j-1] (offset - 1 in cur)
+      if (off - 1 >= 0) best = std::min(best, cur[off - 1] + 1);
+      cur[off] = best;
+    }
+    std::swap(prev, cur);
+  }
+  int64_t off = m - n + k;
+  return prev[off];
+}
+
+// Materialise the sequence of a node into buf.  Real (even) nodes are stored
+// verbatim; virtual (odd) nodes are the reverse complement of their pair.
+void node_slice(const char* blob, const int64_t* offsets, int64_t node,
+                int64_t slice_start, int64_t slice_len, char* buf) {
+  int64_t t = node >> 1;
+  const char* base = blob + offsets[t];
+  int64_t len = offsets[t + 1] - offsets[t];
+  if ((node & 1) == 0) {
+    std::memcpy(buf, base + slice_start, slice_len);
+  } else {
+    // virtual node char at position p == complement(base[len - 1 - p])
+    for (int64_t p = 0; p < slice_len; ++p)
+      buf[p] = complement(base[len - 1 - (slice_start + p)]);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact global edit distance (Ukkonen band doubling).
+int64_t gn_edit_distance(const char* a, int64_t n, const char* b, int64_t m) {
+  int64_t k = 64;
+  int64_t cap = std::max<int64_t>(std::max(n, m), 1);
+  while (true) {
+    int64_t d = banded_levenshtein(a, n, b, m, k);
+    if (d <= k || k >= cap) return d;
+    k = std::min(cap, k * 2);
+  }
+}
+
+// Batch overlap edit distances for assembly-graph edges.
+//   blob/offsets: packed real-strand read store (num_reads+1 offsets)
+//   src/dst:      node ids per edge (virtual = odd = RC of node-1)
+//   ol:           overlap length per edge; comparison is
+//                 seq(src)[-ol:] vs seq(dst)[:ol]  (reference graph_parser.py:110)
+//   out:          edit distance per edge (-1 where ol <= 0)
+void gn_overlap_edit_distance_batch(const char* blob, const int64_t* offsets,
+                                    const int32_t* src, const int32_t* dst,
+                                    const int64_t* ol, int64_t n_edges,
+                                    int32_t n_threads, int64_t* out) {
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int64_t tid) {
+    std::vector<char> abuf, bbuf;
+    for (int64_t e = tid; e < n_edges; e += n_threads) {
+      int64_t L = ol[e];
+      if (L <= 0) { out[e] = -1; continue; }
+      int64_t s = src[e], d = dst[e];
+      int64_t slen = offsets[(s >> 1) + 1] - offsets[s >> 1];
+      int64_t dlen = offsets[(d >> 1) + 1] - offsets[d >> 1];
+      // Python-slice semantics: seq[-L:] / seq[:L] clamp at the string ends
+      // (reference graph_parser.py:110 relies on this when ol > read length).
+      int64_t La = std::min(L, slen), Lb = std::min(L, dlen);
+      abuf.resize(La); bbuf.resize(Lb);
+      node_slice(blob, offsets, s, slen - La, La, abuf.data());
+      node_slice(blob, offsets, d, 0, Lb, bbuf.data());
+      out[e] = gn_edit_distance(abuf.data(), La, bbuf.data(), Lb);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+}
+
+// Greedy walk (reference inference.py:70-111 greedy_forwards /
+// :114-157 greedy_backwards_rc run on the reversed CSR).
+//
+//   row_ptr/col/eid:   CSR adjacency (successors) with edge ids
+//   log_probs:         per-edge log sigmoid scores
+//   visited:           byte mask over nodes (1 = already used); NOT mutated
+//   start:             starting node
+//   out_walk:          buffer of capacity max_walk
+//   returns            walk length; *sum_log_prob accumulates chosen edges
+//
+// Marks nodes of the walk (and their RC pairs) in local_visited (caller
+// allocates + zeroes, reused across calls via epoch stamping).
+int64_t gn_greedy_walk(const int64_t* row_ptr, const int32_t* col,
+                       const int64_t* eid, const float* log_probs,
+                       const uint8_t* visited, int32_t* stamp,
+                       int32_t epoch, int64_t start, int64_t max_walk,
+                       int32_t* out_walk, double* sum_log_prob) {
+  double slp = 0.0;
+  int64_t len = 0;
+  int64_t current = start;
+  while (len < max_walk) {
+    out_walk[len++] = (int32_t)current;
+    stamp[current] = epoch;
+    stamp[current ^ 1] = epoch;
+    int64_t lo = row_ptr[current], hi = row_ptr[current + 1];
+    if (hi == lo) break;
+    if (hi - lo == 1) {
+      int64_t nb = col[lo];
+      if (visited[nb] || stamp[nb] == epoch) break;
+      slp += log_probs[eid[lo]];
+      current = nb;
+      continue;
+    }
+    // argmax over unvisited successors (ties -> first, matching torch.topk)
+    float best_p = 0.f;
+    int64_t best_nb = -1, best_eid = -1;
+    for (int64_t k = lo; k < hi; ++k) {
+      int64_t nb = col[k];
+      if (visited[nb] || stamp[nb] == epoch) continue;
+      float p = log_probs[eid[k]];
+      if (best_nb < 0 || p > best_p) { best_p = p; best_nb = nb; best_eid = eid[k]; }
+    }
+    if (best_nb < 0) break;
+    slp += log_probs[best_eid];
+    current = best_nb;
+  }
+  *sum_log_prob = slp;
+  return len;
+}
+
+}  // extern "C"

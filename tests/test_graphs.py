@@ -1,0 +1,196 @@
+import numpy as np
+import pytest
+
+from gnnome_tpu.graphs import AssemblyGraph, ReadStore, parse_gfa, synthetic_assembly_graph
+from gnnome_tpu.graphs.synthetic import simulate_reads_from_genome, random_genome, write_synthetic_gfa
+from gnnome_tpu.graphs.similarity import edit_distance, _edit_distance_numpy, overlap_similarities
+from gnnome_tpu.utils.fastx import (read_fastx, write_fasta, reverse_complement,
+                                    FastxRecord, parse_training_header)
+
+
+def test_reverse_complement():
+    assert reverse_complement("ACGT") == "ACGT"
+    assert reverse_complement("AACG") == "CGTT"
+    assert reverse_complement(reverse_complement("ACGTTGCAnN")) == "ACGTTGCAnN"
+
+
+def test_fastx_roundtrip(tmp_path):
+    recs = [FastxRecord("r1", "r1 strand=+ start=5 end=10 chr=3", "ACGTACGT"),
+            FastxRecord("r2", "r2 strand=- start=0 end=4 chr=X", "GGCC")]
+    p = str(tmp_path / "x.fasta")
+    write_fasta(recs, p)
+    back = list(read_fastx(p))
+    assert [(r.id, r.seq) for r in back] == [("r1", "ACGTACGT"), ("r2", "GGCC")]
+    assert parse_training_header(back[0].description) == (1, 5, 10, 3)
+    assert parse_training_header(back[1].description) == (-1, 0, 4, -1)
+
+
+def test_fastx_gzip_fastq(tmp_path):
+    import gzip
+    p = str(tmp_path / "x.fastq.gz")
+    with gzip.open(p, "wt") as f:
+        f.write("@r1 desc\nACGT\n+\nIIII\n@r2\nGGTT\n+\nIIII\n")
+    back = list(read_fastx(p))
+    assert [(r.id, r.seq) for r in back] == [("r1", "ACGT"), ("r2", "GGTT")]
+
+
+def test_readstore_rc_invariant():
+    rs = ReadStore.from_sequences(["ACGTT", "GGGCA"])
+    assert rs.get(0) == "ACGTT"
+    assert rs.get(1) == reverse_complement("ACGTT")
+    assert rs.get(2) == "GGGCA"
+    assert rs.get(3) == "TGCCC"
+    assert rs.length(1) == 5 and len(rs) == 4
+
+
+def test_edit_distance_matches_numpy():
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for _ in range(20):
+        n = int(rng.integers(1, 120))
+        a = bases[rng.integers(0, 4, n)].tobytes().decode()
+        b = list(a)
+        for _ in range(int(rng.integers(0, 10))):
+            i = int(rng.integers(0, len(b)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                b[i] = "ACGT"[rng.integers(0, 4)]
+            elif op == 1 and len(b) > 1:
+                del b[i]
+            else:
+                b.insert(i, "ACGT"[rng.integers(0, 4)])
+        b = "".join(b)
+        assert edit_distance(a, b) == _edit_distance_numpy(a, b)
+
+
+def test_csr_csc_views():
+    g = AssemblyGraph(
+        num_nodes=4,
+        src=np.array([0, 0, 1, 2], dtype=np.int32),
+        dst=np.array([1, 2, 2, 3], dtype=np.int32),
+        read_length=np.array([10, 10, 10, 10], dtype=np.int64),
+        prefix_length=np.array([5, 5, 5, 5], dtype=np.int64),
+        overlap_length=np.array([5, 5, 5, 5], dtype=np.int64),
+    )
+    assert list(g.successors(0)) == [1, 2]
+    assert list(g.predecessors(2)) == [0, 1]
+    assert g.edge_id(1, 2) == 2
+    assert g.out_degrees().tolist() == [2, 1, 1, 0]
+    rg = g.reverse()
+    assert list(rg.successors(2)) == [0, 1]
+    assert list(rg.predecessors(2)) == [0, 1][:0] + [1][:0] + list(rg.predecessors(2))  # smoke
+
+
+def test_node_subgraph_id_maps():
+    g, _, _, _ = synthetic_assembly_graph(n_reads=50, genome_len=5000, read_len=300,
+                                          seed=1, with_sequences=False)
+    keep = np.zeros(g.num_nodes, dtype=bool)
+    keep[: g.num_nodes // 2] = True
+    sub, nid, eid = g.node_subgraph(keep)
+    assert sub.num_nodes == g.num_nodes // 2
+    np.testing.assert_array_equal(g.src[eid], nid[sub.src])
+    np.testing.assert_array_equal(g.dst[eid], nid[sub.dst])
+    np.testing.assert_array_equal(sub.y, g.y[eid])
+
+
+def test_graph_save_load(tmp_path):
+    g, _, _, _ = synthetic_assembly_graph(n_reads=30, genome_len=3000, read_len=300,
+                                          seed=2, with_sequences=False)
+    p = str(tmp_path / "g.npz")
+    g.save(p)
+    g2 = AssemblyGraph.load(p)
+    np.testing.assert_array_equal(g.src, g2.src)
+    np.testing.assert_array_equal(g.y, g2.y)
+    assert g2.num_nodes == g.num_nodes
+
+
+def test_synthetic_labels_nontrivial():
+    g, _, _, _ = synthetic_assembly_graph(n_reads=120, genome_len=8000, read_len=400,
+                                          seed=3, with_sequences=False)
+    assert g.num_edges > 0
+    assert 0 < g.y.sum() < g.num_edges
+    # RC symmetry of the graph: twin of every edge exists
+    pairs = set(zip(g.src.tolist(), g.dst.tolist()))
+    for u, v in list(pairs):
+        assert (v ^ 1, u ^ 1) in pairs
+
+
+def test_labels_simple_chain():
+    """A clean forward chain 0->2->4 (+ RC twins) must be fully positive."""
+    from gnnome_tpu.graphs.labels import compute_gt_labels
+    src = np.array([0, 5, 2, 3], dtype=np.int32)
+    dst = np.array([2, 3, 4, 1], dtype=np.int32)
+    strand = np.array([1, -1, 1, -1, 1, -1], dtype=np.int8)
+    start = np.array([0, 0, 50, 50, 100, 100], dtype=np.int64)
+    end = np.array([80, 80, 140, 140, 200, 200], dtype=np.int64)
+    chrom = np.ones(6, dtype=np.int16)
+    y = compute_gt_labels(src, dst, strand, start, end, chrom)
+    assert y.tolist() == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_labels_reject_wrong_strand_and_chr():
+    from gnnome_tpu.graphs.labels import compute_gt_labels
+    src = np.array([0, 0], dtype=np.int32)
+    dst = np.array([2, 4], dtype=np.int32)
+    strand = np.array([1, -1, -1, 1, 1, -1], dtype=np.int8)   # node2 wrong strand
+    start = np.array([0, 0, 50, 50, 60, 60], dtype=np.int64)
+    end = np.array([80, 80, 140, 140, 150, 150], dtype=np.int64)
+    chrom = np.array([1, 1, 1, 1, 2, 2], dtype=np.int16)      # node4 wrong chr
+    y = compute_gt_labels(src, dst, strand, start, end, chrom)
+    assert y.tolist() == [0.0, 0.0]
+
+
+def test_gfa_roundtrip_matches_inmemory(tmp_path):
+    rng = np.random.default_rng(7)
+    genome = random_genome(6000, rng)
+    records, starts, ends, strands = simulate_reads_from_genome(genome, 80, 400, rng)
+    gfa = str(tmp_path / "g.gfa")
+    reads_p = str(tmp_path / "reads.fasta")
+    write_synthetic_gfa(records, starts, ends, strands, gfa, reads_p, dialect="raven")
+
+    parsed = parse_gfa(gfa, reads_path=reads_p, training=True, get_similarities=True)
+    g = parsed.graph
+    assert g.num_nodes == 160
+    assert g.num_edges > 0
+    # twins share overlap length; similarity in (0, 1]
+    pair_ol = {(int(u), int(v)): int(o) for u, v, o in zip(g.src, g.dst, g.overlap_length)}
+    for (u, v), o in pair_ol.items():
+        assert pair_ol[(v ^ 1, u ^ 1)] == o
+    assert np.all(g.overlap_similarity > 0.0) and np.all(g.overlap_similarity <= 1.0)
+    # error-free reads -> overlaps should be exact matches
+    assert np.allclose(g.overlap_similarity, 1.0)
+    # prefix_length = len(src) - ol
+    np.testing.assert_array_equal(g.prefix_length,
+                                  g.read_length[g.src] - g.overlap_length)
+    # labels exist and mark a nontrivial subset
+    assert 0 < g.y.sum() <= g.num_edges
+    # edge order is grouped by src
+    assert np.all(np.diff(g.src) >= 0)
+
+
+def test_gfa_hifiasm_dialect(tmp_path):
+    rng = np.random.default_rng(9)
+    genome = random_genome(4000, rng)
+    records, starts, ends, strands = simulate_reads_from_genome(genome, 50, 350, rng)
+    gfa = str(tmp_path / "g.gfa")
+    reads_p = str(tmp_path / "reads.fasta")
+    write_synthetic_gfa(records, starts, ends, strands, gfa, reads_p, dialect="hifiasm")
+    parsed = parse_gfa(gfa, reads_path=reads_p, training=False, get_similarities=False)
+    assert parsed.graph.num_edges > 0
+    assert parsed.graph.y is None
+
+
+def test_overlap_similarity_with_errors():
+    """Mutated overlap should give similarity < 1 but > 0.8."""
+    a = "ACGT" * 100
+    b_mut = list(a)
+    b_mut[10] = "T" if b_mut[10] != "T" else "A"
+    b_mut[200] = "G" if b_mut[200] != "G" else "C"
+    seqs = [a, "".join(b_mut)]
+    rs = ReadStore.from_sequences(seqs)
+    src = np.array([0], dtype=np.int32)
+    dst = np.array([2], dtype=np.int32)
+    ol = np.array([400], dtype=np.int64)
+    sims = overlap_similarities(src, dst, ol, rs)
+    assert 0.9 < sims[0] < 1.0
+    assert sims[0] == pytest.approx(1 - 2 / 400)
