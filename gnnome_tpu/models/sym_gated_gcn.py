@@ -1,0 +1,167 @@
+"""SymGatedGCN edge-scoring model in functional JAX.
+
+Faithful TPU-native re-derivation of the reference model
+(models/full_graph.py:9-30 + layers/gated_gcn_full.py:8-142 +
+layers/score_predictor.py:5-24), with the math restructured for XLA:
+
+* the six per-layer 64x64 projections run as one fused [64, 5*64] matmul on
+  the MXU (+ the edge projection B3);
+* the per-edge gate is computed **once**: on the original graph the forward
+  gate ``bn(B1h[src] + B2h[dst] + B3e)`` and the backward gate (computed on
+  ``dgl.reverse`` in the reference, gated_gcn_full.py:117-119) are the *same
+  tensor*, so the reference's duplicated SDDMM+BN is collapsed — identical
+  outputs, half the work (running BN stats still advance twice to match
+  torch training semantics);
+* both aggregation directions use permutation-sorted segment sums prepared
+  once in GraphTensors instead of per-layer graph reversal;
+* the 8 layers run under ``lax.scan`` over stacked parameters (one compiled
+  layer body);
+* everything is shape-static and padded; BN statistics are mask-corrected.
+
+The symmetry-loss "reversed graph" pass (reference train.py:159-185) is the
+same function with ``flip=True`` — src/dst roles swap, no data movement.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.graph_tensors import GraphTensors
+from ..ops.message import sddmm_add, sym_gated_aggregate, gather_src_dst
+from .nn import linear, linear_init, mlp2, mlp2_init, dropout
+from .norm import norm_init, bn_state_init, apply_norm
+
+GATE_EPS = 1e-6  # gated-mean denominator epsilon (reference gated_gcn_full.py:114)
+
+
+# ------------------------------------------------------------------------ init
+def init_params(rng: jax.Array, cfg: ModelConfig):
+    """(params, state) pytrees.  GNN-layer leaves are stacked on axis 0."""
+    d = cfg.dim_latent
+    keys = jax.random.split(rng, 4 + cfg.num_gnn_layers)
+    params = {
+        "node_encoder": mlp2_init(keys[0], cfg.node_features,
+                                  cfg.hidden_ne_features, d),
+        "edge_encoder": mlp2_init(keys[1], cfg.edge_features,
+                                  cfg.hidden_ne_features, d),
+        "gnn": _stack([_layer_init(keys[4 + i], d)
+                       for i in range(cfg.num_gnn_layers)]),
+        "predictor": _predictor_init(keys[2], d, cfg.hidden_edge_scores),
+    }
+    state = {"gnn": _stack([_layer_state_init(d)
+                            for _ in range(cfg.num_gnn_layers)])}
+    return params, state
+
+
+def _layer_init(rng, d):
+    ks = jax.random.split(rng, 6)
+    p = {name: linear_init(k, d, d)
+         for name, k in zip(("A1", "A2", "A3", "B1", "B2", "B3"), ks)}
+    p["bn_h"] = norm_init(d)
+    p["bn_e"] = norm_init(d)
+    return p
+
+
+def _layer_state_init(d):
+    return {"bn_h": bn_state_init(d), "bn_e": bn_state_init(d)}
+
+
+def _predictor_init(rng, d, hidden):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {"W1": linear_init(k1, 3 * d, hidden),
+            "W2": linear_init(k2, hidden, 32),
+            "W3": linear_init(k3, 32, 1)}
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+# ----------------------------------------------------------------------- layer
+def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
+                        flip: bool, norm: str, drop_rate: float,
+                        rng: Optional[jax.Array], backend: Optional[str]):
+    """One SymGatedGCN layer (reference gated_gcn_full.py:82-142)."""
+    h_in, e_in = h, e
+
+    w_h = jnp.concatenate([p["A1"]["w"], p["A2"]["w"], p["A3"]["w"],
+                           p["B1"]["w"], p["B2"]["w"]], axis=1)
+    b_h = jnp.concatenate([p["A1"]["b"], p["A2"]["b"], p["A3"]["b"],
+                           p["B1"]["b"], p["B2"]["b"]])
+    proj = h @ w_h + b_h
+    d = h.shape[1]
+    a1h, a2h, a3h, b1h, b2h = (proj[:, i * d:(i + 1) * d] for i in range(5))
+    b3e = linear(p["B3"], e)
+
+    # Per-edge gate.  On the reversed graph (flip) u/v roles swap
+    # (reference gated_gcn_full.py:104-110; 117-123 is the same tensor).
+    if not flip:
+        gate = sddmm_add(b1h, b2h, b3e, gt.src, gt.dst)
+    else:
+        gate = sddmm_add(b1h, b2h, b3e, gt.dst, gt.src)
+    gate, s_bn_e = apply_norm(norm, p["bn_e"], s["bn_e"], gate, gt.edge_mask,
+                              gt.n_edges, training, repeat_updates=2)
+    gate = jax.nn.relu(gate)
+    e_out = gate + e_in  # residual (reference :108-109)
+
+    sigma = jax.nn.sigmoid(e_out) * gt.edge_mask
+    h_fwd, h_bwd = sym_gated_aggregate(gt, sigma, a2h, a3h, flip=flip,
+                                       eps=GATE_EPS, backend=backend)
+
+    h_new = a1h + h_fwd + h_bwd
+    h_new, s_bn_h = apply_norm(norm, p["bn_h"], s["bn_h"], h_new, gt.node_mask,
+                               gt.n_nodes, training, repeat_updates=1)
+    h_new = jax.nn.relu(h_new)
+    h_new = h_new + h_in
+    if training and drop_rate > 0.0 and rng is not None:
+        h_new = dropout(rng, h_new, drop_rate)
+    return h_new, e_out, {"bn_h": s_bn_h, "bn_e": s_bn_e}
+
+
+# ----------------------------------------------------------------------- model
+def score_edges(p, gt: GraphTensors, h, e, flip: bool = False):
+    """Edge logits from final node/edge states
+    (reference layers/score_predictor.py:12-24).  ``flip`` swaps endpoint
+    roles for the reversed-graph pass."""
+    if flip:
+        h_src, h_dst = gather_src_dst(h, gt.dst, gt.src)
+    else:
+        h_src, h_dst = gather_src_dst(h, gt.src, gt.dst)
+    z = jnp.concatenate([h_src, h_dst, e], axis=1)
+    z = jax.nn.relu(linear(p["W1"], z))
+    z = jax.nn.relu(linear(p["W2"], z))
+    return linear(p["W3"], z)
+
+
+def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
+            training: bool = False, flip: bool = False,
+            rng: Optional[jax.Array] = None, backend: Optional[str] = None):
+    """Full model forward (reference models/full_graph.py:22-30).
+
+    Returns (edge_logits [Ep, 1], new_state).  Rows >= gt.n_edges are padding.
+    """
+    h = mlp2(params["node_encoder"], x)
+    e = mlp2(params["edge_encoder"], e)
+
+    num_layers = jax.tree_util.tree_leaves(params["gnn"])[0].shape[0]
+    layer_fn = partial(sym_gated_gcn_layer, training=training, flip=flip,
+                       norm=cfg.normalization, drop_rate=cfg.dropout,
+                       backend=backend)
+
+    def body(carry, inp):
+        h, e = carry
+        p_l, s_l, key_l = inp
+        h, e, new_s = layer_fn(p_l, s_l, gt, h, e, rng=key_l)
+        return (h, e), new_s
+
+    keys = (jax.random.split(rng, num_layers) if rng is not None
+            else jnp.zeros((num_layers, 2), jnp.uint32))
+    (h, e), new_gnn_state = jax.lax.scan(
+        body, (h, e), (params["gnn"], state["gnn"], keys))
+
+    scores = score_edges(params["predictor"], gt, h, e, flip=flip)
+    return scores, {"gnn": new_gnn_state}

@@ -1,8 +1,18 @@
-"""Test harness config: force an 8-device virtual CPU mesh so multi-chip
-sharding paths run on any machine (SURVEY.md §4 item 4)."""
+"""Test harness config.
+
+Forces the CPU platform with 8 virtual devices so (a) tests never contend for
+the machine's single tunneled TPU, and (b) multi-chip sharding paths run on
+any machine (SURVEY.md §4 item 4).
+
+Note: the environment's sitecustomize registers the TPU ("axon") PJRT plugin
+and pins ``jax_platforms`` at interpreter startup, so a plain JAX_PLATFORMS
+env var is not enough — the config must be overridden before first backend use.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["OMP_NUM_THREADS"] = "1"  # keep the torch oracle off the thread pool
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
