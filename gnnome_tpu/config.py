@@ -86,6 +86,7 @@ class PathsConfig:
 @dataclass
 class ComputeConfig:
     """TPU execution knobs (no reference equivalent — the reference is single-GPU/CPU)."""
+    device: str = "auto"               # auto | tpu | cpu : jax platform selection
     backend: str = "auto"              # auto | xla | pallas : message-passing kernel backend
     matmul_precision: str = "highest"  # "highest" for fp32 parity, "default" for bf16-accelerated
     edge_pad_multiple: int = 512       # pad edge arrays to this multiple for static shapes

@@ -1,0 +1,253 @@
+"""Greedy contig decoding over CSR arrays.
+
+Same decoding semantics as the reference (inference.py:30-361):
+
+* sample ``num_decoding_paths`` seed edges among the not-yet-visited subgraph,
+  categorically with p ∝ sigmoid(score) (inference.py:54-67,199-212);
+* from each seed edge (src, dst): greedy-argmax walk forward from ``dst`` over
+  successors, then backward from ``src^1`` (the RC strand) with the forward
+  walk's nodes blocked, finally RC-reversed and spliced (inference.py:70-164);
+* keep the candidate with the most contig bases (``sum(prefix) + len(last)``,
+  inference.py:30-37,306); absorb transitively jumped-over nodes
+  ``succ(s) ∩ pred(d)`` plus RC pairs into the visited set (inference.py:
+  316-322); stop when the best contig is shorter than ``len_threshold``
+  (inference.py:336-337);
+* checkpoint every 10 contigs with atomic rename, resumable (inference.py:
+  189-197,346-359).
+
+The per-walk inner loop runs in C++ (native/gnnome_native.cpp,
+``gn_greedy_walk``) over CSR arrays — the reference's dict-of-lists Python
+walk (its decode hot spot) is kept only as a fallback/oracle.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import DecodeConfig
+from ..native import get_lib
+
+
+@dataclass
+class DecodeResult:
+    walks: list = field(default_factory=list)
+    walks_len: list = field(default_factory=list)
+    contigs_len: list = field(default_factory=list)
+    visited: np.ndarray | None = None
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class _Walker:
+    """Greedy walker over a CSR adjacency, native-accelerated."""
+
+    def __init__(self, graph, log_probs: np.ndarray):
+        row_ptr, col, eid = graph.csr()
+        self.row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+        self.col = np.ascontiguousarray(col, dtype=np.int32)
+        self.eid = np.ascontiguousarray(eid, dtype=np.int64)
+        self.log_probs = np.ascontiguousarray(log_probs, dtype=np.float32)
+        self.n = graph.num_nodes
+        self.stamp = np.zeros(self.n, dtype=np.int32)
+        self.epoch = 0
+        self.lib = get_lib()
+        self.walk_buf = np.empty(self.n, dtype=np.int32)
+
+    def next_epoch(self) -> int:
+        self.epoch += 1
+        if self.epoch == np.iinfo(np.int32).max:
+            self.stamp[:] = 0
+            self.epoch = 1
+        return self.epoch
+
+    def walk(self, start: int, visited: np.ndarray, epoch: int):
+        """Greedy walk from ``start`` over successors.  Returns
+        (walk int32[n], sum_log_prob).  Stamps visited nodes with ``epoch``."""
+        if self.lib is not None:
+            slp = ctypes.c_double(0.0)
+            ln = self.lib.gn_greedy_walk(
+                self.row_ptr, self.col, self.eid, self.log_probs, visited,
+                self.stamp, epoch, start, self.n, self.walk_buf,
+                ctypes.byref(slp))
+            return self.walk_buf[:ln].copy(), float(slp.value)
+        return self._walk_py(start, visited, epoch)
+
+    def _walk_py(self, start: int, visited: np.ndarray, epoch: int):
+        """Python oracle (mirrors inference.py:70-111)."""
+        walk, slp = [], 0.0
+        current = start
+        stamp = self.stamp
+        while True:
+            walk.append(current)
+            stamp[current] = epoch
+            stamp[current ^ 1] = epoch
+            lo, hi = self.row_ptr[current], self.row_ptr[current + 1]
+            if hi == lo:
+                break
+            if hi - lo == 1:
+                nb = int(self.col[lo])
+                if visited[nb] or stamp[nb] == epoch:
+                    break
+                slp += float(self.log_probs[self.eid[lo]])
+                current = nb
+                continue
+            best_nb, best_p, best_eid = -1, 0.0, -1
+            for k in range(lo, hi):
+                nb = int(self.col[k])
+                if visited[nb] or stamp[nb] == epoch:
+                    continue
+                p = float(self.log_probs[self.eid[k]])
+                if best_nb < 0 or p > best_p:
+                    best_nb, best_p, best_eid = nb, p, self.eid[k]
+            if best_nb < 0:
+                break
+            slp += float(self.log_probs[best_eid])
+            current = best_nb
+        return np.asarray(walk, dtype=np.int32), slp
+
+    def edge_ids(self, walk: np.ndarray) -> np.ndarray:
+        walk = np.ascontiguousarray(walk, dtype=np.int32)
+        out = np.empty(max(len(walk) - 1, 0), dtype=np.int64)
+        if len(walk) < 2:
+            return out
+        if self.lib is not None:
+            r = self.lib.gn_walk_edge_ids(self.row_ptr, self.col, self.eid,
+                                          walk, len(walk), out)
+            if r < 0:
+                raise KeyError(f"walk edge missing at position {-1 - r}")
+            return out
+        for i in range(len(walk) - 1):
+            u, v = int(walk[i]), int(walk[i + 1])
+            for k in range(self.row_ptr[u], self.row_ptr[u + 1]):
+                if self.col[k] == v:
+                    out[i] = self.eid[k]
+                    break
+            else:
+                raise KeyError((u, v))
+        return out
+
+
+def _sample_seed_edges(probs: np.ndarray, eligible: np.ndarray, nb_paths: int,
+                       rng: np.random.Generator, random_baseline: bool):
+    """Categorical seed sampling (inference.py:54-67)."""
+    if eligible.shape[0] > 2 ** 24:          # torch Categorical limit kept
+        eligible = eligible[: 2 ** 24]
+    if random_baseline:
+        return eligible[rng.integers(0, eligible.shape[0], size=nb_paths)]
+    p = probs[eligible].astype(np.float64)
+    p = np.maximum(p, 1e-9)
+    p /= p.sum()
+    return rng.choice(eligible, size=nb_paths, replace=True, p=p)
+
+
+def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
+                  checkpoint_dir: str | None = None,
+                  rng: np.random.Generator | None = None,
+                  use_labels: bool = False,
+                  verbose: bool = False) -> DecodeResult:
+    """Decode contig walks from edge logits (reference inference.py:167-361).
+
+    ``scores`` are raw logits (or labels when ``use_labels``).
+    """
+    cfg = cfg or DecodeConfig()
+    rng = rng or np.random.default_rng(0)
+    n = graph.num_nodes
+
+    scores = np.asarray(scores, dtype=np.float32).reshape(-1)
+    if use_labels:  # oracle decoding (inference.py:178-181)
+        probs = np.maximum(np.asarray(graph.y, dtype=np.float64), 1e-9)
+        log_probs = np.log(probs).astype(np.float32)
+        probs = probs.astype(np.float32)
+    else:
+        probs = _sigmoid(scores.astype(np.float64)).astype(np.float32)
+        log_probs = np.log(_sigmoid(scores.astype(np.float64))).astype(np.float32)
+
+    prefix = np.maximum(np.asarray(graph.prefix_length, dtype=np.int64), 0)  # inference.py:463
+    read_len = np.asarray(graph.read_length, dtype=np.int64)
+
+    walker = _Walker(graph, log_probs)
+    result = DecodeResult(visited=np.zeros(n, dtype=np.uint8))
+    visited = result.visited
+
+    ckpt_file = os.path.join(checkpoint_dir, "checkpoint.pkl") if checkpoint_dir else None
+    if ckpt_file and cfg.load_checkpoint and os.path.isfile(ckpt_file):
+        with open(ckpt_file, "rb") as f:
+            ck = pickle.load(f)
+        result.walks = ck["walks"]
+        result.walks_len = ck["all_walks_len"]
+        result.contigs_len = ck["all_contigs_len"]
+        for node in ck["visited"]:
+            visited[node] = 1
+
+    # successors of the reversed graph == predecessors; build once for
+    # transitive absorption
+    csc_ptr, csc_row, _ = graph.csc()
+    csr_ptr, csr_col, _ = graph.csr()
+
+    while True:
+        ok = (visited == 0)
+        eligible = np.nonzero(ok[graph.src] & ok[graph.dst])[0]
+        if eligible.size == 0:
+            break
+        seeds = _sample_seed_edges(probs, eligible, cfg.num_decoding_paths,
+                                   rng, cfg.random_baseline)
+
+        best = None  # (contig_len, walk, visited_nodes, slp)
+        for eidx in seeds.tolist():
+            s, d = int(graph.src[eidx]), int(graph.dst[eidx])
+            epoch = walker.next_epoch()
+            # block seed endpoints + RC pairs (inference.py:161)
+            walker.stamp[[s, s ^ 1, d, d ^ 1]] = epoch
+            walk_f, slp_f = walker.walk(d, visited, epoch)
+            walk_b_rcspace, slp_b = walker.walk(s ^ 1, visited, epoch)
+            walk_b = (walk_b_rcspace[::-1] ^ 1).astype(np.int32)
+            walk_it = np.concatenate([walk_b, walk_f])
+
+            if s == d:  # SELF-LOOP (inference.py:289-294)
+                contig_len = 0
+            else:
+                eids = walker.edge_ids(walk_it)
+                contig_len = int(prefix[eids].sum() + read_len[walk_it[-1]])
+
+            if best is None or contig_len > best[0]:
+                visited_nodes = np.concatenate([walk_it, walk_it ^ 1])
+                best = (contig_len, walk_it, visited_nodes, slp_f + slp_b)
+
+        contig_len, walk_it, visited_nodes, _slp = best
+        if verbose:
+            print(f"contig {len(result.walks)}: len_walk={len(walk_it)} "
+                  f"len_contig={contig_len}")
+        if contig_len < cfg.len_threshold:
+            break
+
+        visited[visited_nodes] = 1
+        # transitive absorption (inference.py:316-322)
+        for u, v in zip(walk_it[:-1].tolist(), walk_it[1:].tolist()):
+            succ_u = csr_col[csr_ptr[u]:csr_ptr[u + 1]]
+            pred_v = csc_row[csc_ptr[v]:csc_ptr[v + 1]]
+            trans = np.intersect1d(succ_u, pred_v)
+            if trans.size:
+                visited[trans] = 1
+                visited[trans ^ 1] = 1
+
+        result.walks.append(walk_it.tolist())
+        result.walks_len.append(len(walk_it))
+        result.contigs_len.append(contig_len)
+
+        if ckpt_file and len(result.walks) % 10 == 0:
+            ck = {"walks": result.walks,
+                  "visited": set(np.nonzero(visited)[0].tolist()),
+                  "all_walks_len": result.walks_len,
+                  "all_contigs_len": result.contigs_len}
+            tmp = ckpt_file + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(ck, f)
+            os.replace(tmp, ckpt_file)
+
+    return result

@@ -1,0 +1,118 @@
+"""Inference pipeline: score edges on TPU, decode contigs, emit FASTA.
+
+TPU-native counterpart of reference ``inference.py:364-501``.  Key differences
+by design:
+
+* edge scoring runs on the accelerator (the reference hardcodes CPU because a
+  whole-graph torch/DGL forward does not fit its GPU, inference.py:388); the
+  padded static-shape forward is jit-compiled once per shape bucket;
+* logits are cached per graph and reused on re-runs (same semantics as
+  ``{idx}_predicts.pt``, inference.py:427-430, as npy);
+* decoding runs on host over CSR with the C++ walk kernel; decode
+  checkpoint/resume semantics preserved (inference.py:189-197,346-359).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+
+import numpy as np
+
+from .config import Config
+from .data.dataset import dataset_for
+from .decode import decode_greedy, walks_to_contigs, save_assembly, quick_evaluation
+from .models import edge_features, node_features
+from .models.checkpoint import load_model_weights
+from .ops import GraphTensors
+from .utils.seed import set_seed
+from .utils.timing import Timer
+
+
+def _matmul_precision(cfg: Config):
+    import jax
+    return jax.default_matmul_precision(
+        "highest" if cfg.compute.matmul_precision == "highest" else "default")
+
+
+def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
+    """Edge logits [E] for a host graph using the SymGatedGCN model."""
+    import jax
+    from .models import sym_gated_gcn_forward
+
+    cfg = cfg or Config()
+    gt = GraphTensors.from_graph(graph,
+                                 edge_pad_multiple=cfg.compute.edge_pad_multiple,
+                                 node_pad_multiple=cfg.compute.node_pad_multiple)
+    x = gt.pad_nodes(node_features(graph))
+    e = gt.pad_edges(edge_features(graph, cfg.data.use_similarities))
+
+    fwd = jax.jit(partial(sym_gated_gcn_forward, cfg=cfg.model, training=False,
+                          backend=cfg.compute.backend if cfg.compute.backend != "auto" else None))
+    with _matmul_precision(cfg):
+        scores, _ = fwd(params, state, gt, x, e)
+    return np.asarray(scores).reshape(-1)[: graph.num_edges]
+
+
+def run_inference(data_path: str, model_path: str, assembler: str,
+                  savedir: str, cfg: Config | None = None,
+                  verbose: bool = True) -> dict:
+    """Full inference over every graph in a dataset directory
+    (reference inference.py:364-501)."""
+    cfg = cfg or Config()
+    rng_np, _ = set_seed(cfg.train.seed)
+    timer = Timer()
+
+    ds = dataset_for(assembler, data_path, threads=cfg.decode.num_threads,
+                     config=cfg)
+    decode_dir = os.path.join(savedir, "decode")
+    checkpoint_dir = os.path.join(savedir, "checkpoint")
+    assembly_dir = os.path.join(savedir, "assembly")
+    for d in (decode_dir, checkpoint_dir, assembly_dir):
+        os.makedirs(d, exist_ok=True)
+
+    params = state = None
+    summary = {"graphs": []}
+    for idx, graph in ds:
+        if verbose:
+            print(f"==== Processing graph {idx} ==== "
+                  f"(N={graph.num_nodes}, E={graph.num_edges})")
+
+        predicts_path = os.path.join(decode_dir, f"{idx}_predicts.npy")
+        with timer.phase("score"):
+            if cfg.decode.decode_with_labels:
+                scores = np.asarray(graph.y, dtype=np.float32)
+            elif os.path.isfile(predicts_path):
+                scores = np.load(predicts_path)
+            elif cfg.decode.random_baseline:
+                scores = np.full(graph.num_edges, 10.0, dtype=np.float32)
+            else:
+                if params is None:
+                    params, state = load_model_weights(model_path)
+                scores = score_graph(graph, params, state, cfg)
+                np.save(predicts_path, scores)
+
+        with timer.phase("decode"):
+            result = decode_greedy(graph, scores, cfg.decode,
+                                   checkpoint_dir=checkpoint_dir, rng=rng_np,
+                                   use_labels=cfg.decode.decode_with_labels,
+                                   verbose=verbose)
+        with open(os.path.join(decode_dir, f"{idx}_walks.pkl"), "wb") as f:
+            pickle.dump(result.walks, f)
+
+        with timer.phase("assemble"):
+            reads = ds.load_reads(idx)
+            contigs = walks_to_contigs(result.walks, graph, reads)
+            asm_path = save_assembly(contigs, assembly_dir, idx)
+
+        ev = quick_evaluation(contigs)
+        ev["assembly_path"] = asm_path
+        ev["idx"] = idx
+        summary["graphs"].append(ev)
+        if verbose:
+            print(f"graph {idx}: {ev}")
+
+    summary["timing"] = dict(timer.phases)
+    if verbose:
+        print(timer.summary())
+    return summary

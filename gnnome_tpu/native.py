@@ -79,6 +79,15 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int32),    # out_walk
             ctypes.POINTER(ctypes.c_double),     # sum_log_prob
         ]
+        lib.gn_walk_edge_ids.restype = ctypes.c_int64
+        lib.gn_walk_edge_ids.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),    # row_ptr
+            np.ctypeslib.ndpointer(np.int32),    # col
+            np.ctypeslib.ndpointer(np.int64),    # eid
+            np.ctypeslib.ndpointer(np.int32),    # walk
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),    # out_eids
+        ]
         _lib = lib
         return _lib
 

@@ -184,4 +184,22 @@ int64_t gn_greedy_walk(const int64_t* row_ptr, const int32_t* col,
   return len;
 }
 
+// Edge ids along a walk: out_eids[i] = id of edge walk[i] -> walk[i+1]
+// (first match in the CSR row).  Returns number of ids written, or the
+// negated position (-1-i) of the first missing edge.
+int64_t gn_walk_edge_ids(const int64_t* row_ptr, const int32_t* col,
+                         const int64_t* eid, const int32_t* walk,
+                         int64_t walk_len, int64_t* out_eids) {
+  for (int64_t i = 0; i + 1 < walk_len; ++i) {
+    int64_t u = walk[i], v = walk[i + 1];
+    int64_t found = -1;
+    for (int64_t k = row_ptr[u]; k < row_ptr[u + 1]; ++k) {
+      if (col[k] == v) { found = eid[k]; break; }
+    }
+    if (found < 0) return -1 - i;
+    out_eids[i] = found;
+  }
+  return walk_len - 1;
+}
+
 }  // extern "C"

@@ -1,0 +1,109 @@
+"""Decoder tests: greedy-walk oracle equality, label-oracle decoding on a known
+genome, end-to-end decode -> FASTA (SURVEY.md §4 items 3 and 5)."""
+import numpy as np
+
+from gnnome_tpu.config import DecodeConfig
+from gnnome_tpu.decode import decode_greedy, walks_to_contigs, quick_evaluation
+from gnnome_tpu.decode.greedy import _Walker
+from gnnome_tpu.graphs import synthetic_assembly_graph
+
+
+def _graph(seed=0, n_reads=150, genome_len=12000, read_len=500):
+    return synthetic_assembly_graph(n_reads=n_reads, genome_len=genome_len,
+                                    read_len=read_len, seed=seed,
+                                    with_sequences=True)
+
+
+def test_native_walker_matches_python():
+    g, _, _, _ = _graph(seed=4)
+    rng = np.random.default_rng(0)
+    log_probs = np.log(rng.uniform(0.1, 1.0, size=g.num_edges)).astype(np.float32)
+
+    w_native = _Walker(g, log_probs)
+    w_py = _Walker(g, log_probs)
+    w_py.lib = None  # force the Python oracle
+
+    visited = np.zeros(g.num_nodes, dtype=np.uint8)
+    assert w_native.lib is not None, "native library must be available in CI"
+    for start in [0, 5, 11, 40, 77]:
+        e1 = w_native.next_epoch()
+        e2 = w_py.next_epoch()
+        walk_n, slp_n = w_native.walk(start, visited, e1)
+        walk_p, slp_p = w_py.walk(start, visited, e2)
+        np.testing.assert_array_equal(walk_n, walk_p)
+        assert abs(slp_n - slp_p) < 1e-4
+
+
+def test_walk_edge_ids():
+    g, _, _, _ = _graph(seed=5)
+    log_probs = np.zeros(g.num_edges, dtype=np.float32)
+    w = _Walker(g, log_probs)
+    visited = np.zeros(g.num_nodes, dtype=np.uint8)
+    walk, _ = w.walk(0, visited, w.next_epoch())
+    if len(walk) > 1:
+        eids = w.edge_ids(walk)
+        np.testing.assert_array_equal(g.src[eids], walk[:-1])
+        np.testing.assert_array_equal(g.dst[eids], walk[1:])
+
+
+def test_label_oracle_decode_reconstructs_genome():
+    """Decoding with GT labels (decode_with_labels oracle,
+    reference hyperparameters.py:47) must recover most of the genome."""
+    genome_len = 15000
+    # clean layout graph: synthetic false edges are random node pairs with no
+    # sequence agreement (unlike real assembler artifacts), so a contig that
+    # crosses one is not a genome substring — exclude them for this oracle
+    g, reads, _, genome = synthetic_assembly_graph(
+        n_reads=200, genome_len=genome_len, read_len=500, seed=6,
+        with_sequences=True, false_edge_frac=0.0)
+    cfg = DecodeConfig(num_decoding_paths=30, len_threshold=2000)
+    res = decode_greedy(g, np.asarray(g.y), cfg, use_labels=True,
+                        rng=np.random.default_rng(1))
+    assert len(res.walks) >= 1
+    contigs = walks_to_contigs(res.walks, g, reads)
+    ev = quick_evaluation(contigs, ref_length=genome_len)
+    # the longest contig should cover a large part of the genome
+    assert ev["longest_contig"] > 0.5 * genome_len
+    # contig must be an exact substring of the genome or its RC
+    from gnnome_tpu.utils.fastx import reverse_complement
+    top = max(contigs, key=lambda c: len(c.seq))
+    assert top.seq in genome or top.seq in reverse_complement(genome)
+
+
+def test_decode_respects_len_threshold_and_visited():
+    g, _, _, _ = _graph(seed=7)
+    scores = np.random.default_rng(2).normal(size=g.num_edges).astype(np.float32)
+    cfg = DecodeConfig(num_decoding_paths=10, len_threshold=10**9)
+    res = decode_greedy(g, scores, cfg, rng=np.random.default_rng(3))
+    assert res.walks == []  # nothing can pass an absurd threshold
+
+    cfg = DecodeConfig(num_decoding_paths=10, len_threshold=1000)
+    res = decode_greedy(g, scores, cfg, rng=np.random.default_rng(3))
+    for walk in res.walks:
+        # every decoded node and its RC pair are marked visited
+        assert all(res.visited[n] and res.visited[n ^ 1] for n in walk)
+    # no node appears in two walks
+    seen = set()
+    for walk in res.walks:
+        for n in walk:
+            assert n not in seen
+            seen.add(n)
+            seen.add(n ^ 1)
+
+
+def test_decode_checkpoint_resume(tmp_path):
+    g, _, _, _ = _graph(seed=8, n_reads=300, genome_len=30000)
+    scores = np.full(g.num_edges, 5.0, dtype=np.float32)
+    cfg = DecodeConfig(num_decoding_paths=5, len_threshold=800,
+                       load_checkpoint=True)
+    ckdir = str(tmp_path)
+    res1 = decode_greedy(g, scores, cfg, checkpoint_dir=ckdir,
+                         rng=np.random.default_rng(4))
+    if len(res1.walks) >= 10:  # checkpoint written
+        import os
+        assert os.path.isfile(os.path.join(ckdir, "checkpoint.pkl"))
+        res2 = decode_greedy(g, scores, cfg, checkpoint_dir=ckdir,
+                             rng=np.random.default_rng(4))
+        # resumed run must keep the checkpointed walks as a prefix
+        k = (len(res1.walks) // 10) * 10
+        assert res2.walks[:k] == res1.walks[:k]
