@@ -67,7 +67,7 @@ def torch_to_pytree(path_or_sd) -> tuple[dict, dict]:
             bn: {"mean": np.asarray(sd[f"gnn.convs.{i}.{bn}.running_mean"], np.float32),
                  "var": np.asarray(sd[f"gnn.convs.{i}.{bn}.running_var"], np.float32),
                  "count": np.asarray(sd[f"gnn.convs.{i}.{bn}.num_batches_tracked"],
-                                     np.int64)}
+                                     np.int32)}
             for bn in ("bn_h", "bn_e")
         }),
     }

@@ -28,7 +28,7 @@ def norm_init(features: int) -> dict:
 def bn_state_init(features: int) -> dict:
     return {"mean": jnp.zeros((features,), jnp.float32),
             "var": jnp.ones((features,), jnp.float32),
-            "count": jnp.zeros((), jnp.int64)}
+            "count": jnp.zeros((), jnp.int32)}
 
 
 def batch_norm(p: dict, s: dict, x: jax.Array, mask: jax.Array, n_valid: int,

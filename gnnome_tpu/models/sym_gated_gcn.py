@@ -139,10 +139,13 @@ def score_edges(p, gt: GraphTensors, h, e, flip: bool = False):
 
 def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
             training: bool = False, flip: bool = False,
-            rng: Optional[jax.Array] = None, backend: Optional[str] = None):
+            rng: Optional[jax.Array] = None, backend: Optional[str] = None,
+            remat: bool = False):
     """Full model forward (reference models/full_graph.py:22-30).
 
     Returns (edge_logits [Ep, 1], new_state).  Rows >= gt.n_edges are padding.
+    ``remat=True`` rematerialises each layer in the backward pass (gradient
+    checkpointing — trades FLOPs for activation memory on large graphs).
     """
     h = mlp2(params["node_encoder"], x)
     e = mlp2(params["edge_encoder"], e)
@@ -157,6 +160,9 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
         p_l, s_l, key_l = inp
         h, e, new_s = layer_fn(p_l, s_l, gt, h, e, rng=key_l)
         return (h, e), new_s
+
+    if remat:
+        body = jax.checkpoint(body)
 
     keys = (jax.random.split(rng, num_layers) if rng is not None
             else jnp.zeros((num_layers, 2), jnp.uint32))

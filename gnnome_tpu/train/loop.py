@@ -1,0 +1,238 @@
+"""Training loop (reference train.py:188-494).
+
+Same protocol as the reference: per epoch, shuffle graphs; per graph, random
+strandwise mask, full-graph or clustered examples, symmetry (or plain BCE)
+loss, Adam step per example; epoch metrics averaged over examples; validation
+drives best-model selection, a plateau LR scheduler and per-epoch resumable
+checkpoints.  ``overfit`` trains and selects on the training set
+(train.py:361-372).
+
+Logging: JSONL (always) + optional wandb (config ``wandb_mode='online'``).
+Checkpoints: native flat-npz with params/state/optimizer/scheduler/epoch.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+from datetime import datetime
+
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import dataset_for
+from ..models.checkpoint import save_pytrees, load_pytrees, save_model_weights
+from ..models.sym_gated_gcn import init_params
+from ..utils.seed import set_seed
+from .metrics import compute_metrics, average_epoch_metrics
+from .scheduler import ReduceLROnPlateau
+from .step import make_steps, prepare_units, set_learning_rate
+
+
+def _count_params(tree) -> int:
+    import jax
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))
+
+
+def _pos_weight_from(ds) -> float:
+    """pos_weight = 1 / mean(pos:neg ratio per graph) (train.py:246,258)."""
+    ratios = []
+    for _, g in ds:
+        pos = float((np.round(g.y) == 1).sum())
+        neg = float((np.round(g.y) == 0).sum())
+        ratios.append(pos / neg if neg else 1.0)
+    mean_ratio = sum(ratios) / len(ratios) if ratios else 1.0
+    return 1.0 / mean_ratio if mean_ratio else 1.0
+
+
+class JsonlLogger:
+    def __init__(self, path: str, wandb_mode: str = "disabled",
+                 wandb_project: str = "", run_name: str = "", config=None):
+        self.f = open(path, "a")
+        self.wandb = None
+        if wandb_mode == "online":
+            try:
+                import wandb
+                self.wandb = wandb.init(project=wandb_project, name=run_name,
+                                        config=config)
+            except Exception as e:  # wandb optional (train.py:484-486)
+                print(f"wandb unavailable: {e}")
+
+    def log(self, data: dict) -> None:
+        self.f.write(json.dumps(data) + "\n")
+        self.f.flush()
+        if self.wandb is not None:
+            try:
+                self.wandb.log(data)
+            except Exception as e:
+                print(f"WandB exception occured! {e}")
+
+    def close(self):
+        self.f.close()
+        if self.wandb is not None:
+            self.wandb.finish()
+
+
+def _run_epoch(ds, params, state, opt_state, pos_weight, cfg, rng_np, rng_key,
+               train_step, eval_step, training: bool):
+    import jax
+    import jax.numpy as jnp
+
+    pw = jnp.asarray(pos_weight, dtype=jnp.float32)
+    metrics_list = []
+    order = list(range(len(ds)))
+    if training:
+        random.shuffle(order)  # train.py:305
+    for i in order:
+        _, graph = ds[i]
+        for ex in prepare_units(graph, cfg, rng_np, shuffle_parts=training):
+            if training:
+                rng_key, sub = jax.random.split(rng_key)
+                params, state, opt_state, loss, logits = train_step(
+                    params, state, opt_state, ex.gt, ex.x, ex.x_rev, ex.e,
+                    ex.labels, ex.mask, pw, sub)
+            else:
+                loss, logits = eval_step(params, state, ex.gt, ex.x, ex.x_rev,
+                                         ex.e, ex.labels, ex.mask, pw)
+            logits_np = np.asarray(logits)[: ex.n_edges]
+            labels_np = np.asarray(ex.labels)[: ex.n_edges]
+            metrics_list.append(compute_metrics(logits_np, labels_np,
+                                                float(loss)))
+    epoch_metrics = average_epoch_metrics(metrics_list) if metrics_list else {}
+    return params, state, opt_state, epoch_metrics, rng_key
+
+
+def train(train_path: str, valid_path: str, assembler: str,
+          out_name: str | None = None, overfit: bool = False,
+          resume: bool = False, cfg: Config | None = None) -> str:
+    """Train the SymGatedGCN edge scorer; returns the best-model path."""
+    import jax
+
+    cfg = cfg or Config()
+    rng_np, rng_key = set_seed(cfg.train.seed)
+
+    timestamp = datetime.now().strftime("%Y-%b-%d-%H-%M-%S")
+    out = (out_name or timestamp) + f"_seed{cfg.train.seed}"
+
+    models_path = os.path.abspath(cfg.paths.models_path)
+    ckpts_path = os.path.abspath(cfg.paths.checkpoints_path)
+    os.makedirs(models_path, exist_ok=True)
+    os.makedirs(ckpts_path, exist_ok=True)
+    model_path = os.path.join(models_path, f"model_{out}.npz")
+    ckpt_path = os.path.join(ckpts_path, f"ckpt_{out}.npz")
+
+    ds_train = dataset_for(assembler, train_path, config=cfg)
+    ds_valid = ds_train if overfit else dataset_for(assembler, valid_path, config=cfg)
+    if len(ds_train) == 0:
+        raise FileNotFoundError(
+            f"No processed graphs found under {train_path}/{assembler}/processed "
+            "— run 'gnnome-tpu build-graph --training' or 'generate-data' first")
+    if len(ds_valid) == 0:
+        raise FileNotFoundError(
+            f"No processed graphs found under {valid_path}/{assembler}/processed")
+
+    pos_weight = _pos_weight_from(ds_train)
+    params, state = init_params(jax.random.PRNGKey(cfg.train.seed), cfg.model)
+    tx, train_step, eval_step = make_steps(cfg)
+    opt_state = tx.init(params)
+    scheduler = ReduceLROnPlateau(cfg.train.lr, factor=cfg.train.decay,
+                                  patience=cfg.train.patience)
+
+    start_epoch = 0
+    loss_train_hist: list[float] = []
+    loss_valid_hist: list[float] = []
+
+    if resume:
+        trees = load_pytrees(ckpt_path)
+        params = jax.tree_util.tree_map(lambda _, v: v, params, trees["params"])
+        state = jax.tree_util.tree_map(lambda _, v: v, state, trees["state"])
+        if "opt" in trees:
+            leaves = [trees["opt"][str(i)] for i in range(len(trees["opt"]))]
+            treedef = jax.tree_util.tree_structure(opt_state)
+            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        meta = trees["meta"]
+        start_epoch = int(meta["epoch"]) + 1
+        loss_train_hist = list(np.atleast_1d(meta["loss_train"]))
+        loss_valid_hist = list(np.atleast_1d(meta["loss_valid"]))
+        scheduler.lr = float(meta["lr"])
+        scheduler.best = float(meta["sched_best"])
+        scheduler.num_bad_epochs = int(meta["sched_bad"])
+        model_path = os.path.join(models_path,
+                                  f"model_{out}_resumed-{cfg.train.num_epochs}.npz")
+        ckpt_path = os.path.join(ckpts_path,
+                                 f"ckpt_{out}_resumed-{cfg.train.num_epochs}.npz")
+        print(f"Resuming from epoch {start_epoch}")
+
+    print("----- TRAIN CONFIGURATION SUMMARY -----")
+    print(f"Using device(s): {jax.devices()}")
+    print(f"Seed: {cfg.train.seed}  Model path: {model_path}")
+    print(f"Trainable parameters: {_count_params(params)}")
+    print(f"Normalization: {cfg.model.normalization}  pos_weight: {pos_weight:.4f}")
+    print("---------------------------------------")
+
+    logger = JsonlLogger(os.path.join(ckpts_path, f"log_{out}.jsonl"),
+                         cfg.wandb_mode, cfg.wandb_project, out, cfg.to_dict())
+
+    def save_ckpt(epoch):
+        meta = {"epoch": np.int64(epoch),
+                "loss_train": np.asarray(loss_train_hist or [0.0]),
+                "loss_valid": np.asarray(loss_valid_hist or [0.0]),
+                "lr": np.float64(scheduler.lr),
+                "sched_best": np.float64(scheduler.best),
+                "sched_bad": np.int64(scheduler.num_bad_epochs)}
+        opt_leaves = {str(i): np.asarray(l) for i, l in
+                      enumerate(jax.tree_util.tree_leaves(opt_state))}
+        save_pytrees(ckpt_path, params=params, state=state, meta=meta,
+                     opt=opt_leaves)
+
+    try:
+        for epoch in range(start_epoch, cfg.train.num_epochs):
+            t0 = time.time()
+            opt_state = set_learning_rate(opt_state, scheduler.lr)
+            params, state, opt_state, m_train, rng_key = _run_epoch(
+                ds_train, params, state, opt_state, pos_weight, cfg, rng_np,
+                rng_key, train_step, eval_step, training=True)
+            loss_train_hist.append(m_train["loss"])
+
+            log = {f"train/{k}": v for k, v in m_train.items()}
+            log["lr_value"] = scheduler.lr
+            log["epoch"] = epoch
+
+            if overfit:
+                # select on train loss; no validation (train.py:361-372)
+                if len(loss_train_hist) == 1 or \
+                        loss_train_hist[-1] < min(loss_train_hist[:-1]):
+                    save_model_weights(model_path, params, state)
+                    print(f"Epoch {epoch}: model saved (overfit) "
+                          f"train_loss={m_train['loss']:.6f} f1={m_train['f1']:.4f}")
+                save_ckpt(epoch)
+                scheduler.step(m_train["loss"])
+                logger.log(log)
+                print(f"Epoch {epoch} ({time.time()-t0:.1f}s): "
+                      f"train loss {m_train['loss']:.6f}")
+                continue
+
+            _, _, _, m_valid, rng_key = _run_epoch(
+                ds_valid, params, state, opt_state, pos_weight, cfg, rng_np,
+                rng_key, train_step, eval_step, training=False)
+            loss_valid_hist.append(m_valid["loss"])
+            log.update({f"valid/{k}": v for k, v in m_valid.items()})
+
+            if len(loss_valid_hist) == 1 or \
+                    loss_valid_hist[-1] < min(loss_valid_hist[:-1]):
+                save_model_weights(model_path, params, state)
+                print(f"Epoch {epoch}: model saved! valid_loss="
+                      f"{m_valid['loss']:.6f} f1={m_valid['f1']:.4f}")
+            save_ckpt(epoch)
+            scheduler.step(m_valid["loss"])
+            logger.log(log)
+            print(f"Epoch {epoch} ({time.time()-t0:.1f}s): "
+                  f"train {m_train['loss']:.6f} valid {m_valid['loss']:.6f} "
+                  f"lr {scheduler.lr:.2e}")
+    except KeyboardInterrupt:
+        print("Keyboard Interrupt... Exiting...")
+    finally:
+        logger.close()
+
+    return model_path

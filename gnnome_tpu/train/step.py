@@ -1,0 +1,165 @@
+"""jit-compiled train/eval steps + host-side example preparation.
+
+Maps the reference's four loss paths (train.py:138-185: bce/symmetry x
+full/partition) onto one padded, shape-bucketed TPU step:
+
+* masking and partitioning happen on host (numpy) exactly as in the reference
+  (strandwise masking train.py:91-100; METIS-style clustering train.py:335 via
+  graphs/partition.py), producing ``TrainExample``s;
+* node degree features always come from the pre-mask graph and are z-scored
+  per unit (train.py:112-135); edge features are z-scored once on the full
+  graph and gathered (utils/data_utils.py:34-40, train.py:134);
+* the symmetry loss runs the model twice (org + flipped) with chained BN
+  state, as two sequential torch forwards would (train.py:159-185).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from ..config import Config
+from ..ops.graph_tensors import GraphTensors
+
+
+@dataclass
+class TrainExample:
+    gt: GraphTensors
+    x: "object"          # [Np, 2] device
+    x_rev: "object"      # [Np, 2] device (reversed-graph degree features)
+    e: "object"          # [Ep, F] device
+    labels: "object"     # [Ep] device
+    mask: "object"       # [Ep] device float32
+    n_edges: int
+
+
+def _zscore(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.float32)
+    std = v.std(ddof=1) if v.size > 1 else 1.0
+    return (v - v.mean()) / (std if std > 0 else 1.0)
+
+
+def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
+                 n_nodes: int) -> TrainExample:
+    """Device-ready padded example from host arrays."""
+    import jax.numpy as jnp
+
+    gt = GraphTensors.build(src, dst, n_nodes,
+                            edge_pad_multiple=cfg.compute.edge_pad_multiple,
+                            node_pad_multiple=cfg.compute.node_pad_multiple)
+    zi, zo = _zscore(in_deg), _zscore(out_deg)
+    x = gt.pad_nodes(np.stack([zi, zo], axis=1))
+    x_rev = gt.pad_nodes(np.stack([zo, zi], axis=1))
+    e = gt.pad_edges(e_feat)
+    labels = jnp.asarray(np.pad(y.astype(np.float32), (0, gt.n_edges_pad - y.shape[0])))
+    mask = gt.edge_mask[:, 0]
+    return TrainExample(gt=gt, x=x, x_rev=x_rev, e=e, labels=labels, mask=mask,
+                        n_edges=int(y.shape[0]))
+
+
+def mask_graph_strandwise(graph, fraction: float, rng: np.random.Generator):
+    """Random strand-pair node subsampling (reference train.py:91-100).
+    Returns (subgraph, orig_nodes, orig_edges)."""
+    keep_half = rng.random(graph.num_nodes // 2) < fraction
+    keep = np.repeat(keep_half, 2)
+    return graph.node_subgraph(keep)
+
+
+def prepare_units(graph, cfg: Config, rng: np.random.Generator,
+                  shuffle_parts: bool = True) -> list[TrainExample]:
+    """Mask + (maybe) partition one dataset graph into train examples
+    (reference train.py:311-348)."""
+    from ..models.features import edge_features
+    from ..graphs.partition import partition_graph
+
+    in_deg_full = graph.in_degrees()
+    out_deg_full = graph.out_degrees()
+    e_full = edge_features(graph, cfg.data.use_similarities)
+    y_full = graph.y
+
+    if cfg.train.masking:
+        fraction = rng.integers(cfg.train.mask_frac_low,
+                                cfg.train.mask_frac_high + 1) / 100
+        sub, nid, eid = mask_graph_strandwise(graph, fraction, rng)
+    else:
+        sub, nid, eid = graph, np.arange(graph.num_nodes), np.arange(graph.num_edges)
+
+    in_deg, out_deg = in_deg_full[nid], out_deg_full[nid]
+    e_feat, y = e_full[eid], y_full[eid]
+
+    if sub.num_nodes <= cfg.train.num_nodes_per_cluster:
+        return [make_example(cfg, in_deg, out_deg, e_feat, y, sub.src, sub.dst,
+                             sub.num_nodes)]
+
+    num_clusters = sub.num_nodes // cfg.train.num_nodes_per_cluster + 1
+    parts = partition_graph(sub, num_clusters, k_hops=cfg.train.k_extra_hops)
+    if shuffle_parts:
+        rng.shuffle(parts)
+    return [make_example(cfg, in_deg[p.orig_nodes], out_deg[p.orig_nodes],
+                         e_feat[p.orig_edges], y[p.orig_edges],
+                         p.graph.src, p.graph.dst, p.graph.num_nodes)
+            for p in parts]
+
+
+def make_optimizer(lr: float):
+    import optax
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def set_learning_rate(opt_state, lr: float):
+    import jax.numpy as jnp
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+def make_steps(cfg: Config):
+    """Build (train_step, eval_step) jitted closures."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ..models.sym_gated_gcn import forward
+    from .loss import bce_with_logits, symmetry_loss
+
+    model_cfg = cfg.model
+    alpha = cfg.train.alpha
+    use_sym = cfg.train.use_symmetry_loss
+    backend = None if cfg.compute.backend == "auto" else cfg.compute.backend
+    remat = cfg.compute.remat
+    tx = make_optimizer(cfg.train.lr)
+
+    def loss_fn(params, state, gt, x, x_rev, e, labels, mask, pos_weight, rng,
+                training):
+        k1, k2 = jax.random.split(rng)
+        logits_org, state = forward(params, state, gt, x, e, model_cfg,
+                                    training=training, flip=False, rng=k1,
+                                    backend=backend, remat=remat and training)
+        logits_org = logits_org[:, 0]
+        if use_sym:
+            logits_rev, state = forward(params, state, gt, x_rev, e, model_cfg,
+                                        training=training, flip=True, rng=k2,
+                                        backend=backend, remat=remat and training)
+            loss = symmetry_loss(logits_org, logits_rev[:, 0], labels,
+                                 pos_weight, alpha=alpha, mask=mask)
+        else:
+            loss = bce_with_logits(logits_org, labels, pos_weight, mask=mask)
+        return loss, (logits_org, state)
+
+    @jax.jit
+    def train_step(params, state, opt_state, gt, x, x_rev, e, labels, mask,
+                   pos_weight, rng):
+        (loss, (logits, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, gt, x, x_rev, e, labels,
+                                   mask, pos_weight, rng, True)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss, logits
+
+    @jax.jit
+    def eval_step(params, state, gt, x, x_rev, e, labels, mask, pos_weight):
+        loss, (logits, _) = loss_fn(params, state, gt, x, x_rev, e, labels,
+                                    mask, pos_weight,
+                                    jax.random.PRNGKey(0), False)
+        return loss, logits
+
+    return tx, train_step, eval_step
