@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""gnnome_tpu benchmark — SymGatedGCN training throughput (edges/s/chip).
+
+Primary metric (BASELINE.md): edges/s/chip for the full SymGatedGCN training
+step — symmetry loss, i.e. TWO directional model passes + backward + Adam —
+on an assembly-shaped graph.  ``vs_baseline`` compares against the reference
+model stack (torch, scatter message passing) running the same training step on
+this machine's CPU — the reference's own fallback execution path (its
+inference is CPU-hardcoded, reference inference.py:388; DGL/CUDA is not
+available here).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def probe_tpu(timeout_s: int = 120) -> bool:
+    """Check the TPU tunnel in a subprocess (a wedged claim must not hang us)."""
+    code = ("import jax, jax.numpy as jnp;"
+            "x=(jnp.ones((256,256))@jnp.ones((256,256))).block_until_ready();"
+            "print(jax.devices()[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           timeout=timeout_s, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def bench_tpu(n_nodes: int, avg_degree: float, iters: int, warmup: int,
+              train: bool = True, dtype: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gnnome_tpu.config import Config
+    from gnnome_tpu.graphs.synthetic import random_bench_graph
+    from gnnome_tpu.models.sym_gated_gcn import init_params
+    from gnnome_tpu.train.step import make_steps, make_example
+
+    cfg = Config()
+    cfg.model.dropout = 0.2
+    cfg.compute.matmul_precision = "default"   # bench at standard precision
+    cfg.compute.dtype = dtype
+
+    src, dst = random_bench_graph(n_nodes, avg_degree, seed=0)
+    n_edges = src.shape[0]
+    rng = np.random.default_rng(0)
+    in_deg = np.bincount(dst, minlength=n_nodes).astype(np.float32)
+    out_deg = np.bincount(src, minlength=n_nodes).astype(np.float32)
+    e_feat = rng.normal(size=(n_edges, 2)).astype(np.float32)
+    y = (rng.random(n_edges) < 0.5).astype(np.float32)
+    ex = make_example(cfg, in_deg, out_deg, e_feat, y, src, dst, n_nodes)
+
+    params, state = init_params(jax.random.PRNGKey(0), cfg.model)
+    tx, train_step, eval_step = make_steps(cfg)
+    opt_state = tx.init(params)
+    pw = jnp.asarray(1.0, jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    def run_once():
+        nonlocal params, state, opt_state
+        if train:
+            params, state, opt_state, loss, logits = train_step(
+                params, state, opt_state, ex.gt, ex.x, ex.x_rev, ex.e,
+                ex.labels, ex.mask, pw, key)
+            return loss
+        loss, logits = eval_step(params, state, ex.gt, ex.x, ex.x_rev, ex.e,
+                                 ex.labels, ex.mask, pw)
+        return loss
+
+    # NOTE: sync via host read — on the tunneled-TPU backend
+    # ``block_until_ready`` does not reliably wait for queued work.
+    for _ in range(warmup):
+        float(run_once())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss = float(run_once())
+    dt = (time.perf_counter() - t0) / iters
+    return n_edges / dt, dt, n_edges
+
+
+def bench_torch_cpu(n_nodes: int, avg_degree: float, iters: int = 3):
+    """Reference-stack baseline: torch training step (symmetry loss) on CPU."""
+    import numpy as np
+    import torch
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from torch_ref import RefSymGatedGCNModel
+    from gnnome_tpu.graphs.synthetic import random_bench_graph
+
+    src_np, dst_np = random_bench_graph(n_nodes, avg_degree, seed=0)
+    n_edges = src_np.shape[0]
+    src = torch.from_numpy(src_np.astype(np.int64))
+    dst = torch.from_numpy(dst_np.astype(np.int64))
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(rng.normal(size=(n_nodes, 2)).astype(np.float32))
+    e = torch.from_numpy(rng.normal(size=(n_edges, 2)).astype(np.float32))
+    y = torch.from_numpy((rng.random(n_edges) < 0.5).astype(np.float32))
+
+    model = RefSymGatedGCNModel(dropout=0.2)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+
+    def step():
+        opt.zero_grad()
+        org = model(src, dst, x, e).squeeze(-1)
+        rev = model.forward_flipped(src, dst, x, e).squeeze(-1)
+        bce_o = torch.nn.functional.binary_cross_entropy_with_logits(
+            org, y, reduction="none")
+        bce_r = torch.nn.functional.binary_cross_entropy_with_logits(
+            rev, y, reduction="none")
+        loss = (bce_o + bce_r + 0.1 * (org - rev).abs()).mean()
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = (time.perf_counter() - t0) / iters
+    return n_edges / dt, dt, n_edges
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=262_144)
+    ap.add_argument("--degree", type=float, default=6.0)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--baseline-nodes", type=int, default=32_768)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if not probe_tpu():
+        # fall back to CPU so the bench always reports something
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu-fallback"
+    else:
+        import jax
+        platform = jax.devices()[0].platform
+
+    edges_per_s, step_s, n_edges = bench_tpu(args.nodes, args.degree,
+                                             args.iters, args.warmup)
+
+    vs_baseline = 0.0
+    base_eps = 0.0
+    if not args.skip_baseline:
+        os.environ["OMP_NUM_THREADS"] = str(os.cpu_count() or 1)
+        base_eps, _, _ = bench_torch_cpu(args.baseline_nodes, args.degree)
+        vs_baseline = edges_per_s / base_eps if base_eps else 0.0
+
+    print(json.dumps({
+        "metric": "symgatedgcn_train_step_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(vs_baseline, 2),
+        "platform": platform,
+        "n_edges": n_edges,
+        "step_seconds": round(step_s, 5),
+        "baseline_edges_per_s_torch_cpu": round(base_eps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

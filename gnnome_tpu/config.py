@@ -88,6 +88,7 @@ class ComputeConfig:
     """TPU execution knobs (no reference equivalent — the reference is single-GPU/CPU)."""
     device: str = "auto"               # auto | tpu | cpu : jax platform selection
     backend: str = "auto"              # auto | xla | pallas : message-passing kernel backend
+    dtype: str = "float32"             # float32 | bfloat16 : compute dtype for the GNN hot path
     matmul_precision: str = "highest"  # "highest" for fp32 parity, "default" for bf16-accelerated
     edge_pad_multiple: int = 512       # pad edge arrays to this multiple for static shapes
     node_pad_multiple: int = 128

@@ -47,8 +47,11 @@ def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
     x = gt.pad_nodes(node_features(graph))
     e = gt.pad_edges(edge_features(graph, cfg.data.use_similarities))
 
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if cfg.compute.dtype == "bfloat16" else jnp.float32
     fwd = jax.jit(partial(sym_gated_gcn_forward, cfg=cfg.model, training=False,
-                          backend=cfg.compute.backend if cfg.compute.backend != "auto" else None))
+                          backend=cfg.compute.backend if cfg.compute.backend != "auto" else None,
+                          dtype=dtype))
     with _matmul_precision(cfg):
         scores, _ = fwd(params, state, gt, x, e)
     return np.asarray(scores).reshape(-1)[: graph.num_edges]

@@ -34,7 +34,11 @@ def bn_state_init(features: int) -> dict:
 def batch_norm(p: dict, s: dict, x: jax.Array, mask: jax.Array, n_valid: int,
                training: bool, momentum: float = 0.1, eps: float = 1e-5,
                repeat_updates: int = 1):
-    """Masked BatchNorm1d.  Returns (y, new_state)."""
+    """Masked BatchNorm1d.  Returns (y, new_state).  Statistics and
+    normalisation always run in float32 (bf16 inputs are cast through)."""
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
     if training:
         xm = x * mask
         mean = xm.sum(axis=0) / n_valid
@@ -55,7 +59,7 @@ def batch_norm(p: dict, s: dict, x: jax.Array, mask: jax.Array, n_valid: int,
         inv = jax.lax.rsqrt(s["var"] + eps)
         y = (x - s["mean"]) * inv
         new_s = s
-    return y * p["scale"] + p["bias"], new_s
+    return (y * p["scale"] + p["bias"]).astype(in_dtype), new_s
 
 
 def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:

@@ -2,21 +2,24 @@
 
 Faithful TPU-native re-derivation of the reference model
 (models/full_graph.py:9-30 + layers/gated_gcn_full.py:8-142 +
-layers/score_predictor.py:5-24), with the math restructured for XLA:
+layers/score_predictor.py:5-24), with the math restructured for XLA/TPU:
 
-* the six per-layer 64x64 projections run as one fused [64, 5*64] matmul on
-  the MXU (+ the edge projection B3);
+* the six per-layer 64x64 projections run as ONE fused [64, 5*64] matmul on
+  the MXU, with the output columns grouped so each edge endpoint needs exactly
+  one 128-wide row gather per layer (row gathers are the cost driver on TPU;
+  128-wide rows cost the same as 64-wide — measured);
+* edges stay in dst-sorted *slot order* through all layers (GraphTensors):
+  forward aggregation = sorted segment-sum, backward = unsorted segment-sum,
+  zero runtime permutations; host edge order is restored only at the output;
 * the per-edge gate is computed **once**: on the original graph the forward
   gate ``bn(B1h[src] + B2h[dst] + B3e)`` and the backward gate (computed on
   ``dgl.reverse`` in the reference, gated_gcn_full.py:117-119) are the *same
-  tensor*, so the reference's duplicated SDDMM+BN is collapsed — identical
-  outputs, half the work (running BN stats still advance twice to match
-  torch training semantics);
-* both aggregation directions use permutation-sorted segment sums prepared
-  once in GraphTensors instead of per-layer graph reversal;
+  tensor* — identical outputs, half the work (running BN stats still advance
+  twice to match torch training semantics);
 * the 8 layers run under ``lax.scan`` over stacked parameters (one compiled
-  layer body);
-* everything is shape-static and padded; BN statistics are mask-corrected.
+  layer body), optionally rematerialised;
+* optional bfloat16 compute (gathers/matmuls/gates) with float32 BatchNorm and
+  float32 segment-sum accumulation — parity mode is pure float32.
 
 The symmetry-loss "reversed graph" pass (reference train.py:159-185) is the
 same function with ``flip=True`` — src/dst roles swap, no data movement.
@@ -31,7 +34,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.graph_tensors import GraphTensors
-from ..ops.message import sddmm_add, sym_gated_aggregate, gather_src_dst
+from ..ops.message import gated_mean_pair
 from .nn import linear, linear_init, mlp2, mlp2_init, dropout
 from .norm import norm_init, bn_state_init, apply_norm
 
@@ -84,33 +87,40 @@ def _stack(trees):
 # ----------------------------------------------------------------------- layer
 def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
                         flip: bool, norm: str, drop_rate: float,
-                        rng: Optional[jax.Array], backend: Optional[str]):
-    """One SymGatedGCN layer (reference gated_gcn_full.py:82-142)."""
+                        rng: Optional[jax.Array], backend: Optional[str],
+                        dtype=jnp.float32):
+    """One SymGatedGCN layer (reference gated_gcn_full.py:82-142).
+    ``h`` node space, ``e`` edge SLOT space."""
     h_in, e_in = h, e
-
-    w_h = jnp.concatenate([p["A1"]["w"], p["A2"]["w"], p["A3"]["w"],
-                           p["B1"]["w"], p["B2"]["w"]], axis=1)
-    b_h = jnp.concatenate([p["A1"]["b"], p["A2"]["b"], p["A3"]["b"],
-                           p["B1"]["b"], p["B2"]["b"]])
-    proj = h @ w_h + b_h
     d = h.shape[1]
-    a1h, a2h, a3h, b1h, b2h = (proj[:, i * d:(i + 1) * d] for i in range(5))
-    b3e = linear(p["B3"], e)
 
-    # Per-edge gate.  On the reversed graph (flip) u/v roles swap
-    # (reference gated_gcn_full.py:104-110; 117-123 is the same tensor).
-    if not flip:
-        gate = sddmm_add(b1h, b2h, b3e, gt.src, gt.dst)
-    else:
-        gate = sddmm_add(b1h, b2h, b3e, gt.dst, gt.src)
+    # fused projection; column groups: [B1|A2] (message-source endpoint),
+    # [B2|A3] (target endpoint), [A1] (self)
+    w = jnp.concatenate([p["B1"]["w"], p["A2"]["w"], p["B2"]["w"],
+                         p["A3"]["w"], p["A1"]["w"]], axis=1).astype(dtype)
+    b = jnp.concatenate([p["B1"]["b"], p["A2"]["b"], p["B2"]["b"],
+                         p["A3"]["b"], p["A1"]["b"]]).astype(dtype)
+    proj = h @ w + b
+    a1h = proj[:, 4 * d:]
+
+    # per-endpoint fused gathers (u = message source, v = target; flip swaps)
+    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+    g_u = jnp.take(proj[:, : 2 * d], u_idx, axis=0)      # [B1h_u | A2h_u]
+    g_v = jnp.take(proj[:, 2 * d: 4 * d], v_idx, axis=0)  # [B2h_v | A3h_v]
+    b1h_u, a2h_u = g_u[:, :d], g_u[:, d:]
+    b2h_v, a3h_v = g_v[:, :d], g_v[:, d:]
+
+    b3e = (e @ p["B3"]["w"].astype(dtype)) + p["B3"]["b"].astype(dtype)
+    gate = b1h_u + b2h_v + b3e   # (reference gated_gcn_full.py:104-105)
+
     gate, s_bn_e = apply_norm(norm, p["bn_e"], s["bn_e"], gate, gt.edge_mask,
                               gt.n_edges, training, repeat_updates=2)
     gate = jax.nn.relu(gate)
-    e_out = gate + e_in  # residual (reference :108-109)
+    e_out = gate + e_in          # residual (reference :108-109)
 
-    sigma = jax.nn.sigmoid(e_out) * gt.edge_mask
-    h_fwd, h_bwd = sym_gated_aggregate(gt, sigma, a2h, a3h, flip=flip,
-                                       eps=GATE_EPS, backend=backend)
+    sigma = jax.nn.sigmoid(e_out) * gt.edge_mask.astype(dtype)
+    h_fwd, h_bwd = gated_mean_pair(gt, sigma, a2h_u, a3h_v, flip=flip,
+                                   eps=GATE_EPS, backend=backend)
 
     h_new = a1h + h_fwd + h_bwd
     h_new, s_bn_h = apply_norm(norm, p["bn_h"], s["bn_h"], h_new, gt.node_mask,
@@ -123,37 +133,39 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
 
 
 # ----------------------------------------------------------------------- model
-def score_edges(p, gt: GraphTensors, h, e, flip: bool = False):
-    """Edge logits from final node/edge states
+def score_edges(p, gt: GraphTensors, h, e, flip: bool = False,
+                dtype=jnp.float32):
+    """Edge logits from final node/edge states, slot order
     (reference layers/score_predictor.py:12-24).  ``flip`` swaps endpoint
     roles for the reversed-graph pass."""
-    if flip:
-        h_src, h_dst = gather_src_dst(h, gt.dst, gt.src)
-    else:
-        h_src, h_dst = gather_src_dst(h, gt.src, gt.dst)
+    d = h.shape[1]
+    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+    h_src = jnp.take(h, u_idx, axis=0)
+    h_dst = jnp.take(h, v_idx, axis=0)
     z = jnp.concatenate([h_src, h_dst, e], axis=1)
-    z = jax.nn.relu(linear(p["W1"], z))
-    z = jax.nn.relu(linear(p["W2"], z))
-    return linear(p["W3"], z)
+    z = jax.nn.relu(z @ p["W1"]["w"].astype(dtype) + p["W1"]["b"].astype(dtype))
+    z = jax.nn.relu(z @ p["W2"]["w"].astype(dtype) + p["W2"]["b"].astype(dtype))
+    return z @ p["W3"]["w"].astype(dtype) + p["W3"]["b"].astype(dtype)
 
 
 def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
             training: bool = False, flip: bool = False,
             rng: Optional[jax.Array] = None, backend: Optional[str] = None,
-            remat: bool = False):
+            remat: bool = False, dtype=jnp.float32):
     """Full model forward (reference models/full_graph.py:22-30).
 
-    Returns (edge_logits [Ep, 1], new_state).  Rows >= gt.n_edges are padding.
-    ``remat=True`` rematerialises each layer in the backward pass (gradient
-    checkpointing — trades FLOPs for activation memory on large graphs).
+    ``x``/``e`` in host order (padded); returns (edge_logits [Ep, 1] in host
+    edge order, new_state).  Rows >= gt.n_edges are padding.
+    ``remat=True`` rematerialises each layer in the backward pass.
     """
-    h = mlp2(params["node_encoder"], x)
-    e = mlp2(params["edge_encoder"], e)
+    h = mlp2(params["node_encoder"], x).astype(dtype)
+    e = mlp2(params["edge_encoder"], e).astype(dtype)
+    e = gt.edges_to_slots(e)
 
     num_layers = jax.tree_util.tree_leaves(params["gnn"])[0].shape[0]
     layer_fn = partial(sym_gated_gcn_layer, training=training, flip=flip,
                        norm=cfg.normalization, drop_rate=cfg.dropout,
-                       backend=backend)
+                       backend=backend, dtype=dtype)
 
     def body(carry, inp):
         h, e = carry
@@ -169,5 +181,6 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
     (h, e), new_gnn_state = jax.lax.scan(
         body, (h, e), (params["gnn"], state["gnn"], keys))
 
-    scores = score_edges(params["predictor"], gt, h, e, flip=flip)
+    scores = score_edges(params["predictor"], gt, h, e, flip=flip, dtype=dtype)
+    scores = gt.slots_to_edges(scores).astype(jnp.float32)
     return scores, {"gnn": new_gnn_state}

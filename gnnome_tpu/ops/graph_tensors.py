@@ -6,10 +6,14 @@ This is the TPU-first replacement for ``dgl.DGLGraph`` on the compute path
 
 * static, padded shapes — edge/node arrays padded to configurable multiples so
   XLA compiles one program per shape bucket;
-* both traversal directions precomputed **once** (the reference re-materialises
-  ``dgl.reverse(g)`` inside every layer, gated_gcn_full.py:99);
-* aggregation uses sorted segment ids + a host-precomputed permutation so the
-  device-side scatter is a sorted segment-sum (fast path on TPU);
+* **dst-sorted canonical edge slots**: edges live on device grouped by
+  destination, so the forward gated aggregation is a *sorted* segment-sum with
+  no runtime permutation, and the backward direction is an unsorted segment-sum
+  over src ids (measured cheaper than permute+sorted on TPU); the mapping
+  to/from the host's edge-id order is two cheap narrow gathers at the model
+  boundary;
+* both traversal directions come from the same arrays — the reference
+  re-materialises ``dgl.reverse(g)`` inside every layer (gated_gcn_full.py:99);
 * padded edges carry a zero mask and point at a dummy node row, so they are
   numerically inert everywhere (gates are masked, batch-norm statistics are
   mask-corrected).
@@ -29,22 +33,20 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass(frozen=True)
 class GraphTensors:
-    """Padded COO graph + permutations for both aggregation directions.
+    """Padded COO graph in dst-sorted slot order + host-order maps.
 
-    Edge-id order of ``src``/``dst`` matches the host ``AssemblyGraph`` edge
-    order, so per-edge model outputs line up with labels/decoder arrays.
+    All per-edge device arrays (``src``/``dst``/``edge_mask``) are in *slot*
+    order; ``slot_of_eid``/``eid_of_slot`` translate host edge-id order <->
+    slot order (the model applies them at its boundary, so callers only ever
+    see host edge-id order).
     """
     # --- leaves (device arrays) ---
-    src: jax.Array              # int32 [Ep]  (padded entries -> dummy node)
-    dst: jax.Array              # int32 [Ep]
-    fwd_src: jax.Array          # int32 [Ep]  = src[perm_fwd]
-    fwd_seg: jax.Array          # int32 [Ep]  = dst[perm_fwd]   (sorted)
-    fwd_perm: jax.Array         # int32 [Ep]  permutation edge-order -> by-dst
-    bwd_dst: jax.Array          # int32 [Ep]  = dst[perm_bwd]
-    bwd_seg: jax.Array          # int32 [Ep]  = src[perm_bwd]   (sorted)
-    bwd_perm: jax.Array         # int32 [Ep]
-    edge_mask: jax.Array        # float32 [Ep, 1]  1 for real edges
-    node_mask: jax.Array        # float32 [Np, 1]  1 for real nodes
+    src: jax.Array              # int32 [Ep] slot order (padded -> dummy node)
+    dst: jax.Array              # int32 [Ep] slot order, ascending
+    slot_of_eid: jax.Array      # int32 [Ep]: slot holding host edge id k
+    eid_of_slot: jax.Array      # int32 [Ep]: host edge id in slot i
+    edge_mask: jax.Array        # float32 [Ep, 1] slot order, 1 = real edge
+    node_mask: jax.Array        # float32 [Np, 1] 1 = real node
     # --- static aux (metadata, not traced) ---
     n_nodes: int = 0
     n_edges: int = 0
@@ -54,35 +56,43 @@ class GraphTensors:
     # ------------------------------------------------------------------ build
     @classmethod
     def build(cls, src: np.ndarray, dst: np.ndarray, n_nodes: int,
-              edge_pad_multiple: int = 512, node_pad_multiple: int = 128):
-        """Host-side construction from COO arrays (numpy)."""
+              edge_pad_multiple: int = 512, node_pad_multiple: int = 128,
+              divisible_by: int = 1):
+        """Host-side construction from COO arrays in host edge-id order.
+
+        ``divisible_by``: additionally round padded sizes to this multiple
+        (set to the mesh size so sharded arrays split evenly across devices).
+        """
+        import math
+        edge_pad_multiple = math.lcm(edge_pad_multiple, divisible_by)
+        node_pad_multiple = math.lcm(node_pad_multiple, divisible_by)
         E = int(src.shape[0])
-        Ep = max(_round_up(E, edge_pad_multiple), edge_pad_multiple)
+        # always at least one padded edge (it doubles as the inert fill slot)
+        Ep = max(_round_up(E + 1, edge_pad_multiple), edge_pad_multiple)
         # dummy node must exist: pad nodes to >= n_nodes + 1
         Np = max(_round_up(n_nodes + 1, node_pad_multiple), node_pad_multiple)
-        dummy = n_nodes  # first padded row
+        dummy = n_nodes
 
         src_p = np.full(Ep, dummy, dtype=np.int32)
         dst_p = np.full(Ep, dummy, dtype=np.int32)
         src_p[:E] = src
         dst_p[:E] = dst
 
-        perm_fwd = np.argsort(dst_p, kind="stable").astype(np.int32)
-        perm_bwd = np.argsort(src_p, kind="stable").astype(np.int32)
+        # slot order: stable sort by dst; padded edges (dst=dummy=max id)
+        # land at the tail
+        order = np.argsort(dst_p, kind="stable").astype(np.int32)  # eid per slot
+        slot_of_eid = np.empty(Ep, dtype=np.int32)
+        slot_of_eid[order] = np.arange(Ep, dtype=np.int32)
 
         edge_mask = np.zeros((Ep, 1), dtype=np.float32)
-        edge_mask[:E] = 1.0
+        edge_mask[slot_of_eid[:E]] = 1.0
         node_mask = np.zeros((Np, 1), dtype=np.float32)
         node_mask[:n_nodes] = 1.0
 
         return cls(
-            src=jnp.asarray(src_p), dst=jnp.asarray(dst_p),
-            fwd_src=jnp.asarray(src_p[perm_fwd]),
-            fwd_seg=jnp.asarray(dst_p[perm_fwd]),
-            fwd_perm=jnp.asarray(perm_fwd),
-            bwd_dst=jnp.asarray(dst_p[perm_bwd]),
-            bwd_seg=jnp.asarray(src_p[perm_bwd]),
-            bwd_perm=jnp.asarray(perm_bwd),
+            src=jnp.asarray(src_p[order]), dst=jnp.asarray(dst_p[order]),
+            slot_of_eid=jnp.asarray(slot_of_eid),
+            eid_of_slot=jnp.asarray(order),
             edge_mask=jnp.asarray(edge_mask),
             node_mask=jnp.asarray(node_mask),
             n_nodes=n_nodes, n_edges=E, n_nodes_pad=Np, n_edges_pad=Ep,
@@ -90,9 +100,19 @@ class GraphTensors:
 
     @classmethod
     def from_graph(cls, graph, edge_pad_multiple: int = 512,
-                   node_pad_multiple: int = 128) -> "GraphTensors":
+                   node_pad_multiple: int = 128,
+                   divisible_by: int = 1) -> "GraphTensors":
         return cls.build(graph.src, graph.dst, graph.num_nodes,
-                         edge_pad_multiple, node_pad_multiple)
+                         edge_pad_multiple, node_pad_multiple, divisible_by)
+
+    # ----------------------------------------------------- edge-order mapping
+    def edges_to_slots(self, x: jax.Array) -> jax.Array:
+        """Host-edge-order [Ep, ...] -> slot order (device, one narrow gather)."""
+        return jnp.take(x, self.eid_of_slot, axis=0)
+
+    def slots_to_edges(self, x: jax.Array) -> jax.Array:
+        """Slot order [Ep, ...] -> host edge order."""
+        return jnp.take(x, self.slot_of_eid, axis=0)
 
     # ------------------------------------------------------------- transforms
     def pad_nodes(self, x: np.ndarray, fill: float = 0.0) -> jnp.ndarray:
@@ -102,6 +122,8 @@ class GraphTensors:
         return jnp.asarray(out)
 
     def pad_edges(self, x: np.ndarray, fill: float = 0.0) -> jnp.ndarray:
+        """Pad a host-edge-order [n_edges, D] array to [Ep, D] (still host
+        edge order — the model converts to slots at its boundary)."""
         out = np.full((self.n_edges_pad,) + x.shape[1:], fill, dtype=np.float32)
         out[: self.n_edges] = x
         return jnp.asarray(out)
@@ -109,7 +131,7 @@ class GraphTensors:
 
 jax.tree_util.register_dataclass(
     GraphTensors,
-    data_fields=["src", "dst", "fwd_src", "fwd_seg", "fwd_perm",
-                 "bwd_dst", "bwd_seg", "bwd_perm", "edge_mask", "node_mask"],
+    data_fields=["src", "dst", "slot_of_eid", "eid_of_slot", "edge_mask",
+                 "node_mask"],
     meta_fields=["n_nodes", "n_edges", "n_nodes_pad", "n_edges_pad"],
 )

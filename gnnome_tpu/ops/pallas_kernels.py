@@ -10,6 +10,5 @@ scatter (one-hot(dst_local)^T @ messages) run on the MXU.
 from __future__ import annotations
 
 
-def gated_mean_aggregate_pallas(sigma, values, take_idx, seg_ids, perm,
-                                num_segments, eps):
+def gated_mean_pair_pallas(gt, sigma, a2h_src, a3h_dst, flip, eps):
     return None

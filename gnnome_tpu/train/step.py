@@ -126,6 +126,7 @@ def make_steps(cfg: Config):
     use_sym = cfg.train.use_symmetry_loss
     backend = None if cfg.compute.backend == "auto" else cfg.compute.backend
     remat = cfg.compute.remat
+    dtype = jnp.bfloat16 if cfg.compute.dtype == "bfloat16" else jnp.float32
     tx = make_optimizer(cfg.train.lr)
 
     def loss_fn(params, state, gt, x, x_rev, e, labels, mask, pos_weight, rng,
@@ -133,12 +134,14 @@ def make_steps(cfg: Config):
         k1, k2 = jax.random.split(rng)
         logits_org, state = forward(params, state, gt, x, e, model_cfg,
                                     training=training, flip=False, rng=k1,
-                                    backend=backend, remat=remat and training)
+                                    backend=backend, remat=remat and training,
+                                    dtype=dtype)
         logits_org = logits_org[:, 0]
         if use_sym:
             logits_rev, state = forward(params, state, gt, x_rev, e, model_cfg,
                                         training=training, flip=True, rng=k2,
-                                        backend=backend, remat=remat and training)
+                                        backend=backend, remat=remat and training,
+                                        dtype=dtype)
             loss = symmetry_loss(logits_org, logits_rev[:, 0], labels,
                                  pos_weight, alpha=alpha, mask=mask)
         else:
