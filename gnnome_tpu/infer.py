@@ -36,9 +36,11 @@ def _matmul_precision(cfg: Config):
 
 
 def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
-    """Edge logits [E] for a host graph using the SymGatedGCN model."""
+    """Edge logits [E] for a host graph using the configured model
+    (flagship SymGatedGCN by default; zoo variants via config model.model)."""
     import jax
-    from .models import sym_gated_gcn_forward
+    import jax.numpy as jnp
+    from .models.zoo import get_model, processor_graph_for
 
     cfg = cfg or Config()
     gt = GraphTensors.from_graph(graph,
@@ -46,14 +48,17 @@ def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
                                  node_pad_multiple=cfg.compute.node_pad_multiple)
     x = gt.pad_nodes(node_features(graph))
     e = gt.pad_edges(edge_features(graph, cfg.data.use_similarities))
+    gt_proc = processor_graph_for(cfg.model.model, graph, cfg.model,
+                                  cfg.compute.edge_pad_multiple,
+                                  cfg.compute.node_pad_multiple)
 
-    import jax.numpy as jnp
+    _, model_fwd = get_model(cfg.model.model)
     dtype = jnp.bfloat16 if cfg.compute.dtype == "bfloat16" else jnp.float32
-    fwd = jax.jit(partial(sym_gated_gcn_forward, cfg=cfg.model, training=False,
+    fwd = jax.jit(partial(model_fwd, cfg=cfg.model, training=False,
                           backend=cfg.compute.backend if cfg.compute.backend != "auto" else None,
                           dtype=dtype))
     with _matmul_precision(cfg):
-        scores, _ = fwd(params, state, gt, x, e)
+        scores, _ = fwd(params, state, gt, x, e, gt_proc=gt_proc)
     return np.asarray(scores).reshape(-1)[: graph.num_edges]
 
 

@@ -151,7 +151,7 @@ def score_edges(p, gt: GraphTensors, h, e, flip: bool = False,
 def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
             training: bool = False, flip: bool = False,
             rng: Optional[jax.Array] = None, backend: Optional[str] = None,
-            remat: bool = False, dtype=jnp.float32):
+            remat: bool = False, dtype=jnp.float32, gt_proc=None, **_):
     """Full model forward (reference models/full_graph.py:22-30).
 
     ``x``/``e`` in host order (padded); returns (edge_logits [Ep, 1] in host

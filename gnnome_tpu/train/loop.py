@@ -23,7 +23,7 @@ import numpy as np
 from ..config import Config
 from ..data.dataset import dataset_for
 from ..models.checkpoint import save_pytrees, load_pytrees, save_model_weights
-from ..models.sym_gated_gcn import init_params
+from ..models.zoo import get_model
 from ..utils.seed import set_seed
 from .metrics import compute_metrics, average_epoch_metrics
 from .scheduler import ReduceLROnPlateau
@@ -91,10 +91,11 @@ def _run_epoch(ds, params, state, opt_state, pos_weight, cfg, rng_np, rng_key,
                 rng_key, sub = jax.random.split(rng_key)
                 params, state, opt_state, loss, logits = train_step(
                     params, state, opt_state, ex.gt, ex.x, ex.x_rev, ex.e,
-                    ex.labels, ex.mask, pw, sub)
+                    ex.labels, ex.mask, pw, sub, gt_proc=ex.gt_proc)
             else:
                 loss, logits = eval_step(params, state, ex.gt, ex.x, ex.x_rev,
-                                         ex.e, ex.labels, ex.mask, pw)
+                                         ex.e, ex.labels, ex.mask, pw,
+                                         gt_proc=ex.gt_proc)
             logits_np = np.asarray(logits)[: ex.n_edges]
             labels_np = np.asarray(ex.labels)[: ex.n_edges]
             metrics_list.append(compute_metrics(logits_np, labels_np,
@@ -133,7 +134,8 @@ def train(train_path: str, valid_path: str, assembler: str,
             f"No processed graphs found under {valid_path}/{assembler}/processed")
 
     pos_weight = _pos_weight_from(ds_train)
-    params, state = init_params(jax.random.PRNGKey(cfg.train.seed), cfg.model)
+    init_fn, _ = get_model(cfg.model.model)
+    params, state = init_fn(jax.random.PRNGKey(cfg.train.seed), cfg.model)
     tx, train_step, eval_step = make_steps(cfg)
     opt_state = tx.init(params)
     scheduler = ReduceLROnPlateau(cfg.train.lr, factor=cfg.train.decay,

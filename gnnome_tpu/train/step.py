@@ -32,6 +32,7 @@ class TrainExample:
     labels: "object"     # [Ep] device
     mask: "object"       # [Ep] device float32
     n_edges: int
+    gt_proc: "object" = None   # transformed processor graph (zoo models only)
 
 
 def _zscore(v: np.ndarray) -> np.ndarray:
@@ -73,6 +74,16 @@ def prepare_units(graph, cfg: Config, rng: np.random.Generator,
     from ..models.features import edge_features
     from ..graphs.partition import partition_graph
 
+    def attach_proc(ex, sub_graph):
+        from ..models.zoo import processor_graph_for
+        gt_proc = processor_graph_for(cfg.model.model, sub_graph, cfg.model,
+                                      cfg.compute.edge_pad_multiple,
+                                      cfg.compute.node_pad_multiple)
+        if gt_proc is not None:
+            import dataclasses
+            ex = dataclasses.replace(ex, gt_proc=gt_proc)
+        return ex
+
     in_deg_full = graph.in_degrees()
     out_deg_full = graph.out_degrees()
     e_full = edge_features(graph, cfg.data.use_similarities)
@@ -89,16 +100,19 @@ def prepare_units(graph, cfg: Config, rng: np.random.Generator,
     e_feat, y = e_full[eid], y_full[eid]
 
     if sub.num_nodes <= cfg.train.num_nodes_per_cluster:
-        return [make_example(cfg, in_deg, out_deg, e_feat, y, sub.src, sub.dst,
-                             sub.num_nodes)]
+        ex = make_example(cfg, in_deg, out_deg, e_feat, y, sub.src, sub.dst,
+                          sub.num_nodes)
+        return [attach_proc(ex, sub)]
 
     num_clusters = sub.num_nodes // cfg.train.num_nodes_per_cluster + 1
     parts = partition_graph(sub, num_clusters, k_hops=cfg.train.k_extra_hops)
     if shuffle_parts:
         rng.shuffle(parts)
-    return [make_example(cfg, in_deg[p.orig_nodes], out_deg[p.orig_nodes],
-                         e_feat[p.orig_edges], y[p.orig_edges],
-                         p.graph.src, p.graph.dst, p.graph.num_nodes)
+    return [attach_proc(
+        make_example(cfg, in_deg[p.orig_nodes], out_deg[p.orig_nodes],
+                     e_feat[p.orig_edges], y[p.orig_edges],
+                     p.graph.src, p.graph.dst, p.graph.num_nodes),
+        p.graph)
             for p in parts]
 
 
@@ -114,54 +128,63 @@ def set_learning_rate(opt_state, lr: float):
 
 
 def make_steps(cfg: Config):
-    """Build (train_step, eval_step) jitted closures."""
+    """Build (train_step, eval_step) jitted closures.
+
+    The flagship sym_gatedgcn gets the reference's symmetry loss (two
+    directional passes, train.py:159-185); zoo models (which have no flip
+    semantics in the reference either — train.py hardcodes SymGatedGCNModel)
+    train with plain pos-weighted BCE.
+    """
     import jax
     import jax.numpy as jnp
     import optax
-    from ..models.sym_gated_gcn import forward
+    from ..models.zoo import get_model
     from .loss import bce_with_logits, symmetry_loss
 
     model_cfg = cfg.model
     alpha = cfg.train.alpha
-    use_sym = cfg.train.use_symmetry_loss
+    is_sym = model_cfg.model in ("sym_gatedgcn", "sym_gated_gcn")
+    use_sym = cfg.train.use_symmetry_loss and is_sym
     backend = None if cfg.compute.backend == "auto" else cfg.compute.backend
     remat = cfg.compute.remat
     dtype = jnp.bfloat16 if cfg.compute.dtype == "bfloat16" else jnp.float32
     tx = make_optimizer(cfg.train.lr)
+    _, fwd = get_model(model_cfg.model)
 
-    def loss_fn(params, state, gt, x, x_rev, e, labels, mask, pos_weight, rng,
-                training):
+    def loss_fn(params, state, gt, gt_proc, x, x_rev, e, labels, mask,
+                pos_weight, rng, training):
         k1, k2 = jax.random.split(rng)
-        logits_org, state = forward(params, state, gt, x, e, model_cfg,
-                                    training=training, flip=False, rng=k1,
-                                    backend=backend, remat=remat and training,
-                                    dtype=dtype)
+        logits_org, state = fwd(params, state, gt, x, e, model_cfg,
+                                training=training, flip=False, rng=k1,
+                                backend=backend, remat=remat and training,
+                                dtype=dtype, gt_proc=gt_proc)
         logits_org = logits_org[:, 0]
         if use_sym:
-            logits_rev, state = forward(params, state, gt, x_rev, e, model_cfg,
-                                        training=training, flip=True, rng=k2,
-                                        backend=backend, remat=remat and training,
-                                        dtype=dtype)
+            logits_rev, state = fwd(params, state, gt, x_rev, e, model_cfg,
+                                    training=training, flip=True, rng=k2,
+                                    backend=backend, remat=remat and training,
+                                    dtype=dtype, gt_proc=gt_proc)
             loss = symmetry_loss(logits_org, logits_rev[:, 0], labels,
                                  pos_weight, alpha=alpha, mask=mask)
         else:
             loss = bce_with_logits(logits_org, labels, pos_weight, mask=mask)
         return loss, (logits_org, state)
 
-    @jax.jit
+    @partial(jax.jit, static_argnames=())
     def train_step(params, state, opt_state, gt, x, x_rev, e, labels, mask,
-                   pos_weight, rng):
+                   pos_weight, rng, gt_proc=None):
         (loss, (logits, new_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, state, gt, x, x_rev, e, labels,
-                                   mask, pos_weight, rng, True)
+            loss_fn, has_aux=True)(params, state, gt, gt_proc, x, x_rev, e,
+                                   labels, mask, pos_weight, rng, True)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, loss, logits
 
-    @jax.jit
-    def eval_step(params, state, gt, x, x_rev, e, labels, mask, pos_weight):
-        loss, (logits, _) = loss_fn(params, state, gt, x, x_rev, e, labels,
-                                    mask, pos_weight,
+    @partial(jax.jit, static_argnames=())
+    def eval_step(params, state, gt, x, x_rev, e, labels, mask, pos_weight,
+                  gt_proc=None):
+        loss, (logits, _) = loss_fn(params, state, gt, gt_proc, x, x_rev, e,
+                                    labels, mask, pos_weight,
                                     jax.random.PRNGKey(0), False)
         return loss, logits
 
