@@ -26,6 +26,21 @@ class InvalidSuffixError(Exception):
                          "(e.g. 'chr6_hg002').")
 
 
+def change_description_seqreq(file_path: str) -> None:
+    """Legacy SeqRequester header rewrite (reference generate_data.py:25-40):
+    ``read=N,forward,position=a-b`` -> ``strand/start/end`` convention."""
+    records = []
+    for r in read_fastx(file_path):
+        des = r.description.split(",")
+        rid = des[0][5:]
+        strand = "+" if des[1] == "forward" else "-"
+        start, end = des[2][9:].split("-")
+        records.append(FastxRecord(
+            id=rid, description=f"{rid} strand={strand} start={start} end={end}",
+            seq=r.seq))
+    write_fasta(records, file_path)
+
+
 def parse_maf_positions(maf_path: str) -> dict[str, tuple[str, int, int]]:
     """read id -> (strand, ref_start, ref_end) from a PBSIM3 MAF file.
 

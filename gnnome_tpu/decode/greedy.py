@@ -45,9 +45,18 @@ def _sigmoid(x):
 
 
 class _Walker:
-    """Greedy walker over a CSR adjacency, native-accelerated."""
+    """Greedy walker over a CSR adjacency, native-accelerated.
 
-    def __init__(self, graph, log_probs: np.ndarray):
+    ``early_stop_logp``: stop when every candidate log-prob falls below it
+    (reference inference.py:27-28,98-100).  ``random_choice`` picks a uniform
+    random successor instead of the argmax (reference RANDOM flag,
+    inference.py:102-104) — Python path only.
+    """
+
+    def __init__(self, graph, log_probs: np.ndarray,
+                 early_stop_logp: float | None = None,
+                 random_choice: bool = False,
+                 rng: np.random.Generator | None = None):
         row_ptr, col, eid = graph.csr()
         self.row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
         self.col = np.ascontiguousarray(col, dtype=np.int32)
@@ -56,7 +65,10 @@ class _Walker:
         self.n = graph.num_nodes
         self.stamp = np.zeros(self.n, dtype=np.int32)
         self.epoch = 0
-        self.lib = get_lib()
+        self.early_stop_logp = early_stop_logp
+        self.random_choice = random_choice
+        self.rng = rng or np.random.default_rng(0)
+        self.lib = None if random_choice else get_lib()
         self.walk_buf = np.empty(self.n, dtype=np.int32)
 
     def next_epoch(self) -> int:
@@ -71,9 +83,11 @@ class _Walker:
         (walk int32[n], sum_log_prob).  Stamps visited nodes with ``epoch``."""
         if self.lib is not None:
             slp = ctypes.c_double(0.0)
+            use_es = 1 if self.early_stop_logp is not None else 0
+            thr = self.early_stop_logp if use_es else 0.0
             ln = self.lib.gn_greedy_walk(
                 self.row_ptr, self.col, self.eid, self.log_probs, visited,
-                self.stamp, epoch, start, self.n, self.walk_buf,
+                self.stamp, epoch, start, self.n, use_es, thr, self.walk_buf,
                 ctypes.byref(slp))
             return self.walk_buf[:ln].copy(), float(slp.value)
         return self._walk_py(start, visited, epoch)
@@ -97,18 +111,20 @@ class _Walker:
                 slp += float(self.log_probs[self.eid[lo]])
                 current = nb
                 continue
-            best_nb, best_p, best_eid = -1, 0.0, -1
-            for k in range(lo, hi):
-                nb = int(self.col[k])
-                if visited[nb] or stamp[nb] == epoch:
-                    continue
-                p = float(self.log_probs[self.eid[k]])
-                if best_nb < 0 or p > best_p:
-                    best_nb, best_p, best_eid = nb, p, self.eid[k]
-            if best_nb < 0:
+            cands = [(int(self.col[k]), int(self.eid[k]))
+                     for k in range(lo, hi)
+                     if not (visited[self.col[k]] or stamp[self.col[k]] == epoch)]
+            if not cands:
                 break
-            slp += float(self.log_probs[best_eid])
-            current = best_nb
+            if self.early_stop_logp is not None and all(
+                    self.log_probs[e] < self.early_stop_logp for _, e in cands):
+                break
+            if self.random_choice:
+                nb, e = cands[self.rng.integers(0, len(cands))]
+            else:
+                nb, e = max(cands, key=lambda ce: self.log_probs[ce[1]])
+            slp += float(self.log_probs[e])
+            current = nb
         return np.asarray(walk, dtype=np.int32), slp
 
     def edge_ids(self, walk: np.ndarray) -> np.ndarray:
@@ -171,7 +187,9 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
     prefix = np.maximum(np.asarray(graph.prefix_length, dtype=np.int64), 0)  # inference.py:463
     read_len = np.asarray(graph.read_length, dtype=np.int64)
 
-    walker = _Walker(graph, log_probs)
+    early = (float(np.log(cfg.p_threshold)) if cfg.early_stopping else None)
+    walker = _Walker(graph, log_probs, early_stop_logp=early,
+                     random_choice=cfg.random_baseline, rng=rng)
     result = DecodeResult(visited=np.zeros(n, dtype=np.uint8))
     visited = result.visited
 

@@ -76,6 +76,7 @@ def get_lib():
             np.ctypeslib.ndpointer(np.uint8),    # visited
             np.ctypeslib.ndpointer(np.int32),    # stamp
             ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_float,      # use_early_stop, log_p_threshold
             np.ctypeslib.ndpointer(np.int32),    # out_walk
             ctypes.POINTER(ctypes.c_double),     # sum_log_prob
         ]

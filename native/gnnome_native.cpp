@@ -146,10 +146,14 @@ void gn_overlap_edit_distance_batch(const char* blob, const int64_t* offsets,
 //
 // Marks nodes of the walk (and their RC pairs) in local_visited (caller
 // allocates + zeroes, reused across calls via epoch stamping).
+// early_stop_threshold: if >= 0 is log(p_threshold) and the walk stops when
+// every candidate's log-prob is below it (reference inference.py:98-100);
+// pass NaN (or any value with use_early_stop=0) to disable.
 int64_t gn_greedy_walk(const int64_t* row_ptr, const int32_t* col,
                        const int64_t* eid, const float* log_probs,
                        const uint8_t* visited, int32_t* stamp,
                        int32_t epoch, int64_t start, int64_t max_walk,
+                       int32_t use_early_stop, float log_p_threshold,
                        int32_t* out_walk, double* sum_log_prob) {
   double slp = 0.0;
   int64_t len = 0;
@@ -177,6 +181,7 @@ int64_t gn_greedy_walk(const int64_t* row_ptr, const int32_t* col,
       if (best_nb < 0 || p > best_p) { best_p = p; best_nb = nb; best_eid = eid[k]; }
     }
     if (best_nb < 0) break;
+    if (use_early_stop && best_p < log_p_threshold) break;
     slp += log_probs[best_eid];
     current = best_nb;
   }
