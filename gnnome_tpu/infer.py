@@ -43,9 +43,13 @@ def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
     from .models.zoo import get_model, processor_graph_for
 
     cfg = cfg or Config()
-    gt = GraphTensors.from_graph(graph,
-                                 edge_pad_multiple=cfg.compute.edge_pad_multiple,
-                                 node_pad_multiple=cfg.compute.node_pad_multiple)
+    from .train.step import effective_pads
+    epad, npad = effective_pads(cfg)
+    gt = GraphTensors.from_graph(graph, edge_pad_multiple=epad,
+                                 node_pad_multiple=npad)
+    if cfg.compute.backend == "pallas":
+        from .ops.graph_tensors import with_windowed_plans
+        gt = with_windowed_plans(gt, flip_too=False)
     x = gt.pad_nodes(node_features(graph))
     e = gt.pad_edges(edge_features(graph, cfg.data.use_similarities))
     gt_proc = processor_graph_for(cfg.model.model, graph, cfg.model,

@@ -103,15 +103,13 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
     proj = h @ w + b
     a1h = proj[:, 4 * d:]
 
-    # per-endpoint fused gathers (u = message source, v = target; flip swaps)
-    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    g_u = jnp.take(proj[:, : 2 * d], u_idx, axis=0)      # [B1h_u | A2h_u]
-    g_v = jnp.take(proj[:, 2 * d: 4 * d], v_idx, axis=0)  # [B2h_v | A3h_v]
-    b1h_u, a2h_u = g_u[:, :d], g_u[:, d:]
-    b2h_v, a3h_v = g_v[:, :d], g_v[:, d:]
-
     b3e = (e @ p["B3"]["w"].astype(dtype)) + p["B3"]["b"].astype(dtype)
-    gate = b1h_u + b2h_v + b3e   # (reference gated_gcn_full.py:104-105)
+    # fused endpoint gathers + gate (reference gated_gcn_full.py:104-105);
+    # Pallas windowed kernel when the graph carries a plan, XLA takes otherwise
+    from ..ops.message import fused_gate_gather
+    gate, a2h_u, a3h_v = fused_gate_gather(gt, proj[:, : 2 * d],
+                                           proj[:, 2 * d: 4 * d], b3e,
+                                           flip=flip, backend=backend)
 
     gate, s_bn_e = apply_norm(norm, p["bn_e"], s["bn_e"], gate, gt.edge_mask,
                               gt.n_edges, training, repeat_updates=2)

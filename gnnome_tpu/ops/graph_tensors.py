@@ -47,6 +47,9 @@ class GraphTensors:
     eid_of_slot: jax.Array      # int32 [Ep]: host edge id in slot i
     edge_mask: jax.Array        # float32 [Ep, 1] slot order, 1 = real edge
     node_mask: jax.Array        # float32 [Np, 1] 1 = real node
+    # optional Pallas windowed-kernel plans (ops/windowed.py); None = XLA path
+    wplan: object = None
+    wplan_flip: object = None
     # --- static aux (metadata, not traced) ---
     n_nodes: int = 0
     n_edges: int = 0
@@ -132,6 +135,19 @@ class GraphTensors:
 jax.tree_util.register_dataclass(
     GraphTensors,
     data_fields=["src", "dst", "slot_of_eid", "eid_of_slot", "edge_mask",
-                 "node_mask"],
+                 "node_mask", "wplan", "wplan_flip"],
     meta_fields=["n_nodes", "n_edges", "n_nodes_pad", "n_edges_pad"],
 )
+
+
+def with_windowed_plans(gt: GraphTensors, flip_too: bool = True,
+                        tile_e: int | None = None,
+                        window: int | None = None) -> GraphTensors:
+    """Attach Pallas windowed-kernel plans (enables backend='pallas')."""
+    import dataclasses
+    from .windowed import build_windowed_plan, TILE_E, WINDOW
+
+    kw = dict(tile_e=tile_e or TILE_E, window=window or WINDOW)
+    plan = build_windowed_plan(gt, flip=False, **kw)
+    plan_flip = build_windowed_plan(gt, flip=True, **kw) if flip_too else None
+    return dataclasses.replace(gt, wplan=plan, wplan_flip=plan_flip)

@@ -45,6 +45,103 @@ def gather_endpoints(values: jax.Array, gt: GraphTensors, flip: bool = False):
     return jnp.take(values, gt.src, axis=0), jnp.take(values, gt.dst, axis=0)
 
 
+def _plan_for(gt: GraphTensors, flip: bool):
+    return gt.wplan_flip if flip else gt.wplan
+
+
+def fused_gate_gather(gt: GraphTensors, proj_u: jax.Array, proj_v: jax.Array,
+                      b3e: jax.Array, flip: bool = False,
+                      backend: str | None = None):
+    """(gate_raw, a2h_u, a3h_v) in slot order from the fused projections.
+
+    ``proj_u`` [Np, 2d] = [B1h | A2h]; ``proj_v`` [Np, 2d] = [B2h | A3h];
+    gate_raw = B1h[u] + B2h[v] + b3e where (u, v) = (src, dst) or reversed
+    under ``flip`` (reference gated_gcn_full.py:104-105).
+    """
+    backend = backend or _DEFAULT_BACKEND
+    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+    d = b3e.shape[1]
+    plan = _plan_for(gt, flip)
+    if backend == "pallas" and plan is not None:
+        return _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e)
+
+    g_u = jnp.take(proj_u, u_idx, axis=0)
+    g_v = jnp.take(proj_v, v_idx, axis=0)
+    gate = g_u[:, :d] + g_v[:, :d] + b3e
+    return gate, g_u[:, d:], g_v[:, d:]
+
+
+@jax.custom_vjp
+def _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e):
+    from .pallas_kernels import k1_gather_gate
+
+    d = b3e.shape[1]
+    gate, a2h_u, a3h_v = k1_gather_gate(plan, proj_u, proj_v, b3e)
+    # patch overflow edges with direct XLA gathers
+    sl, m = plan.ovf_slots, plan.ovf_mask
+    gu = jnp.take(proj_u, jnp.take(u_idx, sl), axis=0)
+    gv = jnp.take(proj_v, jnp.take(v_idx, sl), axis=0)
+    gate = gate.at[sl].add(m * (gu[:, :d] + gv[:, :d]))
+    a2h_u = a2h_u.at[sl].add(m * gu[:, d:])
+    a3h_v = a3h_v.at[sl].add(m * gv[:, d:])
+    return gate, a2h_u, a3h_v
+
+
+def _gate_gather_fwd(plan, u_idx, v_idx, proj_u, proj_v, b3e):
+    out = _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e)
+    return out, (u_idx, v_idx, proj_u.shape[0])
+
+
+def _gate_gather_bwd(res, g):
+    u_idx, v_idx, n = res
+    d_gate, d_a2h, d_a3h = g
+    d_pu = jax.ops.segment_sum(jnp.concatenate([d_gate, d_a2h], axis=1),
+                               u_idx, num_segments=n)
+    d_pv = jax.ops.segment_sum(jnp.concatenate([d_gate, d_a3h], axis=1),
+                               v_idx, num_segments=n)
+    return None, None, None, d_pu, d_pv, d_gate
+
+
+_gate_gather_pallas.defvjp(_gate_gather_fwd, _gate_gather_bwd)
+
+
+@jax.custom_vjp
+def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
+    """(sum_b [Np, Dp] into u_idx, sum_f [Np, Dp] into v_idx) from edge
+    payloads via per-tile window partials + a small combine segment-sum."""
+    from .pallas_kernels import k2_aggregate
+
+    n_pad = plan.n_pad
+    partial_u, partial_v = k2_aggregate(plan, pay_u, pay_v)
+    sum_b = jax.ops.segment_sum(partial_u, plan.u_combine, num_segments=n_pad)
+    sum_f = jax.ops.segment_sum(partial_v, plan.v_combine, num_segments=n_pad)
+    # overflow contributions
+    sl, m = plan.ovf_slots, plan.ovf_mask
+    sum_b = sum_b + jax.ops.segment_sum(
+        jnp.take(pay_u, sl, axis=0) * m, jnp.take(u_idx, sl),
+        num_segments=n_pad)
+    sum_f = sum_f + jax.ops.segment_sum(
+        jnp.take(pay_v, sl, axis=0) * m, jnp.take(v_idx, sl),
+        num_segments=n_pad)
+    return sum_b, sum_f
+
+
+def _aggregate_fwd(plan, u_idx, v_idx, pay_u, pay_v):
+    out = _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v)
+    return out, (u_idx, v_idx)
+
+
+def _aggregate_bwd(res, g):
+    u_idx, v_idx = res
+    d_sum_b, d_sum_f = g
+    d_pay_u = jnp.take(d_sum_b, u_idx, axis=0)
+    d_pay_v = jnp.take(d_sum_f, v_idx, axis=0)
+    return None, None, None, d_pay_u, d_pay_v
+
+
+_aggregate_pallas.defvjp(_aggregate_fwd, _aggregate_bwd)
+
+
 def sddmm_add(a_nodes, b_nodes, e_edges, src, dst):
     """Per-edge ``a[src] + b[dst] + e`` (reference gated_gcn_full.py:104-105).
     Kept for generic use; the SymGatedGCN layer uses fused endpoint gathers."""
@@ -69,17 +166,23 @@ def gated_mean_pair(gt: GraphTensors, sigma, a2h_src, a3h_dst,
     ``sigma`` must be zero on padded slots.
     """
     backend = backend or _DEFAULT_BACKEND
-    if backend == "pallas":
-        from .pallas_kernels import gated_mean_pair_pallas
-        out = gated_mean_pair_pallas(gt, sigma, a2h_src, a3h_dst, flip, eps)
-        if out is not None:
-            return out
-
     n = gt.n_nodes_pad
     acc = jnp.float32
+    d = a2h_src.shape[1]
+
+    plan = _plan_for(gt, flip)
+    if backend == "pallas" and plan is not None:
+        # K2 accumulates in f32 internally; keep payloads in compute dtype
+        pay_f = jnp.concatenate([sigma * a2h_src, sigma], axis=1)
+        pay_b = jnp.concatenate([sigma * a3h_dst, sigma], axis=1)
+        u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+        sum_b, sum_f = _aggregate_pallas(plan, u_idx, v_idx, pay_b, pay_f)
+        h_fwd = (sum_f[:, :d] / (sum_f[:, d:] + eps)).astype(a2h_src.dtype)
+        h_bwd = (sum_b[:, :d] / (sum_b[:, d:] + eps)).astype(a2h_src.dtype)
+        return h_fwd, h_bwd
+
     pay_f = jnp.concatenate([sigma * a2h_src, sigma], axis=1).astype(acc)
     pay_b = jnp.concatenate([sigma * a3h_dst, sigma], axis=1).astype(acc)
-    d = a2h_src.shape[1]
     if not flip:
         sum_f = jax.ops.segment_sum(pay_f, gt.dst, num_segments=n,
                                     indices_are_sorted=True)

@@ -1,0 +1,119 @@
+"""Host-side planning for the windowed Pallas message-passing kernels.
+
+Assembly graphs are banded (reads ordered along the genome), so for a tile of
+``tile_e`` consecutive dst-sorted edge slots, both endpoints' node ids fall in
+a narrow window.  The plan quantises those windows to ``window``-row blocks
+(two consecutive blocks per tile => 2*window coverage) so Pallas block specs
+can prefetch them; edges whose endpoints escape the window are routed to a
+small XLA overflow path.
+
+Built once per GraphTensors on host (numpy).  All shapes static.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE_E = 2048    # edges per kernel tile (amortises window DMA + partial rows)
+WINDOW = 512     # node rows per window block (coverage = 2 blocks)
+
+
+@dataclass(frozen=True)
+class WindowedPlan:
+    # --- leaves ---
+    u_blk: jax.Array        # int32 [T]   u-window block index per tile
+    v_blk: jax.Array        # int32 [T]
+    u_local: jax.Array      # int32 [Ep, 1] src - u_blk*W, sentinel 2W if overflow
+    v_local: jax.Array      # int32 [Ep, 1]
+    u_combine: jax.Array    # int32 [T*2W] node id per u-partial row
+    v_combine: jax.Array    # int32 [T*2W]
+    ovf_slots: jax.Array    # int32 [n_ovf_pad] overflow edge slots (pad: Ep-1*)
+    ovf_mask: jax.Array     # float32 [n_ovf_pad, 1] 1 for real overflow rows
+    # --- static ---
+    tile_e: int = TILE_E
+    window: int = WINDOW
+    n_tiles: int = 0
+    n_ovf: int = 0
+    n_pad: int = 0          # padded node count of the owning GraphTensors
+
+    @property
+    def sentinel(self) -> int:
+        return 2 * self.window
+
+
+jax.tree_util.register_dataclass(
+    WindowedPlan,
+    data_fields=["u_blk", "v_blk", "u_local", "v_local", "u_combine",
+                 "v_combine", "ovf_slots", "ovf_mask"],
+    meta_fields=["tile_e", "window", "n_tiles", "n_ovf", "n_pad"],
+)
+
+
+def _plan_side(idx: np.ndarray, n_tiles: int, tile_e: int, window: int,
+               max_blk: int):
+    """(blk [T], local [Ep], overflow bool [Ep]) for one endpoint array."""
+    tiles = idx.reshape(n_tiles, tile_e)
+    # choose the 2-block window that covers the most edges: anchor on the
+    # median endpoint, clamp into range
+    med = np.median(tiles, axis=1).astype(np.int64)
+    # centre the 2-block window on the median: med - blk*W in [W/2, 3W/2)
+    blk = np.clip((med - window // 2) // window, 0, max_blk).astype(np.int32)
+    base = (blk.astype(np.int64) * window)[:, None]
+    local = tiles - base
+    ovf = (local < 0) | (local >= 2 * window)
+    local = np.where(ovf, 2 * window, local)
+    return blk, local.reshape(-1).astype(np.int32), ovf.reshape(-1)
+
+
+def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
+                        window: int = WINDOW) -> WindowedPlan | None:
+    """Plan for the (src->dst) direction, or the reversed roles if ``flip``.
+
+    Returns None when the graph is too small to be worth tiling.
+    """
+    Ep, Np = gt.n_edges_pad, gt.n_nodes_pad
+    if Ep % tile_e != 0 or Np < 2 * window or Np % window != 0:
+        return None
+    src = np.asarray(gt.src)
+    dst = np.asarray(gt.dst)
+    u, v = (src, dst) if not flip else (dst, src)
+    n_tiles = Ep // tile_e
+    max_blk = Np // window - 2
+
+    u_blk, u_local, u_ovf = _plan_side(u.astype(np.int64), n_tiles, tile_e,
+                                       window, max_blk)
+    v_blk, v_local, v_ovf = _plan_side(v.astype(np.int64), n_tiles, tile_e,
+                                       window, max_blk)
+    ovf = (u_ovf | v_ovf)
+    # padded slots are inert regardless; never treat them as overflow
+    ovf &= np.asarray(gt.edge_mask)[:, 0] > 0
+    # an edge handled by overflow must contribute NOTHING in-kernel
+    u_local = np.where(ovf, 2 * window, u_local).astype(np.int32)
+    v_local = np.where(ovf, 2 * window, v_local).astype(np.int32)
+
+    ovf_ids = np.nonzero(ovf)[0].astype(np.int32)
+    n_ovf = int(ovf_ids.shape[0])
+    n_ovf_pad = max(8, -(-max(n_ovf, 1) // 8) * 8)
+    ovf_slots = np.full(n_ovf_pad, Ep - 1, dtype=np.int32)  # Ep-1 is padding
+    ovf_slots[:n_ovf] = ovf_ids
+    ovf_mask = np.zeros((n_ovf_pad, 1), dtype=np.float32)
+    ovf_mask[:n_ovf] = 1.0
+
+    ar = np.arange(2 * window, dtype=np.int64)
+    u_combine = np.clip(u_blk.astype(np.int64)[:, None] * window + ar[None, :],
+                        0, Np - 1).reshape(-1).astype(np.int32)
+    v_combine = np.clip(v_blk.astype(np.int64)[:, None] * window + ar[None, :],
+                        0, Np - 1).reshape(-1).astype(np.int32)
+
+    return WindowedPlan(
+        u_blk=jnp.asarray(u_blk), v_blk=jnp.asarray(v_blk),
+        u_local=jnp.asarray(u_local.reshape(-1, 1)),
+        v_local=jnp.asarray(v_local.reshape(-1, 1)),
+        u_combine=jnp.asarray(u_combine), v_combine=jnp.asarray(v_combine),
+        ovf_slots=jnp.asarray(ovf_slots), ovf_mask=jnp.asarray(ovf_mask),
+        tile_e=tile_e, window=window, n_tiles=n_tiles, n_ovf=n_ovf,
+        n_pad=Np,
+    )

@@ -41,14 +41,27 @@ def _zscore(v: np.ndarray) -> np.ndarray:
     return (v - v.mean()) / (std if std > 0 else 1.0)
 
 
+def effective_pads(cfg: Config) -> tuple[int, int]:
+    """(edge_pad, node_pad) honouring the Pallas kernels' tiling needs."""
+    import math
+    epad, npad = cfg.compute.edge_pad_multiple, cfg.compute.node_pad_multiple
+    if cfg.compute.backend == "pallas":
+        from ..ops.windowed import TILE_E, WINDOW
+        epad, npad = math.lcm(epad, TILE_E), math.lcm(npad, WINDOW)
+    return epad, npad
+
+
 def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
                  n_nodes: int) -> TrainExample:
     """Device-ready padded example from host arrays."""
     import jax.numpy as jnp
 
+    epad, npad = effective_pads(cfg)
     gt = GraphTensors.build(src, dst, n_nodes,
-                            edge_pad_multiple=cfg.compute.edge_pad_multiple,
-                            node_pad_multiple=cfg.compute.node_pad_multiple)
+                            edge_pad_multiple=epad, node_pad_multiple=npad)
+    if cfg.compute.backend == "pallas":
+        from ..ops.graph_tensors import with_windowed_plans
+        gt = with_windowed_plans(gt, flip_too=cfg.train.use_symmetry_loss)
     zi, zo = _zscore(in_deg), _zscore(out_deg)
     x = gt.pad_nodes(np.stack([zi, zo], axis=1))
     x_rev = gt.pad_nodes(np.stack([zo, zi], axis=1))
