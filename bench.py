@@ -138,6 +138,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--baseline-nodes", type=int, default=32_768)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="also run the graph-parallel train step on an "
+                         "N-device mesh and report scaling (requires N "
+                         "devices; on a 1-chip host use JAX_NUM_CPU_DEVICES)")
     args = ap.parse_args()
 
     if not probe_tpu():
@@ -159,6 +163,11 @@ def main():
         base_eps, _, _ = bench_torch_cpu(args.baseline_nodes, args.degree)
         vs_baseline = edges_per_s / base_eps if base_eps else 0.0
 
+    extra = {}
+    if args.mesh:
+        extra["mesh_edges_per_s"] = round(
+            bench_mesh(args.mesh, args.nodes, args.degree), 1)
+
     print(json.dumps({
         "metric": "symgatedgcn_train_step_edges_per_s",
         "value": round(edges_per_s, 1),
@@ -168,7 +177,58 @@ def main():
         "n_edges": n_edges,
         "step_seconds": round(step_s, 5),
         "baseline_edges_per_s_torch_cpu": round(base_eps, 1),
+        **extra,
     }))
+
+
+def bench_mesh(n_devices: int, n_nodes: int, avg_degree: float,
+               iters: int = 3) -> float:
+    """Graph-parallel train step over an n-device mesh (edges/s aggregate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gnnome_tpu.config import Config
+    from gnnome_tpu.graphs.synthetic import random_bench_graph
+    from gnnome_tpu.models.sym_gated_gcn import init_params
+    from gnnome_tpu.parallel import make_mesh, shard_example
+    from gnnome_tpu.parallel.sharded import make_sharded_train_step, replicate
+    from gnnome_tpu.train.step import make_example
+
+    import math
+    cfg = Config()
+    cfg.compute.dtype = "bfloat16"
+    cfg.compute.edge_pad_multiple = math.lcm(cfg.compute.edge_pad_multiple,
+                                             n_devices)
+    cfg.compute.node_pad_multiple = math.lcm(cfg.compute.node_pad_multiple,
+                                             n_devices)
+    src, dst = random_bench_graph(n_nodes, avg_degree, seed=0)
+    rng = np.random.default_rng(0)
+    ex = make_example(cfg, np.bincount(dst, minlength=n_nodes).astype(np.float32),
+                      np.bincount(src, minlength=n_nodes).astype(np.float32),
+                      rng.normal(size=(src.shape[0], 2)).astype(np.float32),
+                      (rng.random(src.shape[0]) < 0.5).astype(np.float32),
+                      src, dst, n_nodes)
+    mesh = make_mesh(n_devices)
+    ex = shard_example(ex, mesh)
+    params, state = init_params(jax.random.PRNGKey(0), cfg.model)
+    tx, train_step, _, init_opt = make_sharded_train_step(cfg, mesh)
+    params, state = replicate(params, mesh), replicate(state, mesh)
+    opt_state = init_opt(params)
+    pw = jnp.asarray(1.0, jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    def step():
+        nonlocal params, state, opt_state
+        params, state, opt_state, loss, _ = train_step(
+            params, state, opt_state, ex.gt, ex.x, ex.x_rev, ex.e, ex.labels,
+            ex.mask, pw, key)
+        return float(loss)
+
+    step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    return src.shape[0] / ((time.perf_counter() - t0) / iters)
 
 
 if __name__ == "__main__":

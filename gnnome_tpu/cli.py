@@ -71,7 +71,9 @@ def cmd_infer(args):
     """Dataset -> contigs (reference inference.py:504-519)."""
     cfg = _load_cfg(args)
     from .infer import run_inference
-    run_inference(args.data, args.model, args.asm, args.out, cfg)
+    from .utils.profiling import maybe_trace
+    with maybe_trace(args.profile):
+        run_inference(args.data, args.model, args.asm, args.out, cfg)
 
 
 def cmd_train(args):
@@ -151,6 +153,8 @@ def main(argv=None):
     p.add_argument("--asm", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--model", default="weights/weights.npz")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write an XLA profiler trace to DIR")
     _add_common(p)
     p.set_defaults(fn=cmd_infer)
 
