@@ -136,10 +136,10 @@ def score_edges(p, gt: GraphTensors, h, e, flip: bool = False,
     """Edge logits from final node/edge states, slot order
     (reference layers/score_predictor.py:12-24).  ``flip`` swaps endpoint
     roles for the reversed-graph pass."""
-    d = h.shape[1]
+    from ..ops.message import gather_uv
+
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    h_src = jnp.take(h, u_idx, axis=0)
-    h_dst = jnp.take(h, v_idx, axis=0)
+    h_src, h_dst = gather_uv(u_idx, v_idx, not flip, h)
     z = jnp.concatenate([h_src, h_dst, e], axis=1)
     z = jax.nn.relu(z @ p["W1"]["w"].astype(dtype) + p["W1"]["b"].astype(dtype))
     z = jax.nn.relu(z @ p["W2"]["w"].astype(dtype) + p["W2"]["b"].astype(dtype))

@@ -17,6 +17,8 @@ TPU cost model (measured on v5e, see SURVEY.md §7 "hard parts"):
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -60,15 +62,64 @@ def fused_gate_gather(gt: GraphTensors, proj_u: jax.Array, proj_v: jax.Array,
     """
     backend = backend or _DEFAULT_BACKEND
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    d = b3e.shape[1]
     plan = _plan_for(gt, flip)
     if backend == "pallas" and plan is not None:
         return _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e)
+    # v_idx is the slot-sort key when not flipped -> sorted adjoint
+    return _gate_gather_xla(u_idx, v_idx, not flip, proj_u, proj_v, b3e)
 
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gate_gather_xla(u_idx, v_idx, v_sorted, proj_u, proj_v, b3e):
+    """XLA endpoint gathers with segment-sum adjoints (measured ~2x faster on
+    TPU than the default scatter-add VJP of ``jnp.take``)."""
+    d = b3e.shape[1]
     g_u = jnp.take(proj_u, u_idx, axis=0)
     g_v = jnp.take(proj_v, v_idx, axis=0)
     gate = g_u[:, :d] + g_v[:, :d] + b3e
     return gate, g_u[:, d:], g_v[:, d:]
+
+
+def _gate_gather_xla_fwd(u_idx, v_idx, v_sorted, proj_u, proj_v, b3e):
+    out = _gate_gather_xla(u_idx, v_idx, v_sorted, proj_u, proj_v, b3e)
+    return out, (u_idx, v_idx, proj_u.shape[0])
+
+
+def _gate_gather_xla_bwd(v_sorted, res, g):
+    u_idx, v_idx, n = res
+    d_gate, d_a2h, d_a3h = g
+    d_pu = jax.ops.segment_sum(jnp.concatenate([d_gate, d_a2h], axis=1),
+                               u_idx, num_segments=n)
+    d_pv = jax.ops.segment_sum(jnp.concatenate([d_gate, d_a3h], axis=1),
+                               v_idx, num_segments=n,
+                               indices_are_sorted=v_sorted)
+    return None, None, d_pu, d_pv, d_gate
+
+
+_gate_gather_xla.defvjp(_gate_gather_xla_fwd, _gate_gather_xla_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_uv(u_idx, v_idx, v_sorted, h):
+    """(h[u], h[v]) with segment-sum adjoints — used by the score predictor
+    (reference score_predictor.py:13 concat gathers)."""
+    return jnp.take(h, u_idx, axis=0), jnp.take(h, v_idx, axis=0)
+
+
+def _gather_uv_fwd(u_idx, v_idx, v_sorted, h):
+    return gather_uv(u_idx, v_idx, v_sorted, h), (u_idx, v_idx, h.shape[0])
+
+
+def _gather_uv_bwd(v_sorted, res, g):
+    u_idx, v_idx, n = res
+    d_u, d_v = g
+    d_h = (jax.ops.segment_sum(d_u, u_idx, num_segments=n)
+           + jax.ops.segment_sum(d_v, v_idx, num_segments=n,
+                                 indices_are_sorted=v_sorted))
+    return None, None, d_h
+
+
+gather_uv.defvjp(_gather_uv_fwd, _gather_uv_bwd)
 
 
 @jax.custom_vjp
