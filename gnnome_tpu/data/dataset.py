@@ -110,6 +110,12 @@ class AssemblyGraphDataset:
         with open(os.path.join(self.info_dir, f"{idx}_aux.pkl"), "wb") as f:
             pickle.dump({"read_to_node": parsed.read_to_node,
                          "node_to_read": parsed.node_to_read}, f)
+        # Graphia-compatible pairwise export (graph_dataset.py:135-136)
+        from ..graphs.analyze import print_pairwise
+        graphia_dir = os.path.join(self.assembly_dir, "graphia")
+        os.makedirs(graphia_dir, exist_ok=True)
+        print_pairwise(parsed.graph,
+                       os.path.join(graphia_dir, f"{idx}_graph.txt"))
 
 
 class AssemblyGraphDatasetHiFi(AssemblyGraphDataset):

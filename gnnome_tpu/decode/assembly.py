@@ -90,6 +90,26 @@ def quick_evaluation(contigs, chrN: str | None = None,
     return out
 
 
+def write_report(data_path: str, idx, ev: dict) -> str:
+    """Per-graph assembly report file (reference evaluate.py:113-125)."""
+    reports_dir = os.path.join(data_path, "reports")
+    os.makedirs(reports_dir, exist_ok=True)
+    path = os.path.join(reports_dir, f"{idx}_report.txt")
+    with open(path, "w") as f:
+        lines = ["-" * 80, f"Report for graph {idx} in {data_path}"]
+        lines += [f"Num contigs:\t{ev.get('num_contigs')}",
+                  f"Longest contig:\t{ev.get('longest_contig')}",
+                  f"N50:\t{ev.get('n50')}"]
+        if "reconstructed" in ev:
+            lines.append(f"Reconstructed:\t{ev['reconstructed'] * 100:2f}%")
+        if "ng50" in ev:
+            lines.append(f"NG50:\t{ev['ng50']}")
+        for t in lines:
+            print(t)
+            f.write(t + "\n")
+    return path
+
+
 def run_minigraph(ref: str, asm: str, paf: str, minigraph: str = "minigraph",
                   threads: int = 32) -> subprocess.Popen:
     """External NG50/NGA50 eval (reference evaluate.py:139-148)."""

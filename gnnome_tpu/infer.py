@@ -121,6 +121,8 @@ def run_inference(data_path: str, model_path: str, assembler: str,
         ev["assembly_path"] = asm_path
         ev["idx"] = idx
         summary["graphs"].append(ev)
+        from .decode.assembly import write_report
+        write_report(savedir, idx, ev)
         if verbose:
             print(f"graph {idx}: {ev}")
 

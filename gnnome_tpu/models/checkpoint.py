@@ -66,3 +66,20 @@ def load_model_weights(path: str):
 
 def save_model_weights(path: str, params, state) -> None:
     save_pytrees(path, params=params, state=state)
+
+
+# --------------------------------------------------------------------- orbax
+def save_orbax(directory: str, tree) -> None:
+    """Orbax checkpoint (async-capable, multi-host-safe) — the TPU-idiomatic
+    alternative to the flat npz for large train states (SURVEY.md §5)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(directory), tree, force=True)
+
+
+def load_orbax(directory: str):
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(directory))
