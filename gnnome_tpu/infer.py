@@ -35,6 +35,24 @@ def _matmul_precision(cfg: Config):
         "highest" if cfg.compute.matmul_precision == "highest" else "default")
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: repeat runs on same-shape graphs skip
+    the (tens of seconds) compile entirely.  Disabled under remote-compile
+    TPU tunnels (hangs the terminal-side compiler)."""
+    import jax
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+        return
+    cache_dir = os.environ.get(
+        "GNNOME_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "gnnome_tpu", "xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimisation, never fatal
+        print(f"compilation cache disabled: {e}")
+
+
 def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
     """Edge logits [E] for a host graph using the configured model
     (flagship SymGatedGCN by default; zoo variants via config model.model)."""
@@ -72,6 +90,7 @@ def run_inference(data_path: str, model_path: str, assembler: str,
     """Full inference over every graph in a dataset directory
     (reference inference.py:364-501)."""
     cfg = cfg or Config()
+    enable_compilation_cache()
     rng_np, _ = set_seed(cfg.train.seed)
     timer = Timer()
 

@@ -89,14 +89,17 @@ void node_slice(const char* blob, const int64_t* offsets, int64_t node,
 
 extern "C" {
 
-// Exact global edit distance (Ukkonen band doubling).
+// Exact global edit distance (Ukkonen band doubling).  High-identity overlap
+// pairs (the common case in assembly graphs) exit in the first narrow band;
+// identical strings short-circuit entirely.
 int64_t gn_edit_distance(const char* a, int64_t n, const char* b, int64_t m) {
-  int64_t k = 64;
+  if (n == m && std::memcmp(a, b, n) == 0) return 0;
+  int64_t k = std::max<int64_t>(std::llabs(n - m) + 8, 16);
   int64_t cap = std::max<int64_t>(std::max(n, m), 1);
   while (true) {
     int64_t d = banded_levenshtein(a, n, b, m, k);
     if (d <= k || k >= cap) return d;
-    k = std::min(cap, k * 2);
+    k = std::min(cap, k * 4);
   }
 }
 
