@@ -312,6 +312,118 @@ def make_halo_forward(cfg: Config, mesh, plan: HaloPlan, n_nodes_real: int):
     return jax.jit(sharded)
 
 
+def to_device_edges(plan: HaloPlan, host_edge_array: np.ndarray,
+                    gt: GraphTensors) -> np.ndarray:
+    """[Ep, ...] host-edge-order array -> [P, Emax, ...] per-device layout."""
+    sm = plan.slot_map.a
+    slots = np.asarray(host_edge_array)[np.asarray(gt.eid_of_slot)]
+    out = np.zeros((plan.P, plan.Emax) + slots.shape[1:], dtype=slots.dtype)
+    out[sm[:, 0], sm[:, 1]] = slots
+    # padded slots all map to (0, 0); restore the real edge that owns it
+    first = np.nonzero((sm[:, 0] == 0) & (sm[:, 1] == 0))[0]
+    if first.size:
+        out[0, 0] = slots[first[0]]
+    return out
+
+
+def make_halo_train_step(cfg: Config, mesh, plan: HaloPlan, n_nodes_real: int):
+    """jit'd graph-parallel training step over the halo layout.
+
+    Symmetry loss (two directional passes, reference train.py:159-185) with
+    replicated parameters; gradients flow through the ppermutes (their
+    transpose is the reverse ppermute) and come out replicated.
+    Returns (tx, train_step) where train_step(params, state, opt_state,
+    plan_dev, x_blocks, x_rev_blocks, labels_dev, pos_weight, rng).
+    """
+    from jax.sharding import PartitionSpec as P_
+    import optax
+    from ..models.nn import mlp2
+    from ..train.step import make_optimizer
+
+    model_cfg = cfg.model
+    num_layers = model_cfg.num_gnn_layers
+    alpha = cfg.train.alpha
+    use_sym = cfg.train.use_symmetry_loss
+    if model_cfg.normalization != "batch":
+        raise NotImplementedError("halo path implements batch norm only")
+
+    def one_pass(params, state, plan_shard, x, nmask, flip, training, rng):
+        h = mlp2(params["node_encoder"], x)
+        e_dev = mlp2(params["edge_encoder"], plan_shard.e_feat[0])
+        new_layers = []
+        for i in range(num_layers):
+            p_l = jax.tree_util.tree_map(lambda a: a[i], params["gnn"])
+            s_l = jax.tree_util.tree_map(lambda a: a[i], state["gnn"])
+            h, e_dev, ns = _halo_layer(p_l, s_l, plan_shard, h, e_dev, nmask,
+                                       n_nodes_real, training=training,
+                                       flip=flip)
+            if training and model_cfg.dropout > 0.0 and rng is not None:
+                from ..models.nn import dropout as _dropout
+                key = jax.random.fold_in(
+                    jax.random.fold_in(rng, i),
+                    jax.lax.axis_index(GRAPH_AXIS))
+                h = _dropout(key, h, model_cfg.dropout)
+            new_layers.append(ns)
+        new_state = {"gnn": jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, 0), *new_layers)}
+
+        K, Nb, Pn = plan_shard.K, plan_shard.Nb, plan_shard.P
+        h_ext = halo_extend(h, K, Pn)
+        hu = jnp.take(h_ext, plan_shard.src_ext[0], axis=0, fill_value=0.0,
+                      mode="fill")
+        hv = jnp.take(jnp.pad(h, ((0, 1), (0, 0))), plan_shard.dst_loc[0],
+                      axis=0)
+        if flip:
+            hu, hv = hv, hu
+        pp = params["predictor"]
+        z = jnp.concatenate([hu, hv, e_dev], axis=1)
+        z = jax.nn.relu(z @ pp["W1"]["w"] + pp["W1"]["b"])
+        z = jax.nn.relu(z @ pp["W2"]["w"] + pp["W2"]["b"])
+        logits = (z @ pp["W3"]["w"] + pp["W3"]["b"])[:, 0]
+        return logits, new_state
+
+    def device_loss(params, state, plan_shard, x_blk, xr_blk, labels, pw, rng):
+        from ..train.loss import _bce_elementwise
+        nmask = plan_shard.nmask[0]
+        emask = plan_shard.emask[0][:, 0]
+        y = labels[0][:, 0]
+        k1, k2 = jax.random.split(rng)
+        logits_org, state = one_pass(params, state, plan_shard, x_blk[0],
+                                     nmask, False, True, k1)
+        if use_sym:
+            logits_rev, state = one_pass(params, state, plan_shard, xr_blk[0],
+                                         nmask, True, True, k2)
+            per_edge = (_bce_elementwise(logits_org, y, pw)
+                        + _bce_elementwise(logits_rev, y, pw)
+                        + alpha * jnp.abs(logits_org - logits_rev))
+        else:
+            per_edge = _bce_elementwise(logits_org, y, pw)
+        loss = jax.lax.psum((per_edge * emask).sum(), GRAPH_AXIS) / plan.n_edges
+        return loss, (logits_org[None], state)
+
+    sm_loss = jax.shard_map(
+        device_loss, mesh=mesh,
+        in_specs=(P_(), P_(), P_(GRAPH_AXIS), P_(GRAPH_AXIS), P_(GRAPH_AXIS),
+                  P_(GRAPH_AXIS), P_(), P_()),
+        out_specs=(P_(), (P_(GRAPH_AXIS), P_())),
+        check_vma=False,
+    )
+
+    tx = make_optimizer(cfg.train.lr)
+
+    @jax.jit
+    def train_step(params, state, opt_state, plan_dev, x_blocks, xr_blocks,
+                   labels_dev, pos_weight, rng):
+        (loss, (logits, new_state)), grads = jax.value_and_grad(
+            sm_loss, has_aux=True)(params, state, plan_dev, x_blocks,
+                                   xr_blocks, labels_dev, pos_weight, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss, logits
+
+    return tx, train_step
+
+
 def halo_scores_to_host(plan: HaloPlan, scores_dev: np.ndarray,
                         gt: GraphTensors) -> np.ndarray:
     """Device scores ([P*Emax, 1] as returned by the shard_map, or
