@@ -104,21 +104,43 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
     a1h = proj[:, 4 * d:]
 
     b3e = (e @ p["B3"]["w"].astype(dtype)) + p["B3"]["b"].astype(dtype)
-    # fused endpoint gathers + gate (reference gated_gcn_full.py:104-105);
-    # Pallas windowed kernel when the graph carries a plan, XLA takes otherwise
-    from ..ops.message import fused_gate_gather
-    gate, a2h_u, a3h_v = fused_gate_gather(gt, proj[:, : 2 * d],
-                                           proj[:, 2 * d: 4 * d], b3e,
-                                           flip=flip, backend=backend)
 
-    gate, s_bn_e = apply_norm(norm, p["bn_e"], s["bn_e"], gate, gt.edge_mask,
-                              gt.n_edges, training, repeat_updates=2)
-    gate = jax.nn.relu(gate)
-    e_out = gate + e_in          # residual (reference :108-109)
+    from ..ops.message import fused_gate_gather, fused_eval_edge_stage, _plan_for
+    # K3 is the bf16 perf path (the f32 parity mode keeps the verified
+    # K1/K2/XLA route; K3-f32 also trips this environment's remote compiler).
+    # Interpreter mode (tests) exercises K3 at any dtype.
+    from ..ops.pallas_kernels import _interpret
+    use_k3 = (backend == "pallas" and not training and norm == "batch"
+              and (dtype == jnp.bfloat16 or _interpret())
+              and _plan_for(gt, flip) is not None)
+    if use_k3:
+        # whole edge stage in one fused Pallas pass (eval BN = affine)
+        bn_e_scale = (p["bn_e"]["scale"]
+                      * jax.lax.rsqrt(s["bn_e"]["var"] + 1e-5)).astype(dtype)
+        bn_e_bias = (p["bn_e"]["bias"]
+                     - s["bn_e"]["mean"] * bn_e_scale).astype(dtype)
+        e_out, sum_v, sum_u = fused_eval_edge_stage(
+            gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d], b3e, e_in,
+            bn_e_scale, bn_e_bias, flip=flip)
+        h_fwd = (sum_v[:, :d] / (sum_v[:, d:] + GATE_EPS)).astype(dtype)
+        h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
+        s_bn_e = s["bn_e"]
+    else:
+        # fused endpoint gathers + gate (reference gated_gcn_full.py:104-105);
+        # Pallas windowed kernels when the graph carries a plan, XLA otherwise
+        gate, a2h_u, a3h_v = fused_gate_gather(gt, proj[:, : 2 * d],
+                                               proj[:, 2 * d: 4 * d], b3e,
+                                               flip=flip, backend=backend)
 
-    sigma = jax.nn.sigmoid(e_out) * gt.edge_mask.astype(dtype)
-    h_fwd, h_bwd = gated_mean_pair(gt, sigma, a2h_u, a3h_v, flip=flip,
-                                   eps=GATE_EPS, backend=backend)
+        gate, s_bn_e = apply_norm(norm, p["bn_e"], s["bn_e"], gate,
+                                  gt.edge_mask, gt.n_edges, training,
+                                  repeat_updates=2)
+        gate = jax.nn.relu(gate)
+        e_out = gate + e_in          # residual (reference :108-109)
+
+        sigma = jax.nn.sigmoid(e_out) * gt.edge_mask.astype(dtype)
+        h_fwd, h_bwd = gated_mean_pair(gt, sigma, a2h_u, a3h_v, flip=flip,
+                                       eps=GATE_EPS, backend=backend)
 
     h_new = a1h + h_fwd + h_bwd
     h_new, s_bn_h = apply_norm(norm, p["bn_h"], s["bn_h"], h_new, gt.node_mask,

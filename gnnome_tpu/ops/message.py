@@ -156,6 +156,44 @@ def _gate_gather_bwd(res, g):
 _gate_gather_pallas.defvjp(_gate_gather_fwd, _gate_gather_bwd)
 
 
+def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
+                          bn_scale, bn_bias, flip: bool = False):
+    """EVAL-mode fused edge stage (Pallas K3): returns
+    (e_out [Ep, d], sum_into_v [Np, d+1], sum_into_u [Np, d+1]) where u/v are
+    the flip-resolved endpoint roles.  Requires a windowed plan; caller must
+    check.  Not differentiable (inference path)."""
+    from .pallas_kernels import k3_fused_eval_layer
+
+    plan = _plan_for(gt, flip)
+    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+    d = b3e.shape[1]
+    n_pad = plan.n_pad
+
+    e_out, partial_u, partial_v = k3_fused_eval_layer(
+        plan, proj_u, proj_v, b3e, e_in, bn_scale, bn_bias, gt.edge_mask)
+    sum_u = jax.ops.segment_sum(partial_u, plan.u_combine, num_segments=n_pad)
+    sum_v = jax.ops.segment_sum(partial_v, plan.v_combine, num_segments=n_pad)
+
+    # overflow edges: recompute the full edge stage with direct gathers
+    sl, m = plan.ovf_slots, plan.ovf_mask
+    gu = jnp.take(proj_u, jnp.take(u_idx, sl), axis=0)
+    gv = jnp.take(proj_v, jnp.take(v_idx, sl), axis=0)
+    gate = (gu[:, :d] + gv[:, :d] + jnp.take(b3e, sl, axis=0))
+    gate = gate * bn_scale + bn_bias
+    gate = jax.nn.relu(gate)
+    eo_ovf = gate + jnp.take(e_in, sl, axis=0)
+    old = jnp.take(e_out, sl, axis=0)
+    e_out = e_out.at[sl].set(m * eo_ovf + (1.0 - m) * old)
+    sigma = jax.nn.sigmoid(eo_ovf) * m
+    sum_v = sum_v + jax.ops.segment_sum(
+        jnp.concatenate([sigma * gu[:, d:], sigma], axis=1),
+        jnp.take(v_idx, sl), num_segments=n_pad)
+    sum_u = sum_u + jax.ops.segment_sum(
+        jnp.concatenate([sigma * gv[:, d:], sigma], axis=1),
+        jnp.take(u_idx, sl), num_segments=n_pad)
+    return e_out, sum_v, sum_u
+
+
 @jax.custom_vjp
 def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
     """(sum_b [Np, Dp] into u_idx, sum_f [Np, Dp] into v_idx) from edge

@@ -174,6 +174,119 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
     )(plan.u_blk, plan.v_blk, plan.u_local, plan.v_local, pay_u, pay_v)
 
 
+# ----------------------------------------------------- K3: fused eval layer
+def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e, e_in,
+               affine, emask, e_out, pu_out, pv_out, *, tile_e, window, d,
+               chunk):
+    """Whole SymGatedGCN edge stage for EVAL mode in one pass: windowed
+    endpoint selects -> gate -> BatchNorm affine -> relu -> residual ->
+    sigmoid -> both aggregation partials.  No HBM round-trips between steps
+    (the split K1/K2 path pays ~8 extra E x d passes per layer)."""
+    io = jax.lax.broadcasted_iota(jnp.int32, (chunk, window), 1)
+    ioT = jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
+    scale = affine[0:1, :]
+    bias = affine[1:2, :]
+    pu_out[:] = jnp.zeros_like(pu_out)
+    pv_out[:] = jnp.zeros_like(pv_out)
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        ulc = ul[sl, 0]
+        vlc = vl[sl, 0]
+        pr = _prec(u0.dtype)
+
+        def select(idx, w0, w1):
+            oh0 = (io == idx[:, None]).astype(w0.dtype)
+            oh1 = (io == (idx[:, None] - window)).astype(w0.dtype)
+            return (jnp.dot(oh0, w0[:], preferred_element_type=jnp.float32,
+                            precision=pr)
+                    + jnp.dot(oh1, w1[:], preferred_element_type=jnp.float32,
+                              precision=pr))
+
+        g_u = select(ulc, u0, u1)
+        g_v = select(vlc, v0, v1)
+        dt = e_out.dtype
+        gate = (g_u[:, :d] + g_v[:, :d]).astype(dt) + b3e[sl, :]
+        gate = gate * scale + bias            # eval BatchNorm affine
+        gate = jax.nn.relu(gate)
+        eo = gate + e_in[sl, :]
+        e_out[sl, :] = eo
+        # sigmoid in f32: Mosaic's bf16 logistic lowering miscompiles
+        # (f32 constant broadcast into a bf16 vector)
+        sigma = (jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
+                 * emask[sl, :].astype(dt))
+
+        pay_v = jnp.concatenate(
+            [sigma * g_u[:, d:].astype(dt), sigma], axis=1)   # into dst
+        pay_u = jnp.concatenate(
+            [sigma * g_v[:, d:].astype(dt), sigma], axis=1)   # into src
+
+        def scatter(idx, pay_c, out):
+            ohT0 = (ioT == idx[None, :]).astype(pay_c.dtype)
+            ohT1 = (ioT == (idx[None, :] - window)).astype(pay_c.dtype)
+            prs = _prec(pay_c.dtype)
+            out[:window, :] += jnp.dot(
+                ohT0, pay_c, preferred_element_type=jnp.float32,
+                precision=prs).astype(out.dtype)
+            out[window:, :] += jnp.dot(
+                ohT1, pay_c, preferred_element_type=jnp.float32,
+                precision=prs).astype(out.dtype)
+
+        scatter(ulc, pay_u, pu_out)
+        scatter(vlc, pay_v, pv_out)
+        return 0
+
+    jax.lax.fori_loop(0, tile_e // chunk, body, 0)
+
+
+def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
+                        bn_scale, bn_bias, emask):
+    """Fused eval edge stage.  Returns (e_out [Ep, d], partial_u, partial_v
+    [T*2W, d+1]); overflow slots carry gate = affine(b3e) + residual only
+    (caller patches e_out and adds overflow payloads)."""
+    Ep, d = b3e.shape
+    T, ET, W = plan.n_tiles, plan.tile_e, plan.window
+    dtype = b3e.dtype
+    # [8, d]: min sublane tile is 8; rows 0/1 hold scale/bias
+    affine = jnp.concatenate(
+        [jnp.stack([bn_scale, bn_bias]),
+         jnp.zeros((6, d), bn_scale.dtype)]).astype(dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((8, d), lambda t, ub, vb: (0, 0)),
+            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((2 * W, 2 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((2 * W, 2 * d), lambda t, ub, vb: (t, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((Ep, d), dtype),
+        jax.ShapeDtypeStruct((T * 2 * W, 2 * d), jnp.float32),
+        jax.ShapeDtypeStruct((T * 2 * W, 2 * d), jnp.float32),
+    ]
+    kern = functools.partial(_k3_kernel, tile_e=ET, window=W, d=d,
+                             chunk=min(CHUNK, ET))
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=_interpret(),
+    )(plan.u_blk, plan.v_blk, proj_u, proj_u, proj_v, proj_v,
+      plan.u_local, plan.v_local, b3e, e_in, affine, emask)
+
+
 # ----------------------------------------------------------------- utilities
 _INTERPRET = False
 
