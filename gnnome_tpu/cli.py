@@ -111,6 +111,36 @@ def cmd_install_tools(args):
     install_tools(cfg)
 
 
+def cmd_evaluate(args):
+    """Assembly contiguity metrics (reference utils/evaluate.py:93-105), with
+    optional external minigraph/paftools NG50/NGA50 (evaluate.py:139-157)."""
+    cfg = _load_cfg(args)
+    from .decode.assembly import (quick_evaluation, run_minigraph, parse_pafs,
+                                  parse_minigraph_report, CHM13_CHR_LENS)
+    from .utils.fastx import read_fastx
+
+    contigs = list(read_fastx(args.assembly))
+    ref_length = args.ref_length
+    if ref_length is None and args.chr:
+        ref_length = CHM13_CHR_LENS.get(args.chr)
+    ev = quick_evaluation(contigs, ref_length=ref_length)
+    for k, v in ev.items():
+        print(f"{k}:\t{v}")
+
+    if args.ref:
+        import os as _os
+        outdir = args.out or _os.path.dirname(_os.path.abspath(args.assembly))
+        paf = _os.path.join(outdir, "asm.paf")
+        report = _os.path.join(outdir, "minigraph.txt")
+        p = run_minigraph(args.ref, args.assembly, paf,
+                          minigraph=cfg.paths.minigraph)
+        p.wait()
+        idx = args.ref + ".fai"
+        p = parse_pafs(idx, report, paf, paftools=cfg.paths.paftools)
+        p.wait()
+        print(parse_minigraph_report(report))
+
+
 def cmd_convert_weights(args):
     """torch weights.pt <-> native npz."""
     from .models.checkpoint import load_model_weights, save_model_weights
@@ -191,6 +221,18 @@ def main(argv=None):
     p = sub.add_parser("install-tools", help="clone+build hifiasm/raven/pbsim3")
     _add_common(p)
     p.set_defaults(fn=cmd_install_tools)
+
+    p = sub.add_parser("evaluate", help="assembly contiguity metrics")
+    p.add_argument("--assembly", required=True, help="contigs FASTA")
+    p.add_argument("--ref-length", type=int, default=None,
+                   help="reference length for NG50")
+    p.add_argument("--chr", default=None,
+                   help="CHM13 chromosome name for NG50 (e.g. chr19)")
+    p.add_argument("--ref", default=None,
+                   help="reference FASTA for external minigraph NG50/NGA50")
+    p.add_argument("--out", default=None, help="dir for paf/report outputs")
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("convert-weights", help="torch .pt <-> native .npz")
     p.add_argument("src")

@@ -39,14 +39,6 @@ def get_default_backend() -> str:
 
 
 # -------------------------------------------------------------------- gathers
-def gather_endpoints(values: jax.Array, gt: GraphTensors, flip: bool = False):
-    """(values[src], values[dst]) in slot order — ONE gather per endpoint;
-    callers slice columns out of the fused result."""
-    if flip:
-        return jnp.take(values, gt.dst, axis=0), jnp.take(values, gt.src, axis=0)
-    return jnp.take(values, gt.src, axis=0), jnp.take(values, gt.dst, axis=0)
-
-
 def _plan_for(gt: GraphTensors, flip: bool):
     return gt.wplan_flip if flip else gt.wplan
 
@@ -232,8 +224,9 @@ _aggregate_pallas.defvjp(_aggregate_fwd, _aggregate_bwd)
 
 
 def sddmm_add(a_nodes, b_nodes, e_edges, src, dst):
-    """Per-edge ``a[src] + b[dst] + e`` (reference gated_gcn_full.py:104-105).
-    Kept for generic use; the SymGatedGCN layer uses fused endpoint gathers."""
+    """Per-edge ``a[src] + b[dst] + e`` — the generic SDDMM primitive
+    (reference gated_gcn_full.py:104-105); the SymGatedGCN layer itself uses
+    the fused endpoint gathers below."""
     return jnp.take(a_nodes, src, axis=0) + jnp.take(b_nodes, dst, axis=0) + e_edges
 
 
