@@ -177,6 +177,9 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
 
     scores = np.asarray(scores, dtype=np.float32).reshape(-1)
     if use_labels:  # oracle decoding (inference.py:178-181)
+        if graph.y is None:
+            raise ValueError("decode_with_labels requires a graph parsed with "
+                             "training=True (ground-truth labels)")
         probs = np.maximum(np.asarray(graph.y, dtype=np.float64), 1e-9)
         log_probs = np.log(probs).astype(np.float32)
         probs = probs.astype(np.float32)
