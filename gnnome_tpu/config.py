@@ -92,7 +92,9 @@ class ComputeConfig:
     matmul_precision: str = "highest"  # "highest" for fp32 parity, "default" for bf16-accelerated
     edge_pad_multiple: int = 512       # pad edge arrays to this multiple for static shapes
     node_pad_multiple: int = 128
-    remat: bool = True                 # per-layer rematerialisation in training
+    remat: object = True               # False | True (per-layer) | "full"
+                                       # ("full" also rematerialises the layer
+                                       # carries — multi-million-edge graphs)
     donate_state: bool = True
 
 
@@ -146,7 +148,12 @@ class Config:
                 raise KeyError(f"Override must be section.key=value: {ov}")
             old = getattr(target, attr)
             if isinstance(old, bool):
-                val = raw.lower() in ("1", "true", "yes")
+                if raw.lower() in ("1", "true", "yes"):
+                    val = True
+                elif raw.lower() in ("0", "false", "no"):
+                    val = False
+                else:
+                    val = raw  # extended modes, e.g. compute.remat=full
             elif isinstance(old, int):
                 val = int(raw)
             elif isinstance(old, float):

@@ -153,7 +153,7 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
 
 
 # ----------------------------------------------------------------------- model
-def score_edges(p, gt: GraphTensors, h, e, flip: bool = False,
+def score_edges(p, gt: GraphTensors, h, e, *, flip: bool = False,
                 dtype=jnp.float32):
     """Edge logits from final node/edge states, slot order
     (reference layers/score_predictor.py:12-24).  ``flip`` swaps endpoint
@@ -198,9 +198,23 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
 
     keys = (jax.random.split(rng, num_layers) if rng is not None
             else jnp.zeros((num_layers, 2), jnp.uint32))
-    (h, e), new_gnn_state = jax.lax.scan(
-        body, (h, e), (params["gnn"], state["gnn"], keys))
 
-    scores = score_edges(params["predictor"], gt, h, e, flip=flip, dtype=dtype)
+    def run_layers(h, e):
+        return jax.lax.scan(body, (h, e), (params["gnn"], state["gnn"], keys))
+
+    if remat == "full":
+        # outer remat too: the scan's per-layer (h, e) carries dominate memory
+        # on multi-million-edge graphs (e is E x d per layer boundary);
+        # recompute them in backward at O(L^2/2) layer-forward cost
+        run_layers = jax.checkpoint(
+            run_layers, policy=jax.checkpoint_policies.nothing_saveable)
+    (h, e), new_gnn_state = run_layers(h, e)
+
+    predict = partial(score_edges, params["predictor"], gt, flip=flip,
+                      dtype=dtype)
+    if remat:
+        # the predictor's concat/MLP residuals are E x 192-sized — recompute
+        predict = jax.checkpoint(predict)
+    scores = predict(h, e)
     scores = gt.slots_to_edges(scores).astype(jnp.float32)
     return scores, {"gnn": new_gnn_state}

@@ -169,13 +169,13 @@ def make_steps(cfg: Config):
         k1, k2 = jax.random.split(rng)
         logits_org, state = fwd(params, state, gt, x, e, model_cfg,
                                 training=training, flip=False, rng=k1,
-                                backend=backend, remat=remat and training,
+                                backend=backend, remat=(remat if training else False),
                                 dtype=dtype, gt_proc=gt_proc)
         logits_org = logits_org[:, 0]
         if use_sym:
             logits_rev, state = fwd(params, state, gt, x_rev, e, model_cfg,
                                     training=training, flip=True, rng=k2,
-                                    backend=backend, remat=remat and training,
+                                    backend=backend, remat=(remat if training else False),
                                     dtype=dtype, gt_proc=gt_proc)
             loss = symmetry_loss(logits_org, logits_rev[:, 0], labels,
                                  pos_weight, alpha=alpha, mask=mask)
