@@ -143,9 +143,17 @@ class Config:
         for ov in overrides:
             key, _, raw = ov.partition("=")
             section, _, attr = key.partition(".")
-            target = getattr(self, section)
             if not attr:
                 raise KeyError(f"Override must be section.key=value: {ov}")
+            if not hasattr(self, section):
+                raise KeyError(
+                    f"Unknown config section '{section}' in --set {ov}; "
+                    f"sections: {[f.name for f in dataclasses.fields(self)]}")
+            target = getattr(self, section)
+            if not hasattr(target, attr):
+                raise AttributeError(
+                    f"Unknown config key '{section}.{attr}' in --set {ov}; "
+                    f"keys: {[f.name for f in dataclasses.fields(target)]}")
             old = getattr(target, attr)
             if isinstance(old, bool):
                 if raw.lower() in ("1", "true", "yes"):
