@@ -148,4 +148,8 @@ def run_inference(data_path: str, model_path: str, assembler: str,
     summary["timing"] = dict(timer.phases)
     if verbose:
         print(timer.summary())
+        import resource
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(f"peak host memory: {rss_mb:.0f} MB")
+        summary["peak_rss_mb"] = rss_mb
     return summary

@@ -194,3 +194,18 @@ def test_overlap_similarity_with_errors():
     sims = overlap_similarities(src, dst, ol, rs)
     assert 0.9 < sims[0] < 1.0
     assert sims[0] == pytest.approx(1 - 2 / 400)
+
+
+def test_labels_multi_chromosome():
+    """Combo (multi-chromosome) labeling: per-chr components, cross-chr
+    edges rejected (reference utils/labels.py:152-179)."""
+    from gnnome_tpu.graphs.labels import compute_gt_labels
+    # chr1 chain 0->2, chr2 chain 4->6, cross-chr edge 0->6
+    src = np.array([0, 4, 0], dtype=np.int32)
+    dst = np.array([2, 6, 6], dtype=np.int32)
+    strand = np.array([1, -1, 1, -1, 1, -1, 1, -1], dtype=np.int8)
+    start = np.array([0, 0, 50, 50, 0, 0, 50, 50], dtype=np.int64)
+    end = np.array([80, 80, 140, 140, 80, 80, 140, 140], dtype=np.int64)
+    chrom = np.array([1, 1, 1, 1, 2, 2, 2, 2], dtype=np.int16)
+    y = compute_gt_labels(src, dst, strand, start, end, chrom)
+    assert y.tolist() == [1.0, 1.0, 0.0]
