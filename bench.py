@@ -134,7 +134,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=262_144)
     ap.add_argument("--degree", type=float, default=6.0)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--baseline-nodes", type=int, default=32_768)
     ap.add_argument("--skip-baseline", action="store_true")
