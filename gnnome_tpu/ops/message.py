@@ -120,8 +120,10 @@ def _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e):
 
     d = b3e.shape[1]
     gate, a2h_u, a3h_v = k1_gather_gate(plan, proj_u, proj_v, b3e)
-    # patch overflow edges with direct XLA gathers
-    sl, m = plan.ovf_slots, plan.ovf_mask
+    # patch overflow edges with direct XLA gathers (mask cast keeps the
+    # compute dtype — an f32 mask would silently promote the whole array)
+    sl = plan.ovf_slots
+    m = plan.ovf_mask.astype(gate.dtype)
     gu = jnp.take(proj_u, jnp.take(u_idx, sl), axis=0)
     gv = jnp.take(proj_v, jnp.take(v_idx, sl), axis=0)
     gate = gate.at[sl].add(m * (gu[:, :d] + gv[:, :d]))
@@ -132,17 +134,18 @@ def _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e):
 
 def _gate_gather_fwd(plan, u_idx, v_idx, proj_u, proj_v, b3e):
     out = _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e)
-    return out, (u_idx, v_idx, proj_u.shape[0])
+    return out, (plan, u_idx, v_idx)
 
 
 def _gate_gather_bwd(res, g):
-    u_idx, v_idx, n = res
+    plan, u_idx, v_idx = res
     d_gate, d_a2h, d_a3h = g
-    d_pu = jax.ops.segment_sum(jnp.concatenate([d_gate, d_a2h], axis=1),
-                               u_idx, num_segments=n)
-    d_pv = jax.ops.segment_sum(jnp.concatenate([d_gate, d_a3h], axis=1),
-                               v_idx, num_segments=n)
-    return None, None, None, d_pu, d_pv, d_gate
+    # the adjoint of the windowed gather is the windowed scatter: reuse K2
+    d_pu, d_pv = _aggregate_pallas(plan, u_idx, v_idx,
+                                   jnp.concatenate([d_gate, d_a2h], axis=1),
+                                   jnp.concatenate([d_gate, d_a3h], axis=1))
+    dt = d_gate.dtype
+    return None, None, None, d_pu.astype(dt), d_pv.astype(dt), d_gate
 
 
 _gate_gather_pallas.defvjp(_gate_gather_fwd, _gate_gather_bwd)
@@ -167,7 +170,8 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
     sum_v = jax.ops.segment_sum(partial_v, plan.v_combine, num_segments=n_pad)
 
     # overflow edges: recompute the full edge stage with direct gathers
-    sl, m = plan.ovf_slots, plan.ovf_mask
+    sl = plan.ovf_slots
+    m = plan.ovf_mask.astype(e_out.dtype)
     gu = jnp.take(proj_u, jnp.take(u_idx, sl), axis=0)
     gv = jnp.take(proj_v, jnp.take(v_idx, sl), axis=0)
     gate = (gu[:, :d] + gv[:, :d] + jnp.take(b3e, sl, axis=0))
@@ -176,7 +180,8 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
     eo_ovf = gate + jnp.take(e_in, sl, axis=0)
     old = jnp.take(e_out, sl, axis=0)
     e_out = e_out.at[sl].set(m * eo_ovf + (1.0 - m) * old)
-    sigma = jax.nn.sigmoid(eo_ovf) * m
+    sigma = (jax.nn.sigmoid(eo_ovf.astype(jnp.float32)) *
+             plan.ovf_mask).astype(jnp.float32)
     sum_v = sum_v + jax.ops.segment_sum(
         jnp.concatenate([sigma * gu[:, d:], sigma], axis=1),
         jnp.take(v_idx, sl), num_segments=n_pad)
@@ -209,14 +214,15 @@ def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
 
 def _aggregate_fwd(plan, u_idx, v_idx, pay_u, pay_v):
     out = _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v)
-    return out, (u_idx, v_idx)
+    # residuals must be jax values: a 0-sized array carries the payload dtype
+    return out, (u_idx, v_idx, jnp.zeros((0,), pay_u.dtype))
 
 
 def _aggregate_bwd(res, g):
-    u_idx, v_idx = res
+    u_idx, v_idx, dtype_probe = res
     d_sum_b, d_sum_f = g
-    d_pay_u = jnp.take(d_sum_b, u_idx, axis=0)
-    d_pay_v = jnp.take(d_sum_f, v_idx, axis=0)
+    d_pay_u = jnp.take(d_sum_b, u_idx, axis=0).astype(dtype_probe.dtype)
+    d_pay_v = jnp.take(d_sum_f, v_idx, axis=0).astype(dtype_probe.dtype)
     return None, None, None, d_pay_u, d_pay_v
 
 
