@@ -50,6 +50,7 @@ def bench_tpu(n_nodes: int, avg_degree: float, iters: int, warmup: int,
     cfg.model.dropout = 0.2
     cfg.compute.matmul_precision = "default"   # bench at standard precision
     cfg.compute.dtype = dtype
+    cfg.compute.backend = "pallas"             # fastest verified path
 
     src, dst = random_bench_graph(n_nodes, avg_degree, seed=0)
     n_edges = src.shape[0]
