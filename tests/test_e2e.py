@@ -69,3 +69,32 @@ def test_label_decode_cli(synthetic_dataset):
     # perfect-label decode on an error-free layout graph: exact reconstruction
     assert top.seq in genome or top.seq in reverse_complement(genome)
     assert len(top.seq) > 0.5 * len(genome)
+
+
+def test_multi_graph_dataset_inference(tmp_path):
+    """run_inference iterates every graph in the dataset (inference.py:408)."""
+    from gnnome_tpu.config import Config
+    from gnnome_tpu.infer import run_inference
+    from gnnome_tpu.graphs import synthetic_assembly_graph
+
+    root = tmp_path / "ds"
+    (root / "hifiasm" / "processed").mkdir(parents=True)
+    (root / "hifiasm" / "info").mkdir(parents=True)
+    for i in range(2):
+        g, reads, _, _ = synthetic_assembly_graph(
+            n_reads=60, genome_len=5000, read_len=400, seed=80 + i,
+            with_sequences=True)
+        g.save(str(root / "hifiasm" / "processed" / f"{i}.npz"))
+        reads.save(str(root / "hifiasm" / "info" / f"{i}_reads.npz"))
+
+    cfg = Config()
+    cfg.decode.len_threshold = 1000
+    cfg.decode.num_decoding_paths = 10
+    out = str(root / "hifiasm")
+    summary = run_inference(str(root), WEIGHTS, "hifiasm", out, cfg,
+                            verbose=False)
+    assert [g["idx"] for g in summary["graphs"]] == [0, 1]
+    for i in range(2):
+        assert os.path.isfile(os.path.join(out, "assembly",
+                                           f"{i}_assembly.fasta"))
+        assert os.path.isfile(os.path.join(out, "reports", f"{i}_report.txt"))
