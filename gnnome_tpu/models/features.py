@@ -17,7 +17,7 @@ import numpy as np
 def _zscore(v: np.ndarray) -> np.ndarray:
     v = v.astype(np.float32)
     std = v.std(ddof=1) if v.size > 1 else 1.0
-    return (v - v.mean()) / std
+    return (v - v.mean()) / (std if std > 0 else 1.0)
 
 
 def edge_features(graph, use_similarities: bool = True) -> np.ndarray:
