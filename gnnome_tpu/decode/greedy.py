@@ -149,6 +149,50 @@ class _Walker:
         return out
 
 
+def _candidate_walks(walker: _Walker, graph, seeds: np.ndarray,
+                     visited: np.ndarray, n_threads: int):
+    """Yield (walk, sum_log_prob) per seed edge — all candidates walked in
+    parallel by the native batch kernel (the reference runs them sequentially
+    through a 1-worker pool, inference.py:231-243); yields (None, 0.0) for a
+    self-loop seed."""
+    src = graph.src[seeds].astype(np.int32)
+    dst = graph.dst[seeds].astype(np.int32)
+    n_cand = seeds.shape[0]
+    if walker.lib is not None:
+        import os
+        max_walk = walker.n
+        out_walks = np.empty((n_cand, max_walk), dtype=np.int32)
+        out_lens = np.empty((n_cand, 2), dtype=np.int64)
+        out_slp = np.empty((n_cand, 2), dtype=np.float64)
+        use_es = 1 if walker.early_stop_logp is not None else 0
+        thr = walker.early_stop_logp if use_es else 0.0
+        walker.lib.gn_greedy_walk_batch(
+            walker.row_ptr, walker.col, walker.eid, walker.log_probs, visited,
+            walker.n, np.ascontiguousarray(src), np.ascontiguousarray(dst),
+            n_cand, max_walk, use_es, thr,
+            min(n_threads, os.cpu_count() or 1), out_walks, out_lens, out_slp)
+        for c in range(n_cand):
+            if src[c] == dst[c]:
+                yield None, 0.0
+                continue
+            lf, lb = int(out_lens[c, 0]), int(out_lens[c, 1])
+            walk_f = out_walks[c, :lf]
+            walk_b = (out_walks[c, lf:lf + lb][::-1] ^ 1).astype(np.int32)
+            yield np.concatenate([walk_b, walk_f]), float(out_slp[c].sum())
+        return
+    for c in range(n_cand):
+        s, d = int(src[c]), int(dst[c])
+        epoch = walker.next_epoch()
+        walker.stamp[[s, s ^ 1, d, d ^ 1]] = epoch  # inference.py:161
+        walk_f, slp_f = walker.walk(d, visited, epoch)
+        walk_b_rc, slp_b = walker.walk(s ^ 1, visited, epoch)
+        walk_b = (walk_b_rc[::-1] ^ 1).astype(np.int32)
+        if s == d:
+            yield None, 0.0
+        else:
+            yield np.concatenate([walk_b, walk_f]), slp_f + slp_b
+
+
 def _sample_seed_edges(probs: np.ndarray, eligible: np.ndarray, nb_paths: int,
                        rng: np.random.Generator, random_baseline: bool):
     """Categorical seed sampling (inference.py:54-67)."""
@@ -220,25 +264,17 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
                                    rng, cfg.random_baseline)
 
         best = None  # (contig_len, walk, visited_nodes, slp)
-        for eidx in seeds.tolist():
-            s, d = int(graph.src[eidx]), int(graph.dst[eidx])
-            epoch = walker.next_epoch()
-            # block seed endpoints + RC pairs (inference.py:161)
-            walker.stamp[[s, s ^ 1, d, d ^ 1]] = epoch
-            walk_f, slp_f = walker.walk(d, visited, epoch)
-            walk_b_rcspace, slp_b = walker.walk(s ^ 1, visited, epoch)
-            walk_b = (walk_b_rcspace[::-1] ^ 1).astype(np.int32)
-            walk_it = np.concatenate([walk_b, walk_f])
-
-            if s == d:  # SELF-LOOP (inference.py:289-294)
-                contig_len = 0
+        for walk_it, slp in _candidate_walks(walker, graph, seeds, visited,
+                                             cfg.num_threads):
+            if walk_it is None:  # SELF-LOOP seed (inference.py:289-294)
+                contig_len, walk_it = 0, np.zeros(0, np.int32)
             else:
                 eids = walker.edge_ids(walk_it)
                 contig_len = int(prefix[eids].sum() + read_len[walk_it[-1]])
 
             if best is None or contig_len > best[0]:
                 visited_nodes = np.concatenate([walk_it, walk_it ^ 1])
-                best = (contig_len, walk_it, visited_nodes, slp_f + slp_b)
+                best = (contig_len, walk_it, visited_nodes, slp)
 
         contig_len, walk_it, visited_nodes, _slp = best
         if verbose:

@@ -80,6 +80,23 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int32),    # out_walk
             ctypes.POINTER(ctypes.c_double),     # sum_log_prob
         ]
+        lib.gn_greedy_walk_batch.restype = None
+        lib.gn_greedy_walk_batch.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),    # row_ptr
+            np.ctypeslib.ndpointer(np.int32),    # col
+            np.ctypeslib.ndpointer(np.int64),    # eid
+            np.ctypeslib.ndpointer(np.float32),  # log_probs
+            np.ctypeslib.ndpointer(np.uint8),    # visited
+            ctypes.c_int64,                      # n_nodes
+            np.ctypeslib.ndpointer(np.int32),    # seed_src
+            np.ctypeslib.ndpointer(np.int32),    # seed_dst
+            ctypes.c_int64, ctypes.c_int64,      # n_cand, max_walk
+            ctypes.c_int32, ctypes.c_float,      # use_early_stop, threshold
+            ctypes.c_int32,                      # n_threads
+            np.ctypeslib.ndpointer(np.int32),    # out_walks
+            np.ctypeslib.ndpointer(np.int64),    # out_lens
+            np.ctypeslib.ndpointer(np.float64),  # out_slp
+        ]
         lib.gn_walk_edge_ids.restype = ctypes.c_int64
         lib.gn_walk_edge_ids.argtypes = [
             np.ctypeslib.ndpointer(np.int64),    # row_ptr

@@ -192,6 +192,57 @@ int64_t gn_greedy_walk(const int64_t* row_ptr, const int32_t* col,
   return len;
 }
 
+// Batch of candidate walks in parallel (the reference runs its 100
+// candidates strictly sequentially through a 1-worker pool,
+// inference.py:231-243).  Each candidate c seeds from edge
+// (seed_src[c], seed_dst[c]): forward walk from dst, backward walk from
+// src^1, both over the successor CSR (reference run_greedy_both_ways,
+// inference.py:160-164).  Threads use private stamp arrays; the shared
+// ``visited`` mask is read-only.
+//
+//   out_walks:  [n_cand, max_walk] buffer; walk c = fwd walk then bwd walk
+//   out_lens:   [n_cand, 2] = (fwd_len, bwd_len)
+//   out_slp:    [n_cand, 2] = (sum_log_prob_fwd, sum_log_prob_bwd)
+void gn_greedy_walk_batch(const int64_t* row_ptr, const int32_t* col,
+                          const int64_t* eid, const float* log_probs,
+                          const uint8_t* visited, int64_t n_nodes,
+                          const int32_t* seed_src, const int32_t* seed_dst,
+                          int64_t n_cand, int64_t max_walk,
+                          int32_t use_early_stop, float log_p_threshold,
+                          int32_t n_threads,
+                          int32_t* out_walks, int64_t* out_lens,
+                          double* out_slp) {
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int64_t tid) {
+    std::vector<int32_t> stamp(n_nodes, 0);
+    int32_t epoch = 0;
+    for (int64_t c = tid; c < n_cand; c += n_threads) {
+      ++epoch;
+      int64_t s = seed_src[c], d = seed_dst[c];
+      stamp[s] = epoch; stamp[s ^ 1] = epoch;
+      stamp[d] = epoch; stamp[d ^ 1] = epoch;
+      int32_t* buf = out_walks + c * max_walk;
+      double slp_f = 0.0, slp_b = 0.0;
+      int64_t len_f = gn_greedy_walk(row_ptr, col, eid, log_probs, visited,
+                                     stamp.data(), epoch, d, max_walk,
+                                     use_early_stop, log_p_threshold,
+                                     buf, &slp_f);
+      int64_t len_b = gn_greedy_walk(row_ptr, col, eid, log_probs, visited,
+                                     stamp.data(), epoch, s ^ 1,
+                                     max_walk - len_f, use_early_stop,
+                                     log_p_threshold, buf + len_f, &slp_b);
+      out_lens[2 * c] = len_f;
+      out_lens[2 * c + 1] = len_b;
+      out_slp[2 * c] = slp_f;
+      out_slp[2 * c + 1] = slp_b;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+}
+
 // Edge ids along a walk: out_eids[i] = id of edge walk[i] -> walk[i+1]
 // (first match in the CSR row).  Returns number of ids written, or the
 // negated position (-1-i) of the first missing edge.
