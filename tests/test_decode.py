@@ -107,3 +107,32 @@ def test_decode_checkpoint_resume(tmp_path):
         # resumed run must keep the checkpointed walks as a prefix
         k = (len(res1.walks) // 10) * 10
         assert res2.walks[:k] == res1.walks[:k]
+
+
+def test_batch_candidate_walks_match_python():
+    """The native parallel batch walker must produce identical candidate
+    walks to the sequential Python path."""
+    from gnnome_tpu.decode.greedy import _Walker, _candidate_walks
+
+    g, _, _, _ = _graph(seed=9, n_reads=200, genome_len=16000)
+    rng = np.random.default_rng(3)
+    log_probs = np.log(rng.uniform(0.05, 1.0, size=g.num_edges)).astype(np.float32)
+    visited = np.zeros(g.num_nodes, dtype=np.uint8)
+    visited[rng.integers(0, g.num_nodes, 40)] = 1  # some pre-visited nodes
+    seeds = rng.integers(0, g.num_edges, size=16)
+
+    w_nat = _Walker(g, log_probs)
+    assert w_nat.lib is not None
+    nat = list(_candidate_walks(w_nat, g, seeds, visited, n_threads=4))
+
+    w_py = _Walker(g, log_probs)
+    w_py.lib = None
+    py = list(_candidate_walks(w_py, g, seeds, visited, n_threads=1))
+
+    assert len(nat) == len(py)
+    for (wn, sn), (wp, sp) in zip(nat, py):
+        if wn is None or wp is None:
+            assert wn is None and wp is None
+            continue
+        np.testing.assert_array_equal(wn, wp)
+        assert abs(sn - sp) < 1e-4
