@@ -27,6 +27,9 @@ def _load_cfg(args) -> Config:
     if cfg.compute.device != "auto":
         import jax
         jax.config.update("jax_platforms", cfg.compute.device)
+        if cfg.compute.device == "cpu" and cfg.compute.mesh > 1:
+            # virtual CPU devices for the requested mesh (test/sim runs)
+            jax.config.update("jax_num_cpu_devices", cfg.compute.mesh)
     return cfg
 
 

@@ -87,6 +87,7 @@ class PathsConfig:
 class ComputeConfig:
     """TPU execution knobs (no reference equivalent — the reference is single-GPU/CPU)."""
     device: str = "auto"               # auto | tpu | cpu : jax platform selection
+    mesh: int = 0                      # >1: shard inference over N devices
     backend: str = "auto"              # auto | xla | pallas : message-passing kernel backend
     dtype: str = "float32"             # float32 | bfloat16 : compute dtype for the GNN hot path
     matmul_precision: str = "highest"  # "highest" for fp32 parity, "default" for bf16-accelerated

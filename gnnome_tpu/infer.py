@@ -61,6 +61,12 @@ def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
     from .models.zoo import get_model, processor_graph_for
 
     cfg = cfg or Config()
+    if cfg.compute.mesh > 1:
+        from .parallel import make_mesh
+        from .parallel.sharded import sharded_score_graph
+        with _matmul_precision(cfg):
+            return sharded_score_graph(graph, params, state, cfg,
+                                       make_mesh(cfg.compute.mesh))
     from .train.step import effective_pads
     epad, npad = effective_pads(cfg)
     gt = GraphTensors.from_graph(graph, edge_pad_multiple=epad,

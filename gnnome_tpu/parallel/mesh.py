@@ -24,6 +24,11 @@ GRAPH_AXIS = "graph"
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"mesh of {n_devices} devices requested but only "
+                f"{len(devices)} available (on CPU set jax_num_cpu_devices "
+                "before backend init; multi-host: jax.distributed.initialize)")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (GRAPH_AXIS,))
 

@@ -102,3 +102,30 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*example_args)
     assert np.isfinite(np.asarray(out)).all()
     mod.dryrun_multichip(8)
+
+
+def test_cli_infer_with_mesh(tmp_path):
+    """compute.mesh=N routes CLI inference through the sharded path."""
+    from gnnome_tpu import cli
+    from gnnome_tpu.graphs.synthetic import (random_genome,
+                                             simulate_reads_from_genome,
+                                             write_synthetic_gfa)
+    rng = np.random.default_rng(90)
+    genome = random_genome(20000, rng)
+    recs, st, en, sd = simulate_reads_from_genome(genome, 200, 500, rng)
+    gfa = str(tmp_path / "g.gfa")
+    reads = str(tmp_path / "r.fasta")
+    write_synthetic_gfa(recs, st, en, sd, gfa, reads, dialect="hifiasm")
+    out = str(tmp_path / "ds")
+    cli.main(["build-graph", "--gfa", gfa, "--reads", reads, "--asm",
+              "hifiasm", "--out", out, "--threads", "2"])
+    import os
+    savedir = os.path.join(out, "hifiasm")
+    cli.main(["infer", "--data", out, "--asm", "hifiasm", "--out", savedir,
+              "--model", WEIGHTS, "--set", "compute.mesh=8",
+              "--set", "decode.len_threshold=2000"])
+    asm = os.path.join(savedir, "assembly", "0_assembly.fasta")
+    assert os.path.isfile(asm)
+    from gnnome_tpu.utils.fastx import read_fastx, reverse_complement
+    top = max(read_fastx(asm), key=lambda c: len(c.seq))
+    assert top.seq in genome or top.seq in reverse_complement(genome)
