@@ -166,8 +166,10 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
 
     e_out, partial_u, partial_v = k3_fused_eval_layer(
         plan, proj_u, proj_v, b3e, e_in, bn_scale, bn_bias, gt.edge_mask)
-    sum_u = jax.ops.segment_sum(partial_u, plan.u_combine, num_segments=n_pad)
-    sum_v = jax.ops.segment_sum(partial_v, plan.v_combine, num_segments=n_pad)
+    sum_u = jax.ops.segment_sum(partial_u.astype(jnp.float32),
+                                plan.u_combine, num_segments=n_pad)
+    sum_v = jax.ops.segment_sum(partial_v.astype(jnp.float32),
+                                plan.v_combine, num_segments=n_pad)
 
     # overflow edges: recompute the full edge stage with direct gathers
     sl = plan.ovf_slots
