@@ -140,10 +140,17 @@ def main():
     ap.add_argument("--baseline-nodes", type=int, default=32_768)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--mesh", type=int, default=0,
-                    help="also run the graph-parallel train step on an "
-                         "N-device mesh and report scaling (requires N "
-                         "devices; on a 1-chip host use JAX_NUM_CPU_DEVICES)")
+                    help="also run the halo-exchange graph-parallel train "
+                         "step on an N-virtual-device CPU mesh (subprocess) "
+                         "and report aggregate edges/s + scaling efficiency")
+    ap.add_argument("--mesh-worker", type=int, default=0,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--mesh-nodes", type=int, default=65_536)
     args = ap.parse_args()
+
+    if args.mesh_worker:
+        mesh_worker(args.mesh_worker, args.mesh_nodes, args.degree)
+        return
 
     if not probe_tpu():
         # fall back to CPU so the bench always reports something
@@ -166,8 +173,7 @@ def main():
 
     extra = {}
     if args.mesh:
-        extra["mesh_edges_per_s"] = round(
-            bench_mesh(args.mesh, args.nodes, args.degree), 1)
+        extra.update(bench_mesh(args.mesh, args.mesh_nodes, args.degree))
 
     print(json.dumps({
         "metric": "symgatedgcn_train_step_edges_per_s",
@@ -182,54 +188,123 @@ def main():
     }))
 
 
-def bench_mesh(n_devices: int, n_nodes: int, avg_degree: float,
-               iters: int = 3) -> float:
-    """Graph-parallel train step over an n-device mesh (edges/s aggregate)."""
+def bench_mesh(n_devices: int, n_nodes: int, avg_degree: float) -> dict:
+    """Graph-parallel scaling bench: spawns a fresh process (so an n-device
+    virtual CPU mesh can be configured before backend init) that runs the
+    plain single-device train step and the halo-exchange train step over the
+    mesh on the same graph, and reports aggregate edges/s + efficiency."""
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mesh-worker",
+         str(n_devices), "--mesh-nodes", str(n_nodes), "--degree",
+         str(avg_degree)],
+        capture_output=True, text=True, timeout=3600)
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"mesh bench failed: {r.stdout[-500:]} "
+                       f"{r.stderr[-1000:]}")
+
+
+def mesh_worker(n_devices: int, n_nodes: int, avg_degree: float,
+                iters: int = 3):
+    """Runs in its own process: single-device step vs halo step on an
+    n-virtual-device CPU mesh, same graph, same config."""
     import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_devices)
     import jax.numpy as jnp
     import numpy as np
     from gnnome_tpu.config import Config
     from gnnome_tpu.graphs.synthetic import random_bench_graph
     from gnnome_tpu.models.sym_gated_gcn import init_params
-    from gnnome_tpu.parallel import make_mesh, shard_example
-    from gnnome_tpu.parallel.sharded import make_sharded_train_step, replicate
-    from gnnome_tpu.train.step import make_example
+    from gnnome_tpu.parallel import make_mesh
+    from gnnome_tpu.parallel.halo import (halo_example_from_unit,
+                                          make_halo_train_step)
+    from gnnome_tpu.parallel.sharded import replicate
+    from gnnome_tpu.train.step import make_steps, make_example, HostUnit
 
-    import math
     cfg = Config()
     cfg.compute.dtype = "bfloat16"
-    cfg.compute.edge_pad_multiple = math.lcm(cfg.compute.edge_pad_multiple,
-                                             n_devices)
-    cfg.compute.node_pad_multiple = math.lcm(cfg.compute.node_pad_multiple,
-                                             n_devices)
+    cfg.compute.matmul_precision = "default"
+    cfg.compute.backend = "xla"          # pallas kernels are TPU-only
+    cfg.compute.mesh = n_devices
+
     src, dst = random_bench_graph(n_nodes, avg_degree, seed=0)
+    n_edges = int(src.shape[0])
     rng = np.random.default_rng(0)
-    ex = make_example(cfg, np.bincount(dst, minlength=n_nodes).astype(np.float32),
-                      np.bincount(src, minlength=n_nodes).astype(np.float32),
-                      rng.normal(size=(src.shape[0], 2)).astype(np.float32),
-                      (rng.random(src.shape[0]) < 0.5).astype(np.float32),
-                      src, dst, n_nodes)
-    mesh = make_mesh(n_devices)
-    ex = shard_example(ex, mesh)
-    params, state = init_params(jax.random.PRNGKey(0), cfg.model)
-    tx, train_step, _, init_opt = make_sharded_train_step(cfg, mesh)
-    params, state = replicate(params, mesh), replicate(state, mesh)
-    opt_state = init_opt(params)
+    in_deg = np.bincount(dst, minlength=n_nodes).astype(np.float32)
+    out_deg = np.bincount(src, minlength=n_nodes).astype(np.float32)
+    e_feat = rng.normal(size=(n_edges, 2)).astype(np.float32)
+    y = (rng.random(n_edges) < 0.5).astype(np.float32)
     pw = jnp.asarray(1.0, jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    def step():
-        nonlocal params, state, opt_state
-        params, state, opt_state, loss, _ = train_step(
-            params, state, opt_state, ex.gt, ex.x, ex.x_rev, ex.e, ex.labels,
-            ex.mask, pw, key)
+    def time_steps(step):
+        step()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            step()
+        return n_edges / ((time.perf_counter() - t0) / iters)
+
+    # --- single device (reference for efficiency)
+    params, state = init_params(jax.random.PRNGKey(0), cfg.model)
+    ex = make_example(cfg, in_deg, out_deg, e_feat, y, src, dst, n_nodes)
+    tx, train_step, _ = make_steps(cfg)
+    box = {"p": params, "s": state, "o": tx.init(params)}
+
+    def single():
+        box["p"], box["s"], box["o"], loss, _ = train_step(
+            box["p"], box["s"], box["o"], ex.gt, ex.x, ex.x_rev, ex.e,
+            ex.labels, ex.mask, pw, key)
         return float(loss)
 
-    step()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        step()
-    return src.shape[0] / ((time.perf_counter() - t0) / iters)
+    eps_1 = time_steps(single)
+
+    # --- halo-exchange step over the mesh (production multi-chip path)
+    mesh = make_mesh(n_devices)
+    unit = HostUnit(in_deg, out_deg, e_feat, y, src, dst, n_nodes, None, 0.0)
+    hex_ = halo_example_from_unit(cfg, mesh, unit)
+    path = "halo" if hex_ is not None else "gspmd"
+    if hex_ is not None:
+        tx2, halo_step = make_halo_train_step(cfg, mesh)
+        hbox = {"p": replicate(params, mesh), "s": replicate(state, mesh),
+                "o": replicate(tx2.init(params), mesh)}
+
+        def mstep():
+            hbox["p"], hbox["s"], hbox["o"], loss, _ = halo_step(
+                hbox["p"], hbox["s"], hbox["o"], hex_.plan, hex_.x,
+                hex_.x_rev, hex_.labels, pw, key, hex_.scalars)
+            return float(loss)
+    else:
+        from gnnome_tpu.parallel import shard_example
+        from gnnome_tpu.parallel.sharded import make_sharded_train_step
+        exs = shard_example(ex, mesh)
+        tx2, mesh_step, _, init_opt = make_sharded_train_step(cfg, mesh)
+        hbox = {"p": replicate(params, mesh), "s": replicate(state, mesh),
+                "o": init_opt(params)}
+
+        def mstep():
+            hbox["p"], hbox["s"], hbox["o"], loss, _ = mesh_step(
+                hbox["p"], hbox["s"], hbox["o"], exs.gt, exs.x, exs.x_rev,
+                exs.e, exs.labels, exs.mask, pw, key)
+            return float(loss)
+
+    eps_n = time_steps(mstep)
+    out = {
+        "mesh_devices": n_devices,
+        "mesh_path": path,
+        "mesh_halo_k": int(hex_.plan.K) if hex_ is not None else -1,
+        "platform": "cpu-mesh-sim",
+        "edges_per_s_1dev": round(eps_1, 1),
+        "edges_per_s_mesh": round(eps_n, 1),
+        # the N virtual devices share this host's cores, so equal total
+        # compute is the ideal; the throughput ratio isolates the
+        # communication + partition-imbalance overhead of the halo step —
+        # the proxy for real-pod scaling efficiency measurable on this host
+        "mesh_efficiency_proxy": round(eps_n / eps_1, 4),
+    }
+    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":

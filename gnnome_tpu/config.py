@@ -93,6 +93,12 @@ class ComputeConfig:
     matmul_precision: str = "highest"  # "highest" for fp32 parity, "default" for bf16-accelerated
     edge_pad_multiple: int = 512       # pad edge arrays to this multiple for static shapes
     node_pad_multiple: int = 128
+    bucket_growth: float = 1.2         # geometric shape-bucket rounding for
+                                       # masked/clustered training units (and
+                                       # halo plans): rounds padded sizes up to
+                                       # powers of this factor so one epoch
+                                       # compiles a bounded number of programs;
+                                       # <=1 disables
     remat: object = True               # False | True (per-layer) | "full"
                                        # ("full" also rematerialises the layer
                                        # carries — multi-million-edge graphs)

@@ -64,9 +64,17 @@ def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
     if cfg.compute.mesh > 1:
         from .parallel import make_mesh
         from .parallel.sharded import sharded_score_graph
+        mesh = make_mesh(cfg.compute.mesh)
         with _matmul_precision(cfg):
-            return sharded_score_graph(graph, params, state, cfg,
-                                       make_mesh(cfg.compute.mesh))
+            if (cfg.model.model in ("sym_gatedgcn", "sym_gated_gcn")
+                    and cfg.model.normalization == "batch"):
+                # production multi-chip path: explicit halo exchange (zero
+                # all-gathers); GSPMD handles graphs with no halo plan
+                from .parallel.halo import halo_score_graph
+                scores = halo_score_graph(graph, params, state, cfg, mesh)
+                if scores is not None:
+                    return scores
+            return sharded_score_graph(graph, params, state, cfg, mesh)
     from .train.step import effective_pads
     epad, npad = effective_pads(cfg)
     gt = GraphTensors.from_graph(graph, edge_pad_multiple=epad,

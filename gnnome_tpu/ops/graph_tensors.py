@@ -60,11 +60,14 @@ class GraphTensors:
     @classmethod
     def build(cls, src: np.ndarray, dst: np.ndarray, n_nodes: int,
               edge_pad_multiple: int = 512, node_pad_multiple: int = 128,
-              divisible_by: int = 1):
+              divisible_by: int = 1, bucket_growth: float = 0.0):
         """Host-side construction from COO arrays in host edge-id order.
 
         ``divisible_by``: additionally round padded sizes to this multiple
         (set to the mesh size so sharded arrays split evenly across devices).
+        ``bucket_growth`` > 1: round padded sizes up geometrically (powers of
+        the factor) so variable-size training units (random masking,
+        clustering) land in a bounded set of compiled shape buckets.
         """
         import math
         edge_pad_multiple = math.lcm(edge_pad_multiple, divisible_by)
@@ -74,6 +77,14 @@ class GraphTensors:
         Ep = max(_round_up(E + 1, edge_pad_multiple), edge_pad_multiple)
         # dummy node must exist: pad nodes to >= n_nodes + 1
         Np = max(_round_up(n_nodes + 1, node_pad_multiple), node_pad_multiple)
+        if bucket_growth and bucket_growth > 1.0:
+            g = math.log(bucket_growth)
+            Ep = _round_up(int(math.ceil(
+                bucket_growth ** math.ceil(math.log(Ep) / g))),
+                edge_pad_multiple)
+            Np = _round_up(int(math.ceil(
+                bucket_growth ** math.ceil(math.log(Np) / g))),
+                node_pad_multiple)
         dummy = n_nodes
 
         src_p = np.full(Ep, dummy, dtype=np.int32)

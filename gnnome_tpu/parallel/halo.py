@@ -16,10 +16,21 @@ arrays are padded to a common Emax.  The reach K is the maximum distance any
 edge's ``src`` lies outside its device's block; graphs whose reach exceeds the
 block size fall back to the GSPMD path (``build_halo_plan`` returns None).
 
+Communication/compute overlap: each layer projects its K boundary rows
+*first* and issues the two ``ppermute``s on those strips before any interior
+work, so XLA's latency-hiding scheduler can run the interior projection, the
+B3 edge matmul and the local (dst-side) gather while the strips are in
+flight; the returning boundary partial sums likewise overlap the local
+aggregation.  (SURVEY.md §2d: halo DMA overlapped with local aggregation.)
+
 Everything runs under ``jax.shard_map`` with replicated parameters; autodiff
 transposes the ppermutes automatically, and replicated-parameter gradients
 come out psum'd.  BatchNorm statistics are psum'd across devices so results
 are bitwise-comparable (up to reduction order) with the single-device model.
+
+This is the production multi-chip path: ``infer.score_graph`` and the train
+loop route through it whenever ``compute.mesh > 1`` and the graph yields a
+plan, falling back to GSPMD otherwise.
 """
 from __future__ import annotations
 
@@ -53,16 +64,24 @@ class HostArray:
 @dataclass(frozen=True)
 class HaloPlan:
     # --- leaves; leading axis P is sharded over the mesh ---
-    src_ext: jax.Array      # int32 [P, Emax] index into h_ext (K+Nb+K rows)
+    src_ext: jax.Array      # int32 [P, Emax]: index into the extended row
+                            # space [halo+local (K+Nb+K) | overflow (Rpad)];
+                            # padded edges -> K+Nb+K+Rpad (fill sentinel)
     dst_loc: jax.Array      # int32 [P, Emax] local dst index, sentinel Nb
     e_feat: jax.Array       # f32 [P, Emax, F] per-device edge features
     emask: jax.Array        # f32 [P, Emax, 1]
     nmask: jax.Array        # f32 [P, Nb, 1] real-node mask per block
+    ovf_rows: jax.Array     # int32 [P, Rpad]: local row id of overflow row r
+                            # when this device owns it, else Nb (sentinel) —
+                            # psum over devices materialises the shared
+                            # overflow row buffer
     # --- static ---
     P: int = 0
     Nb: int = 0             # node rows per device
     K: int = 0              # halo strip rows
     Emax: int = 0
+    Rpad: int = 0           # padded overflow row count
+    n_ovf: int = 0
     n_edges: int = 0
     # host-side (numpy, not traced): (device, pos) per global edge slot
     slot_map: object = None
@@ -70,15 +89,32 @@ class HaloPlan:
 
 jax.tree_util.register_dataclass(
     HaloPlan,
-    data_fields=["src_ext", "dst_loc", "e_feat", "emask", "nmask"],
-    meta_fields=["P", "Nb", "K", "Emax", "n_edges", "slot_map"],
+    data_fields=["src_ext", "dst_loc", "e_feat", "emask", "nmask",
+                 "ovf_rows"],
+    meta_fields=["P", "Nb", "K", "Emax", "Rpad", "n_ovf", "n_edges",
+                 "slot_map"],
 )
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
-                    max_k_frac: float = 0.5) -> HaloPlan | None:
+                    max_k_frac: float = 0.5, max_ovf_frac: float = 1.0,
+                    bucket_growth: float = 0.0) -> HaloPlan | None:
     """Host-side plan; ``e_feat_host`` is [Ep, F] in host edge order.
-    Returns None when the graph's reach exceeds ``max_k_frac * Nb``."""
+
+    The strip size K covers every edge up to ``max_k_frac * Nb``; edges whose
+    src lies farther (stray long-range overlaps — real assembly graphs have
+    a few) are routed through a small psum-shared *overflow row buffer*
+    instead of widening the strips.  Returns None only when the overflow rows
+    would exceed ``max_ovf_frac * Nb`` (graph not banded enough — caller
+    falls back to GSPMD).
+
+    ``bucket_growth`` > 1 rounds K, Emax and Rpad up geometrically (powers of
+    that factor) so successive masked graphs reuse compiled shape buckets.
+    """
     P = n_devices
     Np, Ep = gt.n_nodes_pad, gt.n_edges_pad
     if Np % P != 0:
@@ -96,40 +132,72 @@ def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
     blk_start = owner.astype(np.int64) * Nb
     off = src.astype(np.int64) - blk_start
     reach = np.maximum(np.maximum(-off, off - (Nb - 1)), 0)
+    k_cap = _round_up(int(max_k_frac * Nb), 8)
     K = int(reach[real].max()) if real.any() else 0
-    K = max(8, -(-K // 8) * 8)
-    if K > max_k_frac * Nb:
-        return None
-
+    K = max(8, _round_up(K, 8))
     counts = np.bincount(owner[real], minlength=P)
-    Emax = max(128, int(-(-counts.max() // 128) * 128))
+    Emax = max(128, _round_up(int(counts.max()), 128))
+    if bucket_growth and bucket_growth > 1.0:
+        K = _round_up(_geom_bucket(K, bucket_growth), 8)
+        Emax = _round_up(_geom_bucket(Emax, bucket_growth), 128)
+    K = min(K, k_cap)
 
-    src_ext = np.full((P, Emax), K + Nb + K, dtype=np.int32)  # sentinel (unused)
+    # overflow: edges whose src escapes the strips read from a psum-shared
+    # row buffer (unique global src nodes, each owned by one device)
+    is_ovf = real & (reach > K)
+    ovf_src = np.unique(src[is_ovf]) if is_ovf.any() else \
+        np.zeros(0, dtype=src.dtype)
+    R = int(ovf_src.shape[0])
+    if R > max_ovf_frac * Nb:
+        return None
+    Rpad = max(8, _round_up(R, 8))
+    if bucket_growth and bucket_growth > 1.0 and R:
+        Rpad = _round_up(_geom_bucket(Rpad, bucket_growth), 8)
+    ovf_rows = np.full((P, Rpad), Nb, dtype=np.int32)       # sentinel
+    if R:
+        own_of = (ovf_src // Nb).astype(np.int64)
+        ovf_rows[own_of, np.arange(R)] = ovf_src - own_of * Nb
+    # index of each overflow edge's src in the buffer
+    buf_idx = np.searchsorted(ovf_src, src) if R else np.zeros_like(src)
+
+    sentinel = K + Nb + K + Rpad
+    src_ext = np.full((P, Emax), sentinel, dtype=np.int32)
     dst_loc = np.full((P, Emax), Nb, dtype=np.int32)          # dump row
     e_dev = np.zeros((P, Emax, e_slots.shape[1]), dtype=np.float32)
     emask = np.zeros((P, Emax, 1), dtype=np.float32)
     slot_map = np.zeros((Ep, 2), dtype=np.int64)
 
-    fill = np.zeros(P, dtype=np.int64)
-    order = np.nonzero(real)[0]
-    for s in order.tolist():
-        d = owner[s]
-        pos = fill[d]
-        fill[d] = pos + 1
-        src_ext[d, pos] = off[s] + K
-        dst_loc[d, pos] = dst[s] - d * Nb
-        e_dev[d, pos] = e_slots[s]
-        emask[d, pos] = 1.0
-        slot_map[s] = (d, pos)
+    # edges are dst-sorted, so per-device runs are contiguous: vectorised fill
+    real_idx = np.nonzero(real)[0]
+    own_r = owner[real_idx]
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(real_idx.shape[0]) - starts[own_r]
+    src_val = np.where(is_ovf[real_idx],
+                       K + Nb + K + buf_idx[real_idx],
+                       off[real_idx] + K).astype(np.int32)
+    src_ext[own_r, pos] = src_val
+    dst_loc[own_r, pos] = dst[real_idx] - own_r * Nb
+    e_dev[own_r, pos] = e_slots[real_idx]
+    emask[own_r, pos] = 1.0
+    slot_map[real_idx, 0] = own_r
+    slot_map[real_idx, 1] = pos
 
     nmask = np.asarray(gt.node_mask).reshape(P, Nb, 1).astype(np.float32)
     return HaloPlan(
         src_ext=jnp.asarray(src_ext), dst_loc=jnp.asarray(dst_loc),
         e_feat=jnp.asarray(e_dev), emask=jnp.asarray(emask),
-        nmask=jnp.asarray(nmask),
-        P=P, Nb=Nb, K=K, Emax=Emax, n_edges=gt.n_edges,
+        nmask=jnp.asarray(nmask), ovf_rows=jnp.asarray(ovf_rows),
+        P=P, Nb=Nb, K=K, Emax=Emax, Rpad=Rpad, n_ovf=R, n_edges=gt.n_edges,
         slot_map=HostArray(slot_map),
     )
+
+
+def _geom_bucket(x: int, growth: float) -> int:
+    """Smallest power of ``growth`` >= x (bounds distinct compiled shapes)."""
+    import math
+    if x <= 1:
+        return 1
+    return int(math.ceil(growth ** math.ceil(math.log(x) / math.log(growth))))
 
 
 # -------------------------------------------------------------- ring exchange
@@ -163,17 +231,19 @@ def halo_return(partial_ext: jax.Array, K: int, Nb: int, P: int) -> jax.Array:
 
 def _psum_bn(p, s, x, mask, n_valid, training, repeat_updates=1):
     """Masked BatchNorm with cross-device statistics (psum'd sums);
-    torch semantics as in models/norm.py."""
+    torch semantics as in models/norm.py.  ``n_valid`` may be a traced
+    scalar (so one compiled step serves a whole shape bucket)."""
     in_dtype = x.dtype
     x = x.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
+    n_valid = jnp.asarray(n_valid, jnp.float32)
     if training:
         mean = jax.lax.psum((x * mask).sum(0), GRAPH_AXIS) / n_valid
         var = jax.lax.psum((((x - mean) ** 2) * mask).sum(0),
                            GRAPH_AXIS) / n_valid
         inv = jax.lax.rsqrt(var + 1e-5)
         y = (x - mean) * inv
-        unbiased = var * (n_valid / (n_valid - 1)) if n_valid > 1 else var
+        unbiased = var * (n_valid / jnp.maximum(n_valid - 1.0, 1.0))
         rm, rv = s["mean"], s["var"]
         for _ in range(repeat_updates):
             rm = 0.9 * rm + 0.1 * mean
@@ -186,8 +256,8 @@ def _psum_bn(p, s, x, mask, n_valid, training, repeat_updates=1):
 
 
 # ------------------------------------------------------------------ the model
-def _halo_layer(p, s, plan: HaloPlan, h, e_dev, nmask, n_nodes_real, *,
-                training, flip):
+def _halo_layer(p, s, plan: HaloPlan, h, e_dev, nmask, n_nodes_real,
+                n_edges_real, *, training, flip, dtype=jnp.float32):
     """One SymGatedGCN layer on a device's block (math identical to
     models/sym_gated_gcn.sym_gated_gcn_layer; reference
     gated_gcn_full.py:82-142).
@@ -196,58 +266,93 @@ def _halo_layer(p, s, plan: HaloPlan, h, e_dev, nmask, n_nodes_real, *,
     swapped); ``dst`` is always device-local (edges are assigned by dst), so
     one endpoint gathers from the halo-extended block and the other locally.
     The node update ``a1h + into_dst + into_src`` is role-symmetric.
+
+    Overlap structure: the boundary strips are projected and put on the wire
+    *before* the interior projection and all local math, so the exchange
+    rides ICI under the local compute.
     """
     K, Nb, P, d = plan.K, plan.Nb, plan.P, h.shape[1]
     h_in, e_in = h, e_dev
 
     w = jnp.concatenate([p["B1"]["w"], p["A2"]["w"], p["B2"]["w"],
-                         p["A3"]["w"], p["A1"]["w"]], axis=1)
+                         p["A3"]["w"], p["A1"]["w"]], axis=1).astype(dtype)
     b = jnp.concatenate([p["B1"]["b"], p["A2"]["b"], p["B2"]["b"],
-                         p["A3"]["b"], p["A1"]["b"]])
-    proj = h @ w + b
-    a1h = proj[:, 4 * d:]
+                         p["A3"]["b"], p["A1"]["b"]]).astype(dtype)
 
-    # one halo exchange covers both endpoint column groups
-    proj_ext = halo_extend(proj[:, : 4 * d], K, P)
+    # ---- boundary-first projection: strips leave before interior compute
+    top = h[:K] @ w[:, : 4 * d] + b[: 4 * d]
+    bot = h[Nb - K:] @ w[:, : 4 * d] + b[: 4 * d]
+    from_left = jax.lax.ppermute(bot, GRAPH_AXIS, _perm_fwd(P))
+    from_right = jax.lax.ppermute(top, GRAPH_AXIS, _perm_bwd(P))
+
+    proj = h @ w + b                       # interior + a1h (overlaps exchange)
+    a1h = proj[:, 4 * d:]
+    b3e = e_dev @ p["B3"]["w"].astype(dtype) + p["B3"]["b"].astype(dtype)
+
     src_ext = plan.src_ext[0]        # [Emax] (leading P axis sharded away)
     dst_loc = plan.dst_loc[0]
     emask = plan.emask[0]
+    ovf_rows = plan.ovf_rows[0]      # [Rpad] local ids (owner) / Nb sentinel
     proj_pad = jnp.pad(proj[:, : 4 * d], ((0, 1), (0, 0)))  # row Nb = dump
 
+    # overflow row buffer: each stray far-reaching src row is contributed by
+    # its owner (sentinel rows are zero) and psum-shared — O(Rpad*D), also in
+    # flight during the local gather below
+    buf = jax.lax.psum(jnp.take(proj_pad, ovf_rows, axis=0), GRAPH_AXIS)
+
+    # local (dst-side) gather runs while the strips are in flight
+    if not flip:
+        g_loc = jnp.take(proj_pad[:, 2 * d: 4 * d], dst_loc, axis=0)
+    else:
+        g_loc = jnp.take(proj_pad[:, : 2 * d], dst_loc, axis=0)
+
+    # extended row space: [left strip | local | right strip | overflow]
+    proj_ext = jnp.concatenate([from_left, proj[:, : 4 * d], from_right, buf],
+                               axis=0)
     if not flip:
         # B1h/A2h from src (halo), B2h/A3h from dst (local)
         g_ext = jnp.take(proj_ext[:, : 2 * d], src_ext, axis=0,
                          fill_value=0.0, mode="fill")
-        g_loc = jnp.take(proj_pad[:, 2 * d: 4 * d], dst_loc, axis=0)
-        gate = g_ext[:, :d] + g_loc[:, :d]
     else:
         # B1h/A2h from dst (local), B2h/A3h from src (halo)
-        g_loc = jnp.take(proj_pad[:, : 2 * d], dst_loc, axis=0)
         g_ext = jnp.take(proj_ext[:, 2 * d: 4 * d], src_ext, axis=0,
                          fill_value=0.0, mode="fill")
-        gate = g_loc[:, :d] + g_ext[:, :d]
+    gate = g_ext[:, :d] + g_loc[:, :d]
     m_ext = g_ext[:, d:]             # message value aggregated into dst
     m_loc = g_loc[:, d:]             # message value aggregated into src
 
-    b3e = e_dev @ p["B3"]["w"] + p["B3"]["b"]
     gate = gate + b3e
-    gate, s_bn_e = _psum_bn(p["bn_e"], s["bn_e"], gate, emask, plan.n_edges,
+    gate, s_bn_e = _psum_bn(p["bn_e"], s["bn_e"], gate, emask, n_edges_real,
                             training, repeat_updates=2)
     gate = jax.nn.relu(gate)
     e_out = gate + e_in
-    sigma = jax.nn.sigmoid(e_out) * emask
+    sigma = jax.nn.sigmoid(e_out) * emask.astype(e_out.dtype)
 
     eps = 1e-6
-    into_dst = jax.ops.segment_sum(
-        jnp.concatenate([sigma * m_ext, sigma], 1), dst_loc,
-        num_segments=Nb + 1, indices_are_sorted=True)[:Nb]
+    acc = jnp.float32
+    Rp = plan.Rpad
+    # src-side partials first: their boundary strips return while the local
+    # dst-side aggregation computes
     part_src = jax.ops.segment_sum(
-        jnp.concatenate([sigma * m_loc, sigma], 1), src_ext,
-        num_segments=K + Nb + K + 1)[:-1]
-    into_src = halo_return(part_src, K, Nb, P)
+        jnp.concatenate([sigma * m_loc, sigma], 1).astype(acc), src_ext,
+        num_segments=K + Nb + K + Rp + 1)[:-1]
+    to_left = jax.lax.ppermute(part_src[:K], GRAPH_AXIS, _perm_bwd(P))
+    to_right = jax.lax.ppermute(part_src[K + Nb:K + Nb + K], GRAPH_AXIS,
+                                _perm_fwd(P))
+    part_ovf = jax.lax.psum(part_src[K + Nb + K:], GRAPH_AXIS)
 
-    r_dst = into_dst[:, :d] / (into_dst[:, d:] + eps)
-    r_src = into_src[:, :d] / (into_src[:, d:] + eps)
+    into_dst = jax.ops.segment_sum(
+        jnp.concatenate([sigma * m_ext, sigma], 1).astype(acc), dst_loc,
+        num_segments=Nb + 1, indices_are_sorted=True)[:Nb]
+    r_dst = (into_dst[:, :d] / (into_dst[:, d:] + eps)).astype(dtype)
+
+    into_src = part_src[K:K + Nb]
+    into_src = into_src.at[Nb - K:].add(to_left)
+    into_src = into_src.at[:K].add(to_right)
+    # overflow partials go home to each row's owner (sentinel -> dump row)
+    into_src = jnp.pad(into_src, ((0, 1), (0, 0))).at[ovf_rows].add(
+        part_ovf)[:Nb]
+    r_src = (into_src[:, :d] / (into_src[:, d:] + eps)).astype(dtype)
 
     h_new = a1h + r_dst + r_src
     h_new, s_bn_h = _psum_bn(p["bn_h"], s["bn_h"], h_new, nmask,
@@ -256,58 +361,102 @@ def _halo_layer(p, s, plan: HaloPlan, h, e_dev, nmask, n_nodes_real, *,
     return h_new, e_out, {"bn_h": s_bn_h, "bn_e": s_bn_e}
 
 
-def make_halo_forward(cfg: Config, mesh, plan: HaloPlan, n_nodes_real: int):
-    """jit'd shard_map forward over the mesh.
+def _halo_pass(params, state, plan_shard: HaloPlan, x_blk, *, flip, training,
+               rng, model_cfg, dtype, remat, n_nodes_real, n_edges_real):
+    """Full model pass on one device's shard: encoders -> lax.scan over the
+    stacked GNN layers (optionally rematerialised) -> score predictor.
+    Returns (logits [Emax], new_state)."""
+    from ..models.nn import mlp2, dropout as _dropout
 
-    Note: BatchNorm node statistics use all padded block rows; callers that
-    need exact single-device parity in *training* mode should compare against
-    a GraphTensors padded to the same Np (eval mode is exact either way since
-    running stats are used).  Returns per-device logits [P, Emax, 1]; map to
+    nmask = plan_shard.nmask[0]
+    h = mlp2(params["node_encoder"], x_blk).astype(dtype)
+    e_dev = mlp2(params["edge_encoder"], plan_shard.e_feat[0]).astype(dtype)
+
+    num_layers = model_cfg.num_gnn_layers
+    drop = model_cfg.dropout if training else 0.0
+    layer_fn = partial(_halo_layer, training=training, flip=flip, dtype=dtype)
+
+    def body(carry, inp):
+        h, e_dev = carry
+        p_l, s_l, key_l = inp
+        h, e_dev, ns = layer_fn(p_l, s_l, plan_shard, h, e_dev, nmask,
+                                n_nodes_real, n_edges_real)
+        if drop > 0.0:
+            h = _dropout(key_l, h, drop)
+        return (h, e_dev), ns
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    if rng is not None:
+        # distinct per layer AND per device (dropout must differ per block)
+        base = jax.random.fold_in(rng, jax.lax.axis_index(GRAPH_AXIS))
+        keys = jax.random.split(base, num_layers)
+    else:
+        keys = jnp.zeros((num_layers, 2), jnp.uint32)
+
+    (h, e_dev), new_gnn = jax.lax.scan(
+        body, (h, e_dev), (params["gnn"], state["gnn"], keys))
+    new_state = {"gnn": new_gnn}
+
+    # score predictor: h[u] via halo + overflow buffer, h[v] local
+    K, Nb, Pn = plan_shard.K, plan_shard.Nb, plan_shard.P
+    h_ext = halo_extend(h, K, Pn)
+    h_pad = jnp.pad(h, ((0, 1), (0, 0)))
+    buf_h = jax.lax.psum(jnp.take(h_pad, plan_shard.ovf_rows[0], axis=0),
+                         GRAPH_AXIS)
+    hu = jnp.take(jnp.concatenate([h_ext, buf_h], axis=0),
+                  plan_shard.src_ext[0], axis=0, fill_value=0.0, mode="fill")
+    hv = jnp.take(h_pad, plan_shard.dst_loc[0], axis=0)
+    if flip:
+        hu, hv = hv, hu
+    pp = params["predictor"]
+    z = jnp.concatenate([hu, hv, e_dev], axis=1)
+    z = jax.nn.relu(z @ pp["W1"]["w"].astype(dtype)
+                    + pp["W1"]["b"].astype(dtype))
+    z = jax.nn.relu(z @ pp["W2"]["w"].astype(dtype)
+                    + pp["W2"]["b"].astype(dtype))
+    logits = (z @ pp["W3"]["w"].astype(dtype) + pp["W3"]["b"].astype(dtype))
+    logits = logits[:, 0].astype(jnp.float32)
+    return logits, new_state
+
+
+def _resolve(cfg: Config):
+    model_cfg = cfg.model
+    if model_cfg.normalization != "batch":
+        raise NotImplementedError("halo path implements batch norm only")
+    dtype = (jnp.bfloat16 if cfg.compute.dtype == "bfloat16"
+             else jnp.float32)
+    return model_cfg, dtype
+
+
+def make_halo_forward(cfg: Config, mesh):
+    """jit'd shard_map eval forward over the mesh.
+
+    The returned function takes ``(params, state, plan_dev, x_blocks,
+    scalars)`` where ``scalars = (n_nodes_real, n_edges_real)`` as f32 device
+    scalars — one compiled program serves every graph with the same
+    (Nb, K, Emax) shape bucket.  Returns per-device logits [P, Emax]; map to
     host edge order with ``halo_scores_to_host``.
     """
     from jax.sharding import PartitionSpec as P_
 
-    model_cfg = cfg.model
-    num_layers = model_cfg.num_gnn_layers
+    model_cfg, dtype = _resolve(cfg)
 
-    if model_cfg.normalization != "batch":
-        raise NotImplementedError("halo path currently implements batch norm "
-                                  "semantics only")
-
-    def device_fn(params, state, plan_shard, x_blk, flip):
-        # encoders (node rows local; edge features per device)
-        from ..models.nn import mlp2
-        h = mlp2(params["node_encoder"], x_blk[0])  # shard_map keeps axis 0
-        e_dev = mlp2(params["edge_encoder"], plan_shard.e_feat[0])
-        nmask = plan_shard.nmask[0]
-
-        for i in range(num_layers):
-            p_l = jax.tree_util.tree_map(lambda a: a[i], params["gnn"])
-            s_l = jax.tree_util.tree_map(lambda a: a[i], state["gnn"])
-            h, e_dev, _ns = _halo_layer(p_l, s_l, plan_shard, h, e_dev,
-                                        nmask, n_nodes_real,
-                                        training=False, flip=flip)
-
-        # score predictor: h[u] via halo, h[v] local
-        K, Nb, Pn = plan_shard.K, plan_shard.Nb, plan_shard.P
-        h_ext = halo_extend(h, K, Pn)
-        hu = jnp.take(h_ext, plan_shard.src_ext[0], axis=0, fill_value=0.0,
-                      mode="fill")
-        hv = jnp.take(jnp.pad(h, ((0, 1), (0, 0))), plan_shard.dst_loc[0],
-                      axis=0)
-        if flip:
-            hu, hv = hv, hu
-        pp = params["predictor"]
-        z = jnp.concatenate([hu, hv, e_dev], axis=1)
-        z = jax.nn.relu(z @ pp["W1"]["w"] + pp["W1"]["b"])
-        z = jax.nn.relu(z @ pp["W2"]["w"] + pp["W2"]["b"])
-        return (z @ pp["W3"]["w"] + pp["W3"]["b"]) * plan_shard.emask[0]
+    def device_fn(params, state, plan_shard, x_blk, scalars):
+        n_nodes_real, n_edges_real = scalars
+        logits, _ = _halo_pass(params, state, plan_shard, x_blk[0],
+                               flip=False, training=False, rng=None,
+                               model_cfg=model_cfg, dtype=dtype, remat=False,
+                               n_nodes_real=n_nodes_real,
+                               n_edges_real=n_edges_real)
+        return logits[None]
 
     sharded = jax.shard_map(
-        partial(device_fn, flip=False),
-        mesh=mesh,
-        in_specs=(P_(), P_(), P_(GRAPH_AXIS), P_(GRAPH_AXIS)),
+        device_fn, mesh=mesh,
+        in_specs=(P_(), P_(), P_(GRAPH_AXIS), P_(GRAPH_AXIS), P_()),
         out_specs=P_(GRAPH_AXIS),
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -326,85 +475,55 @@ def to_device_edges(plan: HaloPlan, host_edge_array: np.ndarray,
     return out
 
 
-def make_halo_train_step(cfg: Config, mesh, plan: HaloPlan, n_nodes_real: int):
+def make_halo_train_step(cfg: Config, mesh):
     """jit'd graph-parallel training step over the halo layout.
 
     Symmetry loss (two directional passes, reference train.py:159-185) with
     replicated parameters; gradients flow through the ppermutes (their
     transpose is the reverse ppermute) and come out replicated.
-    Returns (tx, train_step) where train_step(params, state, opt_state,
-    plan_dev, x_blocks, x_rev_blocks, labels_dev, pos_weight, rng).
+
+    Returns (tx, train_step) where ``train_step(params, state, opt_state,
+    plan_dev, x_blocks, x_rev_blocks, labels_dev, pos_weight, rng, scalars)``
+    and ``scalars = (n_nodes_real_f32, n_edges_real_f32)``.  One compiled
+    program per (Nb, K, Emax) shape bucket.
     """
     from jax.sharding import PartitionSpec as P_
     import optax
-    from ..models.nn import mlp2
     from ..train.step import make_optimizer
 
-    model_cfg = cfg.model
-    num_layers = model_cfg.num_gnn_layers
+    model_cfg, dtype = _resolve(cfg)
     alpha = cfg.train.alpha
     use_sym = cfg.train.use_symmetry_loss
-    if model_cfg.normalization != "batch":
-        raise NotImplementedError("halo path implements batch norm only")
+    remat = bool(cfg.compute.remat)
 
-    def one_pass(params, state, plan_shard, x, nmask, flip, training, rng):
-        h = mlp2(params["node_encoder"], x)
-        e_dev = mlp2(params["edge_encoder"], plan_shard.e_feat[0])
-        new_layers = []
-        for i in range(num_layers):
-            p_l = jax.tree_util.tree_map(lambda a: a[i], params["gnn"])
-            s_l = jax.tree_util.tree_map(lambda a: a[i], state["gnn"])
-            h, e_dev, ns = _halo_layer(p_l, s_l, plan_shard, h, e_dev, nmask,
-                                       n_nodes_real, training=training,
-                                       flip=flip)
-            if training and model_cfg.dropout > 0.0 and rng is not None:
-                from ..models.nn import dropout as _dropout
-                key = jax.random.fold_in(
-                    jax.random.fold_in(rng, i),
-                    jax.lax.axis_index(GRAPH_AXIS))
-                h = _dropout(key, h, model_cfg.dropout)
-            new_layers.append(ns)
-        new_state = {"gnn": jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs, 0), *new_layers)}
-
-        K, Nb, Pn = plan_shard.K, plan_shard.Nb, plan_shard.P
-        h_ext = halo_extend(h, K, Pn)
-        hu = jnp.take(h_ext, plan_shard.src_ext[0], axis=0, fill_value=0.0,
-                      mode="fill")
-        hv = jnp.take(jnp.pad(h, ((0, 1), (0, 0))), plan_shard.dst_loc[0],
-                      axis=0)
-        if flip:
-            hu, hv = hv, hu
-        pp = params["predictor"]
-        z = jnp.concatenate([hu, hv, e_dev], axis=1)
-        z = jax.nn.relu(z @ pp["W1"]["w"] + pp["W1"]["b"])
-        z = jax.nn.relu(z @ pp["W2"]["w"] + pp["W2"]["b"])
-        logits = (z @ pp["W3"]["w"] + pp["W3"]["b"])[:, 0]
-        return logits, new_state
-
-    def device_loss(params, state, plan_shard, x_blk, xr_blk, labels, pw, rng):
+    def device_loss(params, state, plan_shard, x_blk, xr_blk, labels, pw,
+                    rng, scalars):
         from ..train.loss import _bce_elementwise
-        nmask = plan_shard.nmask[0]
+        n_nodes_real, n_edges_real = scalars
         emask = plan_shard.emask[0][:, 0]
         y = labels[0][:, 0]
         k1, k2 = jax.random.split(rng)
-        logits_org, state = one_pass(params, state, plan_shard, x_blk[0],
-                                     nmask, False, True, k1)
+        run = partial(_halo_pass, plan_shard=plan_shard, training=True,
+                      model_cfg=model_cfg, dtype=dtype, remat=remat,
+                      n_nodes_real=n_nodes_real, n_edges_real=n_edges_real)
+        logits_org, state = run(params, state, x_blk=x_blk[0], flip=False,
+                                rng=k1)
         if use_sym:
-            logits_rev, state = one_pass(params, state, plan_shard, xr_blk[0],
-                                         nmask, True, True, k2)
+            logits_rev, state = run(params, state, x_blk=xr_blk[0], flip=True,
+                                    rng=k2)
             per_edge = (_bce_elementwise(logits_org, y, pw)
                         + _bce_elementwise(logits_rev, y, pw)
                         + alpha * jnp.abs(logits_org - logits_rev))
         else:
             per_edge = _bce_elementwise(logits_org, y, pw)
-        loss = jax.lax.psum((per_edge * emask).sum(), GRAPH_AXIS) / plan.n_edges
+        loss = (jax.lax.psum((per_edge * emask).sum(), GRAPH_AXIS)
+                / n_edges_real)
         return loss, (logits_org[None], state)
 
     sm_loss = jax.shard_map(
         device_loss, mesh=mesh,
         in_specs=(P_(), P_(), P_(GRAPH_AXIS), P_(GRAPH_AXIS), P_(GRAPH_AXIS),
-                  P_(GRAPH_AXIS), P_(), P_()),
+                  P_(GRAPH_AXIS), P_(), P_(), P_()),
         out_specs=(P_(), (P_(GRAPH_AXIS), P_())),
         check_vma=False,
     )
@@ -413,15 +532,165 @@ def make_halo_train_step(cfg: Config, mesh, plan: HaloPlan, n_nodes_real: int):
 
     @jax.jit
     def train_step(params, state, opt_state, plan_dev, x_blocks, xr_blocks,
-                   labels_dev, pos_weight, rng):
+                   labels_dev, pos_weight, rng, scalars):
         (loss, (logits, new_state)), grads = jax.value_and_grad(
             sm_loss, has_aux=True)(params, state, plan_dev, x_blocks,
-                                   xr_blocks, labels_dev, pos_weight, rng)
+                                   xr_blocks, labels_dev, pos_weight, rng,
+                                   scalars)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, loss, logits
 
     return tx, train_step
+
+
+def make_halo_eval_step(cfg: Config, mesh):
+    """Validation counterpart of make_halo_train_step: same loss, no grad,
+    eval-mode BN.  Returns ``eval_step(params, state, plan_dev, x_blocks,
+    xr_blocks, labels_dev, pos_weight, scalars) -> (loss, logits)``."""
+    from jax.sharding import PartitionSpec as P_
+
+    model_cfg, dtype = _resolve(cfg)
+    alpha = cfg.train.alpha
+    use_sym = cfg.train.use_symmetry_loss
+
+    def device_loss(params, state, plan_shard, x_blk, xr_blk, labels, pw,
+                    scalars):
+        from ..train.loss import _bce_elementwise
+        n_nodes_real, n_edges_real = scalars
+        emask = plan_shard.emask[0][:, 0]
+        y = labels[0][:, 0]
+        run = partial(_halo_pass, plan_shard=plan_shard, training=False,
+                      rng=None, model_cfg=model_cfg, dtype=dtype, remat=False,
+                      n_nodes_real=n_nodes_real, n_edges_real=n_edges_real)
+        logits_org, _ = run(params, state, x_blk=x_blk[0], flip=False)
+        if use_sym:
+            logits_rev, _ = run(params, state, x_blk=xr_blk[0], flip=True)
+            per_edge = (_bce_elementwise(logits_org, y, pw)
+                        + _bce_elementwise(logits_rev, y, pw)
+                        + alpha * jnp.abs(logits_org - logits_rev))
+        else:
+            per_edge = _bce_elementwise(logits_org, y, pw)
+        loss = (jax.lax.psum((per_edge * emask).sum(), GRAPH_AXIS)
+                / n_edges_real)
+        return loss, logits_org[None]
+
+    sharded = jax.shard_map(
+        device_loss, mesh=mesh,
+        in_specs=(P_(), P_(), P_(GRAPH_AXIS), P_(GRAPH_AXIS), P_(GRAPH_AXIS),
+                  P_(GRAPH_AXIS), P_(), P_()),
+        out_specs=(P_(), P_(GRAPH_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+# --------------------------------------------------------------- product glue
+@dataclass
+class HaloExample:
+    """Device-ready halo-sharded training unit."""
+    gt: GraphTensors
+    plan: HaloPlan
+    x: jax.Array            # [P, Nb, 2]
+    x_rev: jax.Array
+    labels: jax.Array       # [P, Emax, 1]
+    scalars: tuple          # (n_nodes_real, n_edges_real) f32 device scalars
+    n_edges: int = 0
+
+
+def prepare_halo_example(cfg: Config, mesh, gt: GraphTensors,
+                         x_host: np.ndarray, x_rev_host: np.ndarray | None,
+                         e_feat_host: np.ndarray,
+                         y_host: np.ndarray | None,
+                         bucket_growth: float | None = None
+                         ) -> HaloExample | None:
+    """Build + shard a HaloExample from host arrays ([n_nodes/n_edges] sized;
+    padding applied here).  Returns None when no halo plan exists (caller
+    falls back to GSPMD)."""
+    from .mesh import graph_sharding, replicated_sharding
+
+    P = mesh.devices.size
+    if gt.n_nodes_pad % P != 0:
+        return None
+    if bucket_growth is None:
+        bucket_growth = cfg.compute.bucket_growth
+    plan = build_halo_plan(gt, _pad_host(e_feat_host, gt.n_edges_pad), P,
+                           bucket_growth=bucket_growth)
+    if plan is None:
+        return None
+    gshard = graph_sharding(mesh)
+    x = _pad_host(x_host, gt.n_nodes_pad).reshape(P, plan.Nb, -1)
+    x = jax.device_put(jnp.asarray(x), gshard)
+    if x_rev_host is not None:
+        xr = _pad_host(x_rev_host, gt.n_nodes_pad).reshape(P, plan.Nb, -1)
+        xr = jax.device_put(jnp.asarray(xr), gshard)
+    else:
+        xr = x
+    if y_host is not None:
+        lab = to_device_edges(
+            plan, _pad_host(y_host.astype(np.float32)[:, None],
+                            gt.n_edges_pad), gt)
+        lab = jax.device_put(jnp.asarray(lab), gshard)
+    else:
+        lab = None
+    rshard = replicated_sharding(mesh)
+    scalars = (jax.device_put(jnp.asarray(gt.n_nodes, jnp.float32), rshard),
+               jax.device_put(jnp.asarray(gt.n_edges, jnp.float32), rshard))
+    plan_dev = jax.device_put(plan, gshard)
+    return HaloExample(gt=gt, plan=plan_dev, x=x, x_rev=xr, labels=lab,
+                       scalars=scalars, n_edges=gt.n_edges)
+
+
+def halo_example_from_unit(cfg: Config, mesh, unit) -> HaloExample | None:
+    """HaloExample from a train.step.HostUnit (same masking/clustering/
+    z-scoring semantics as the single-chip example builder)."""
+    from ..train.step import _zscore
+
+    P = mesh.devices.size
+    gt = GraphTensors.build(unit.src, unit.dst, unit.n_nodes,
+                            cfg.compute.edge_pad_multiple,
+                            cfg.compute.node_pad_multiple,
+                            divisible_by=P,
+                            bucket_growth=unit.bucket_growth)
+    zi, zo = _zscore(unit.in_deg), _zscore(unit.out_deg)
+    return prepare_halo_example(cfg, mesh, gt,
+                                np.stack([zi, zo], axis=1),
+                                np.stack([zo, zi], axis=1),
+                                unit.e_feat, unit.y,
+                                bucket_growth=unit.bucket_growth)
+
+
+def _pad_host(a: np.ndarray, n: int) -> np.ndarray:
+    a = np.asarray(a, dtype=np.float32)
+    if a.ndim == 1:
+        a = a[:, None]
+    out = np.zeros((n,) + a.shape[1:], dtype=np.float32)
+    out[: a.shape[0]] = a
+    return out
+
+
+def halo_score_graph(graph, params, state, cfg: Config, mesh):
+    """Multi-chip inference via halo exchange; returns host-order edge logits
+    or None when the graph has no halo plan (caller falls back to GSPMD)."""
+    from ..models import edge_features, node_features
+    from .mesh import replicated_sharding
+
+    P = mesh.devices.size
+    gt = GraphTensors.build(graph.src, graph.dst, graph.num_nodes,
+                            cfg.compute.edge_pad_multiple,
+                            cfg.compute.node_pad_multiple,
+                            divisible_by=P)
+    ex = prepare_halo_example(cfg, mesh, gt, node_features(graph), None,
+                              edge_features(graph, cfg.data.use_similarities),
+                              None, bucket_growth=0.0)
+    if ex is None:
+        return None
+    rshard = replicated_sharding(mesh)
+    params = jax.device_put(params, rshard)
+    state = jax.device_put(state, rshard)
+    fwd = make_halo_forward(cfg, mesh)
+    logits = fwd(params, state, ex.plan, ex.x, ex.scalars)
+    return halo_scores_to_host(ex.plan, np.asarray(logits)[..., None], gt)
 
 
 def halo_scores_to_host(plan: HaloPlan, scores_dev: np.ndarray,

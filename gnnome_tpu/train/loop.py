@@ -74,10 +74,50 @@ class JsonlLogger:
             self.wandb.finish()
 
 
+class _HaloRunner:
+    """Multi-chip (graph-parallel) unit execution: halo-exchange steps with a
+    GSPMD fallback for units that yield no halo plan.  One instance per
+    training run so the jitted steps are reused across units/epochs."""
+
+    def __init__(self, cfg, mesh):
+        from ..parallel.halo import (make_halo_train_step,
+                                     make_halo_eval_step)
+        self.cfg = cfg
+        self.mesh = mesh
+        _, self.train_step = make_halo_train_step(cfg, mesh)
+        self.eval_step = make_halo_eval_step(cfg, mesh)
+
+    def replicate(self, tree):
+        from ..parallel.sharded import replicate
+        return replicate(tree, self.mesh)
+
+    def run_unit(self, unit, params, state, opt_state, pw, rng_key, training):
+        """Returns (params, state, opt_state, loss, logits_host) or None when
+        the unit has no halo plan (caller falls back to GSPMD)."""
+        from ..parallel.halo import (halo_example_from_unit,
+                                     halo_scores_to_host)
+        hex_ = halo_example_from_unit(self.cfg, self.mesh, unit)
+        if hex_ is None:
+            return None
+        if training:
+            params, state, opt_state, loss, logits = self.train_step(
+                params, state, opt_state, hex_.plan, hex_.x, hex_.x_rev,
+                hex_.labels, pw, rng_key, hex_.scalars)
+        else:
+            loss, logits = self.eval_step(params, state, hex_.plan, hex_.x,
+                                          hex_.x_rev, hex_.labels, pw,
+                                          hex_.scalars)
+        logits_host = halo_scores_to_host(
+            hex_.plan, np.asarray(logits)[..., None], hex_.gt)
+        return params, state, opt_state, float(loss), logits_host
+
+
 def _run_epoch(ds, params, state, opt_state, pos_weight, cfg, rng_np, rng_key,
-               train_step, eval_step, training: bool):
+               train_step, eval_step, training: bool, halo_runner=None):
     import jax
     import jax.numpy as jnp
+    from .step import host_units, make_example
+    from ..models.zoo import processor_graph_for
 
     pw = jnp.asarray(pos_weight, dtype=jnp.float32)
     metrics_list = []
@@ -86,18 +126,38 @@ def _run_epoch(ds, params, state, opt_state, pos_weight, cfg, rng_np, rng_key,
         random.shuffle(order)  # train.py:305
     for i in order:
         _, graph = ds[i]
-        for ex in prepare_units(graph, cfg, rng_np, shuffle_parts=training):
-            if training:
-                rng_key, sub = jax.random.split(rng_key)
-                params, state, opt_state, loss, logits = train_step(
-                    params, state, opt_state, ex.gt, ex.x, ex.x_rev, ex.e,
-                    ex.labels, ex.mask, pw, sub, gt_proc=ex.gt_proc)
-            else:
-                loss, logits = eval_step(params, state, ex.gt, ex.x, ex.x_rev,
-                                         ex.e, ex.labels, ex.mask, pw,
-                                         gt_proc=ex.gt_proc)
-            logits_np = np.asarray(logits)[: ex.n_edges]
-            labels_np = np.asarray(ex.labels)[: ex.n_edges]
+        for unit in host_units(graph, cfg, rng_np, shuffle_parts=training):
+            rng_key, sub = jax.random.split(rng_key)
+            logits_np = None
+            if halo_runner is not None:
+                out = halo_runner.run_unit(unit, params, state, opt_state,
+                                           pw, sub, training)
+                if out is not None:
+                    if training:
+                        params, state, opt_state, loss, logits_np = out
+                    else:
+                        _, _, _, loss, logits_np = out
+                    logits_np = logits_np[: unit.y.shape[0]]
+            if logits_np is None:
+                # single-chip path (or GSPMD fallback when sharded inputs
+                # arrive pre-distributed)
+                ex = make_example(cfg, unit.in_deg, unit.out_deg, unit.e_feat,
+                                  unit.y, unit.src, unit.dst, unit.n_nodes,
+                                  bucket_growth=unit.bucket_growth)
+                gt_proc = processor_graph_for(
+                    cfg.model.model, unit.graph, cfg.model,
+                    cfg.compute.edge_pad_multiple,
+                    cfg.compute.node_pad_multiple)
+                if training:
+                    params, state, opt_state, loss, logits = train_step(
+                        params, state, opt_state, ex.gt, ex.x, ex.x_rev, ex.e,
+                        ex.labels, ex.mask, pw, sub, gt_proc=gt_proc)
+                else:
+                    loss, logits = eval_step(params, state, ex.gt, ex.x,
+                                             ex.x_rev, ex.e, ex.labels,
+                                             ex.mask, pw, gt_proc=gt_proc)
+                logits_np = np.asarray(logits)[: ex.n_edges]
+            labels_np = unit.y[: logits_np.shape[0]].astype(np.float32)
             metrics_list.append(compute_metrics(logits_np, labels_np,
                                                 float(loss)))
     epoch_metrics = average_epoch_metrics(metrics_list) if metrics_list else {}
@@ -138,6 +198,20 @@ def train(train_path: str, valid_path: str, assembler: str,
     params, state = init_fn(jax.random.PRNGKey(cfg.train.seed), cfg.model)
     tx, train_step, eval_step = make_steps(cfg)
     opt_state = tx.init(params)
+
+    halo_runner = None
+    if (cfg.compute.mesh > 1
+            and cfg.model.model in ("sym_gatedgcn", "sym_gated_gcn")
+            and cfg.model.normalization == "batch"):
+        # production multi-chip training: halo-exchange graph parallelism
+        # (zero all-gathers), GSPMD fallback per unit
+        from ..parallel import make_mesh
+        halo_runner = _HaloRunner(cfg, make_mesh(cfg.compute.mesh))
+        params = halo_runner.replicate(params)
+        state = halo_runner.replicate(state)
+        opt_state = halo_runner.replicate(opt_state)
+        print(f"multi-chip training over {cfg.compute.mesh} devices "
+              "(halo-exchange graph parallelism)")
     scheduler = ReduceLROnPlateau(cfg.train.lr, factor=cfg.train.decay,
                                   patience=cfg.train.patience)
 
@@ -194,7 +268,8 @@ def train(train_path: str, valid_path: str, assembler: str,
             opt_state = set_learning_rate(opt_state, scheduler.lr)
             params, state, opt_state, m_train, rng_key = _run_epoch(
                 ds_train, params, state, opt_state, pos_weight, cfg, rng_np,
-                rng_key, train_step, eval_step, training=True)
+                rng_key, train_step, eval_step, training=True,
+                halo_runner=halo_runner)
             loss_train_hist.append(m_train["loss"])
 
             log = {f"train/{k}": v for k, v in m_train.items()}
@@ -217,7 +292,8 @@ def train(train_path: str, valid_path: str, assembler: str,
 
             _, _, _, m_valid, rng_key = _run_epoch(
                 ds_valid, params, state, opt_state, pos_weight, cfg, rng_np,
-                rng_key, train_step, eval_step, training=False)
+                rng_key, train_step, eval_step, training=False,
+                halo_runner=halo_runner)
             loss_valid_hist.append(m_valid["loss"])
             log.update({f"valid/{k}": v for k, v in m_valid.items()})
 

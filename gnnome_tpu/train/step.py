@@ -52,13 +52,17 @@ def effective_pads(cfg: Config) -> tuple[int, int]:
 
 
 def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
-                 n_nodes: int) -> TrainExample:
-    """Device-ready padded example from host arrays."""
+                 n_nodes: int, bucket_growth: float = 0.0) -> TrainExample:
+    """Device-ready padded example from host arrays.  ``bucket_growth`` > 1
+    rounds padded sizes up geometrically (bounded compile count over
+    variable-size masked/clustered units)."""
     import jax.numpy as jnp
 
     epad, npad = effective_pads(cfg)
     gt = GraphTensors.build(src, dst, n_nodes,
-                            edge_pad_multiple=epad, node_pad_multiple=npad)
+                            edge_pad_multiple=epad, node_pad_multiple=npad,
+                            divisible_by=max(1, cfg.compute.mesh),
+                            bucket_growth=bucket_growth)
     if cfg.compute.backend == "pallas":
         from ..ops.graph_tensors import with_windowed_plans
         gt = with_windowed_plans(gt, flip_too=cfg.train.use_symmetry_loss)
@@ -80,22 +84,29 @@ def mask_graph_strandwise(graph, fraction: float, rng: np.random.Generator):
     return graph.node_subgraph(keep)
 
 
-def prepare_units(graph, cfg: Config, rng: np.random.Generator,
-                  shuffle_parts: bool = True) -> list[TrainExample]:
-    """Mask + (maybe) partition one dataset graph into train examples
-    (reference train.py:311-348)."""
+@dataclass
+class HostUnit:
+    """One host-side training unit (masked and/or clustered subgraph) before
+    device layout: degree features from the pre-mask graph, z-scoring and
+    padding still pending."""
+    in_deg: np.ndarray
+    out_deg: np.ndarray
+    e_feat: np.ndarray
+    y: np.ndarray
+    src: np.ndarray
+    dst: np.ndarray
+    n_nodes: int
+    graph: object              # the subgraph (zoo processor-graph builds)
+    bucket_growth: float = 0.0
+
+
+def host_units(graph, cfg: Config, rng: np.random.Generator,
+               shuffle_parts: bool = True) -> list[HostUnit]:
+    """Mask + (maybe) partition one dataset graph into host units
+    (reference train.py:311-348).  Shared by the single-chip and halo
+    (multi-chip) example builders."""
     from ..models.features import edge_features
     from ..graphs.partition import partition_graph
-
-    def attach_proc(ex, sub_graph):
-        from ..models.zoo import processor_graph_for
-        gt_proc = processor_graph_for(cfg.model.model, sub_graph, cfg.model,
-                                      cfg.compute.edge_pad_multiple,
-                                      cfg.compute.node_pad_multiple)
-        if gt_proc is not None:
-            import dataclasses
-            ex = dataclasses.replace(ex, gt_proc=gt_proc)
-        return ex
 
     in_deg_full = graph.in_degrees()
     out_deg_full = graph.out_degrees()
@@ -112,21 +123,44 @@ def prepare_units(graph, cfg: Config, rng: np.random.Generator,
     in_deg, out_deg = in_deg_full[nid], out_deg_full[nid]
     e_feat, y = e_full[eid], y_full[eid]
 
+    # variable-size units (random masking / clustering) get geometric shape
+    # buckets so an epoch compiles a bounded number of programs
+    growth = cfg.compute.bucket_growth if cfg.train.masking else 0.0
+
     if sub.num_nodes <= cfg.train.num_nodes_per_cluster:
-        ex = make_example(cfg, in_deg, out_deg, e_feat, y, sub.src, sub.dst,
-                          sub.num_nodes)
-        return [attach_proc(ex, sub)]
+        return [HostUnit(in_deg, out_deg, e_feat, y, sub.src, sub.dst,
+                         sub.num_nodes, sub, growth)]
 
     num_clusters = sub.num_nodes // cfg.train.num_nodes_per_cluster + 1
     parts = partition_graph(sub, num_clusters, k_hops=cfg.train.k_extra_hops)
     if shuffle_parts:
         rng.shuffle(parts)
-    return [attach_proc(
-        make_example(cfg, in_deg[p.orig_nodes], out_deg[p.orig_nodes],
+    growth = cfg.compute.bucket_growth  # clusters vary in size regardless
+    return [HostUnit(in_deg[p.orig_nodes], out_deg[p.orig_nodes],
                      e_feat[p.orig_edges], y[p.orig_edges],
-                     p.graph.src, p.graph.dst, p.graph.num_nodes),
-        p.graph)
+                     p.graph.src, p.graph.dst, p.graph.num_nodes, p.graph,
+                     growth)
             for p in parts]
+
+
+def prepare_units(graph, cfg: Config, rng: np.random.Generator,
+                  shuffle_parts: bool = True) -> list[TrainExample]:
+    """Device-ready padded examples for the single-chip (or GSPMD) step."""
+    def attach_proc(ex, sub_graph):
+        from ..models.zoo import processor_graph_for
+        gt_proc = processor_graph_for(cfg.model.model, sub_graph, cfg.model,
+                                      cfg.compute.edge_pad_multiple,
+                                      cfg.compute.node_pad_multiple)
+        if gt_proc is not None:
+            import dataclasses
+            ex = dataclasses.replace(ex, gt_proc=gt_proc)
+        return ex
+
+    return [attach_proc(
+        make_example(cfg, u.in_deg, u.out_deg, u.e_feat, u.y, u.src, u.dst,
+                     u.n_nodes, bucket_growth=u.bucket_growth),
+        u.graph)
+            for u in host_units(graph, cfg, rng, shuffle_parts)]
 
 
 def make_optimizer(lr: float):

@@ -1,6 +1,7 @@
 """Halo-exchange graph-parallel tests: numerical equality vs single-device
-forward on the 8-virtual-device mesh, and the collective footprint (strip
-ppermutes instead of full all-gathers)."""
+forward on the 8-virtual-device mesh, the collective footprint (strip
+ppermutes instead of full all-gathers), and the production routing
+(``score_graph`` with ``compute.mesh`` set goes through the halo path)."""
 import numpy as np
 import jax
 
@@ -12,7 +13,8 @@ from gnnome_tpu.models.checkpoint import load_model_weights
 from gnnome_tpu.ops import GraphTensors
 from gnnome_tpu.parallel import make_mesh
 from gnnome_tpu.parallel.halo import (build_halo_plan, make_halo_forward,
-                                      halo_scores_to_host)
+                                      halo_scores_to_host,
+                                      prepare_halo_example, halo_score_graph)
 from gnnome_tpu.parallel.mesh import graph_sharding, replicated_sharding
 
 WEIGHTS = "/root/repo/weights/weights.npz"
@@ -36,9 +38,19 @@ def test_halo_plan_build():
     plan = build_halo_plan(gt, np.asarray(e), 8)
     assert plan is not None
     assert plan.P == 8 and plan.Nb * 8 == gt.n_nodes_pad
-    assert plan.K <= plan.Nb // 2
+    assert plan.K <= plan.Nb // 2 + 8
     # every real edge appears exactly once
     assert int(np.asarray(plan.emask).sum()) == gt.n_edges
+
+
+def _halo_scores(g, cfg, gt, params, state, mesh):
+    ex = prepare_halo_example(cfg, mesh, gt, node_features(g), None,
+                              edge_features(g), None, bucket_growth=0.0)
+    assert ex is not None
+    fwd = make_halo_forward(cfg, mesh)
+    params_r = jax.device_put(params, replicated_sharding(mesh))
+    state_r = jax.device_put(state, replicated_sharding(mesh))
+    return fwd, ex, params_r, state_r
 
 
 def test_halo_forward_matches_single_device():
@@ -47,37 +59,82 @@ def test_halo_forward_matches_single_device():
     ref = score_graph(g, params, state, cfg)
 
     mesh = make_mesh(8)
-    e_host = np.asarray(gt.pad_edges(edge_features(g)))
-    plan = build_halo_plan(gt, e_host, 8)
-    assert plan is not None
-
-    x = np.asarray(gt.pad_nodes(node_features(g)))
-    x_blocks = x.reshape(8, plan.Nb, -1)
-    fwd = make_halo_forward(cfg, mesh, plan, gt.n_nodes)
-
-    plan_dev = jax.device_put(plan, graph_sharding(mesh))
-    x_dev = jax.device_put(x_blocks, graph_sharding(mesh))
-    params_r = jax.device_put(params, replicated_sharding(mesh))
-    state_r = jax.device_put(state, replicated_sharding(mesh))
-    scores_dev = np.asarray(fwd(params_r, state_r, plan_dev, x_dev))
-    got = halo_scores_to_host(plan, scores_dev, gt)
+    fwd, ex, params_r, state_r = _halo_scores(g, cfg, gt, params, state, mesh)
+    scores_dev = np.asarray(fwd(params_r, state_r, ex.plan, ex.x, ex.scalars))
+    got = halo_scores_to_host(ex.plan, scores_dev, gt)
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
 
 
-def test_halo_collective_footprint():
+def test_halo_collective_footprint_and_overlap():
     """The halo path must move strips (collective-permute), not the full node
-    array (all-gather) — 2 ppermutes per layer + 2 returns + 2 for scoring."""
+    array (all-gather); the exchange must be issued asynchronously
+    (start/done pairs) so it can overlap local compute."""
     g, cfg, gt = _setup()
     params, state = load_model_weights(WEIGHTS)
     mesh = make_mesh(8)
-    e_host = np.asarray(gt.pad_edges(edge_features(g)))
-    plan = build_halo_plan(gt, e_host, 8)
-    x = np.asarray(gt.pad_nodes(node_features(g))).reshape(8, plan.Nb, -1)
-    fwd = make_halo_forward(cfg, mesh, plan, gt.n_nodes)
-    plan_dev = jax.device_put(plan, graph_sharding(mesh))
-    x_dev = jax.device_put(x, graph_sharding(mesh))
-    params_r = jax.device_put(params, replicated_sharding(mesh))
-    state_r = jax.device_put(state, replicated_sharding(mesh))
-    txt = fwd.lower(params_r, state_r, plan_dev, x_dev).compile().as_text()
+    fwd, ex, params_r, state_r = _halo_scores(g, cfg, gt, params, state, mesh)
+    txt = fwd.lower(params_r, state_r, ex.plan, ex.x,
+                    ex.scalars).compile().as_text()
     assert txt.count("all-gather") == 0
     assert txt.count("collective-permute") > 0
+
+
+def test_score_graph_mesh_routes_through_halo(monkeypatch):
+    """compute.mesh > 1 must use the halo path for banded graphs — the GSPMD
+    fallback (2 all-gathers per layer) must not be touched."""
+    g, cfg, gt = _setup()
+    params, state = load_model_weights(WEIGHTS)
+    ref = score_graph(g, params, state, cfg)
+
+    import gnnome_tpu.parallel.sharded as sharded
+
+    def boom(*a, **k):
+        raise AssertionError("GSPMD fallback used for a banded graph")
+
+    monkeypatch.setattr(sharded, "sharded_score_graph", boom)
+    cfg.compute.mesh = 8
+    got = score_graph(g, params, state, cfg)
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_halo_overflow_edges_match_single_device():
+    """Stray long-range edges (false overlaps) must route through the psum'd
+    overflow row buffer and still reproduce the single-device logits."""
+    g, _, _, _ = synthetic_assembly_graph(n_reads=512, genome_len=40000,
+                                          read_len=500, seed=77,
+                                          with_sequences=True,
+                                          false_edge_frac=0.01)
+    cfg = Config()
+    cfg.compute.edge_pad_multiple = 256
+    cfg.compute.node_pad_multiple = 64
+    gt = GraphTensors.build(g.src, g.dst, g.num_nodes, 256, 64, divisible_by=8)
+    plan = build_halo_plan(gt, np.asarray(gt.pad_edges(edge_features(g))), 8)
+    assert plan is not None and plan.n_ovf > 0, \
+        "test graph must actually exercise the overflow path"
+
+    params, state = load_model_weights(WEIGHTS)
+    ref = score_graph(g, params, state, cfg)
+    mesh = make_mesh(8)
+    fwd, ex, params_r, state_r = _halo_scores(g, cfg, gt, params, state, mesh)
+    scores_dev = np.asarray(fwd(params_r, state_r, ex.plan, ex.x, ex.scalars))
+    got = halo_scores_to_host(ex.plan, scores_dev, gt)
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_halo_score_graph_none_for_unbanded():
+    """A graph whose reach exceeds the block size yields no plan (caller
+    falls back to GSPMD)."""
+    rng = np.random.default_rng(0)
+    n = 512
+    src = rng.integers(0, n, 4000).astype(np.int32)
+    dst = rng.integers(0, n, 4000).astype(np.int32)
+
+    class G:
+        num_nodes = n
+        num_edges = 4000
+
+    g = G()
+    g.src, g.dst = src, dst
+    gt = GraphTensors.build(src, dst, n, 256, 64, divisible_by=8)
+    plan = build_halo_plan(gt, np.zeros((gt.n_edges_pad, 2), np.float32), 8)
+    assert plan is None
