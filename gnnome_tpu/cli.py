@@ -114,6 +114,13 @@ def cmd_install_tools(args):
     install_tools(cfg)
 
 
+def cmd_download_profile(args):
+    """Fetch the PBSIM3 sample profile (reference download_profile.sh)."""
+    cfg = _load_cfg(args)
+    from .data.tools import download_profile
+    download_profile(cfg)
+
+
 def cmd_evaluate(args):
     """Assembly contiguity metrics (reference utils/evaluate.py:93-105), with
     optional external minigraph/paftools NG50/NGA50 (evaluate.py:139-157)."""
@@ -224,6 +231,11 @@ def main(argv=None):
     p = sub.add_parser("install-tools", help="clone+build hifiasm/raven/pbsim3")
     _add_common(p)
     p.set_defaults(fn=cmd_install_tools)
+
+    p = sub.add_parser("download-profile",
+                       help="fetch the PBSIM3 sample profile archive")
+    _add_common(p)
+    p.set_defaults(fn=cmd_download_profile)
 
     p = sub.add_parser("evaluate", help="assembly contiguity metrics")
     p.add_argument("--assembly", required=True, help="contigs FASTA")

@@ -31,8 +31,13 @@ class AssemblyGraphDataset:
 
     def __init__(self, root: str, assembler: str | None = None, threads: int = 1,
                  generate: bool = False, n_need: int = 0,
-                 config: Config | None = None):
+                 config: Config | None = None, cache: bool = True):
         self.root = os.path.abspath(root)
+        # in-memory graph cache: the reference dataset keeps every graph
+        # loaded for the whole run (graph_dataset.py:47-56); epoch 2+ of the
+        # training loop then does zero disk reads
+        self.cache = cache
+        self._graph_cache: dict[int, AssemblyGraph] = {}
         if assembler:
             self.assembler = assembler
         self.threads = threads
@@ -67,7 +72,12 @@ class AssemblyGraphDataset:
         return idx, self.load_graph(idx)
 
     def load_graph(self, idx: int) -> AssemblyGraph:
-        return AssemblyGraph.load(os.path.join(self.save_dir, f"{idx}.npz"))
+        g = self._graph_cache.get(idx)
+        if g is None:
+            g = AssemblyGraph.load(os.path.join(self.save_dir, f"{idx}.npz"))
+            if self.cache:
+                self._graph_cache[idx] = g
+        return g
 
     def load_reads(self, idx: int) -> ReadStore:
         return ReadStore.load(os.path.join(self.info_dir, f"{idx}_reads.npz"))

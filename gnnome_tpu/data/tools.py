@@ -57,3 +57,45 @@ def install_tools(cfg: Config | None = None) -> None:
         if _run(f"git clone https://github.com/yukiteruono/pbsim3.git {name}",
                 save_dir):
             _run("./configure; make", pbsim_dir)
+
+
+def download_profile(cfg: Config | None = None) -> str:
+    """Fetch the PBSIM3 sample profile archive into the PBSIM3 tool dir
+    (reference download_profile.sh:1-19).  Returns the PBSIM3 directory.
+
+    Tries wget then curl; requires PBSIM3 to be installed first, exactly as
+    the reference script does.
+    """
+    import shutil
+
+    cfg = cfg or Config()
+    pbsim_dir = cfg.paths.pbsim3_dir
+    if not os.path.isdir(pbsim_dir):
+        raise FileNotFoundError(
+            f"Directory {pbsim_dir} does not exist! Install PBSIM3 by "
+            "running 'gnnome-tpu install-tools' first, or change "
+            "paths.pbsim3_dir (reference download_profile.sh:15-17)")
+    url = ("https://www.dropbox.com/scl/fo/kqmr2fjo5yaqrdycfxv8k/h"
+           "?rlkey=sff6e5aqvngvxjk12xka3yjww&e=1&dl=0")
+    zip_path = os.path.join(pbsim_dir, "download.zip")
+    print(f"Downloading PBSIM3 profile into {pbsim_dir} ...")
+    fetched = False
+    if shutil.which("wget"):
+        fetched = _run(f"wget -O download.zip '{url}'", pbsim_dir)
+    if not fetched and shutil.which("curl"):
+        fetched = _run(f"curl -L -o download.zip '{url}'", pbsim_dir)
+    if not fetched:
+        raise RuntimeError("Could not download the profile "
+                           "(wget/curl missing or network unavailable)")
+    print("Extracting files ...")
+    if shutil.which("unzip"):
+        ok = _run("unzip -o download.zip", pbsim_dir)
+    else:
+        import zipfile
+        with zipfile.ZipFile(zip_path) as z:
+            z.extractall(pbsim_dir)
+        ok = True
+    os.remove(zip_path)
+    if ok:
+        print("Successful!")
+    return pbsim_dir

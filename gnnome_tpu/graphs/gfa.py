@@ -18,10 +18,18 @@ with majority-vote strand/chr and min/max positions (graph_parser.py:189-266).
 Edge id order: edges grouped by src node (stable within a node by L-line
 order), matching ``dgl.from_networkx`` iteration order so per-edge arrays are
 directly comparable with the reference pipeline.
+
+Memory: the file is STREAMED (two sequential passes — S/A records, then L
+records), sequences are packed into the byte blob as they arrive, and edges
+accumulate in flat ``array`` buffers deduplicated with one vectorised numpy
+pass at the end — peak RSS is O(graph), not O(file-as-line-list).  (The
+reference slurps the file and builds a networkx DiGraph: graph_parser.py:
+139-151.)
 """
 from __future__ import annotations
 
 import re
+from array import array
 from collections import Counter
 from dataclasses import dataclass
 from typing import Optional
@@ -56,60 +64,36 @@ def parse_gfa(gfa_path: str, reads_path: Optional[str] = None,
         read_headers = {r.id: r.description
                         for r in read_fastx(reads_path, detect_filetype(reads_path))}
 
-    node_seqs: list[Optional[str]] = []   # sequence of real node 2t (None if GFA has '*')
-    node_lengths: list[int] = []          # per read (pair shares length)
+    blob = bytearray()                    # packed real-node sequences
+    offsets = array("q", [0])             # blob offsets, one per read
+    missing_seq: list[int] = []           # read indices t with '*' sequence
+    node_lengths = array("q")             # per read (pair shares length)
     read_to_node: dict = {}
     read_to_node2: dict = {}
     node_to_read: dict = {}
-    no_seqs = False
 
-    strands: list[int] = []
-    starts: list[int] = []
-    ends: list[int] = []
-    chrs: list[int] = []
+    strands = array("b")
+    starts = array("q")
+    ends = array("q")
+    chrs = array("h")
 
-    with open(gfa_path) as f:
-        all_lines = f.readlines()
+    # ------------------------------------------------------- S/A pass (stream)
+    # An S record's unitig 'A' lines follow it; training attributes for a
+    # record are finalised when the next non-A line (or EOF) arrives.
+    pending: Optional[tuple[str, int, list]] = None
 
-    # ---------------------------------------------------------------- S/A pass
-    line_idx = 0
-    n_lines = len(all_lines)
-    while line_idx < n_lines:
-        line = all_lines[line_idx].strip().split()
-        line_idx += 1
-        if not line or line[0] != "S":
-            continue
-        _, rid, sequence, length = line[:4]
-        if sequence == "*":
-            no_seqs = True
-        length = int(length[5:])  # 'LN:i:<len>'
-
-        t = len(node_lengths)
-        real_idx, virt_idx = 2 * t, 2 * t + 1
-        read_to_node[rid] = (real_idx, virt_idx)
-        node_to_read[real_idx] = rid
-        node_to_read[virt_idx] = rid
-        node_seqs.append(None if sequence == "*" else sequence)
-        node_lengths.append(length)
-
-        gfa_id = rid
-        ids: list[tuple[str, str]] = []
-        if rid.startswith("utg"):
-            # unitig: consume following 'A' lines (graph_parser.py:189-211)
-            while line_idx < n_lines:
-                aline = all_lines[line_idx].strip().split()
-                if not aline or aline[0] != "A":
-                    break
-                line_idx += 1
-                utg_to_read, read_orientation = aline[4], aline[3]
-                ids.append((utg_to_read, read_orientation))
-                read_to_node2[utg_to_read] = (real_idx, virt_idx)
-            node_to_read[real_idx] = ids
-            node_to_read[virt_idx] = ids
-
+    def _finalize():
+        nonlocal pending
+        if pending is None:
+            return
+        rid, t, ids = pending
+        pending = None
+        if ids:
+            node_to_read[2 * t] = ids
+            node_to_read[2 * t + 1] = ids
         if training:
             if not ids:
-                strand, start, end, chrom = parse_training_header(read_headers[gfa_id])
+                strand, start, end, chrom = parse_training_header(read_headers[rid])
             else:
                 # collapse multi-read unitig (graph_parser.py:231-266)
                 c_strands, c_starts, c_ends, c_chrs = [], [], [], []
@@ -128,80 +112,137 @@ def parse_gfa(gfa_path: str, reads_path: Optional[str] = None,
             ends.extend((end, end))
             chrs.extend((chrom, chrom))
 
+    with open(gfa_path) as f:
+        for raw in f:
+            head = raw[0] if raw else ""
+            if head == "A":
+                if pending is not None and pending[2] is not None:
+                    aline = raw.split()
+                    utg_to_read, read_orientation = aline[4], aline[3]
+                    pending[2].append((utg_to_read, read_orientation))
+                    t = pending[1]
+                    read_to_node2[utg_to_read] = (2 * t, 2 * t + 1)
+                continue
+            _finalize()
+            if head != "S":
+                continue
+            line = raw.split()
+            _, rid, sequence, length = line[:4]
+            length = int(length[5:])  # 'LN:i:<len>'
+
+            t = len(node_lengths)
+            real_idx, virt_idx = 2 * t, 2 * t + 1
+            read_to_node[rid] = (real_idx, virt_idx)
+            node_to_read[real_idx] = rid
+            node_to_read[virt_idx] = rid
+            node_lengths.append(length)
+            if sequence == "*":
+                missing_seq.append(t)
+                offsets.append(offsets[-1])
+            else:
+                blob += sequence.encode("ascii")
+                offsets.append(len(blob))
+            # A lines are only attached to unitig records (graph_parser.py:189)
+            pending = (rid, t, [] if rid.startswith("utg") else None)
+    _finalize()
+
     num_reads = len(node_lengths)
     num_nodes = 2 * num_reads
 
-    # ------------------------------------------------------------------ L pass
-    # first-occurrence order with last-wins attributes, matching networkx
-    # add_edge semantics in the reference (graph_parser.py:321-340)
-    pair_slot: dict[tuple[int, int], int] = {}
-    e_src: list[int] = []
-    e_dst: list[int] = []
-    e_ol: list[int] = []
+    # -------------------------------------------------------- L pass (stream)
+    e_src = array("i")
+    e_dst = array("i")
+    e_ol = array("q")
 
-    def add_edge(u: int, v: int, ol: int):
-        slot = pair_slot.get((u, v))
-        if slot is None:
-            pair_slot[(u, v)] = len(e_src)
-            e_src.append(u)
-            e_dst.append(v)
-            e_ol.append(ol)
-        else:
-            e_ol[slot] = ol
+    with open(gfa_path) as f:
+        for raw in f:
+            if not raw or raw[0] != "L":
+                continue
+            line = raw.split()
+            if len(line) == 6:                  # raven / GFA-1
+                _, id1, o1, id2, o2, cigar = line
+            elif len(line) == 7:                # hifiasm (ids carry :start-end)
+                _, id1, o1, id2, o2, cigar, _x = line
+                id1 = _HIFIASM_ID_RE.findall(id1)[0]
+                id2 = _HIFIASM_ID_RE.findall(id2)[0]
+            elif len(line) == 8:                # newer hifiasm
+                _, id1, o1, id2, o2, cigar, _x, _y = line
+            else:
+                raise ValueError("Unknown GFA format (L record with "
+                                 f"{len(line)} fields)")
+            ol_length = int(cigar[:-1])         # '1234M'
+            if ol_length == 0:                  # degenerate (graph_parser.py:297)
+                continue
+            n1, n2 = read_to_node[id1], read_to_node[id2]
+            if o1 == "+":
+                if o2 == "+":
+                    src_real, dst_real, src_virt, dst_virt = n1[0], n2[0], n2[1], n1[1]
+                else:
+                    src_real, dst_real, src_virt, dst_virt = n1[0], n2[1], n2[0], n1[1]
+            else:
+                if o2 == "+":
+                    src_real, dst_real, src_virt, dst_virt = n1[1], n2[0], n2[1], n1[0]
+                else:
+                    src_real, dst_real, src_virt, dst_virt = n1[1], n2[1], n2[0], n1[0]
+            e_src.append(src_real)
+            e_dst.append(dst_real)
+            e_ol.append(ol_length)
+            e_src.append(src_virt)
+            e_dst.append(dst_virt)
+            e_ol.append(ol_length)
 
-    for raw in all_lines:
-        line = raw.strip().split()
-        if not line or line[0] != "L":
-            continue
-        if len(line) == 6:                      # raven / GFA-1
-            _, id1, o1, id2, o2, cigar = line
-        elif len(line) == 7:                    # hifiasm (ids carry :start-end)
-            _, id1, o1, id2, o2, cigar, _x = line
-            id1 = _HIFIASM_ID_RE.findall(id1)[0]
-            id2 = _HIFIASM_ID_RE.findall(id2)[0]
-        elif len(line) == 8:                    # newer hifiasm
-            _, id1, o1, id2, o2, cigar, _x, _y = line
-        else:
-            raise ValueError("Unknown GFA format (L record with "
-                             f"{len(line)} fields)")
-        ol_length = int(cigar[:-1])             # '1234M'
-        if ol_length == 0:                      # degenerate (graph_parser.py:297)
-            continue
-        n1, n2 = read_to_node[id1], read_to_node[id2]
-        if o1 == "+" and o2 == "+":
-            src_real, dst_real, src_virt, dst_virt = n1[0], n2[0], n2[1], n1[1]
-        elif o1 == "+" and o2 == "-":
-            src_real, dst_real, src_virt, dst_virt = n1[0], n2[1], n2[0], n1[1]
-        elif o1 == "-" and o2 == "+":
-            src_real, dst_real, src_virt, dst_virt = n1[1], n2[0], n2[1], n1[0]
-        else:
-            src_real, dst_real, src_virt, dst_virt = n1[1], n2[1], n2[0], n1[0]
-        add_edge(src_real, dst_real, ol_length)
-        add_edge(src_virt, dst_virt, ol_length)
+    src = np.frombuffer(e_src, dtype=np.int32).copy()
+    dst = np.frombuffer(e_dst, dtype=np.int32).copy()
+    ol = np.frombuffer(e_ol, dtype=np.int64).copy()
+    del e_src, e_dst, e_ol
 
-    src = np.asarray(e_src, dtype=np.int32)
-    dst = np.asarray(e_dst, dtype=np.int32)
-    ol = np.asarray(e_ol, dtype=np.int64)
+    # deduplicate repeated (u, v) pairs: first-occurrence order, last-wins
+    # attributes — networkx add_edge semantics (graph_parser.py:321-340) —
+    # in one vectorised pass instead of a per-edge Python dict
+    if src.size:
+        keys = src.astype(np.int64) * num_nodes + dst
+        uniq, first_idx = np.unique(keys, return_index=True)
+        if uniq.shape[0] != keys.shape[0]:
+            by_key = np.argsort(keys, kind="stable")
+            last_idx = by_key[np.searchsorted(keys[by_key], uniq, side="right") - 1]
+            occ = np.argsort(first_idx)
+            src, dst, ol = src[first_idx[occ]], dst[first_idx[occ]], ol[last_idx[occ]]
 
     # canonical edge order: grouped by src (stable), see module docstring
     order = np.argsort(src, kind="stable")
     src, dst, ol = src[order], dst[order], ol[order]
 
     # ------------------------------------------------------------- sequences
-    if no_seqs:
+    if missing_seq:
         if reads_path is None:
             raise ValueError("GFA has no sequences ('*') and no reads_path given")
-        seq_by_id = {r.id: r.seq for r in read_fastx(reads_path)}
-        for t in range(num_reads):
+        need: dict[str, int] = {}
+        for t in missing_seq:
             rid = node_to_read[2 * t]
-            if node_seqs[t] is None:
-                if isinstance(rid, list):
-                    raise ValueError("'*' sequences with unitig graphs need the "
-                                     "GFA to carry unitig sequences")
-                node_seqs[t] = seq_by_id[rid]
-    reads = ReadStore.from_sequences([s if s is not None else "" for s in node_seqs])
+            if isinstance(rid, list):
+                raise ValueError("'*' sequences with unitig graphs need the "
+                                 "GFA to carry unitig sequences")
+            need[rid] = t
+        seq_of_t: dict[int, str] = {}
+        for r in read_fastx(reads_path):
+            t = need.pop(r.id, None)
+            if t is not None:
+                seq_of_t[t] = r.seq
+        # splice the fetched sequences into the packed blob in read order
+        new_blob = bytearray()
+        new_offsets = array("q", [0])
+        for t in range(num_reads):
+            if t in seq_of_t:
+                new_blob += seq_of_t.pop(t).encode("ascii")
+            else:
+                new_blob += blob[offsets[t]:offsets[t + 1]]
+            new_offsets.append(len(new_blob))
+        blob, offsets = new_blob, new_offsets
+    reads = ReadStore(bytes(blob),
+                      np.frombuffer(offsets, dtype=np.int64).copy())
+    del blob
 
-    read_length_pairs = np.asarray(node_lengths, dtype=np.int64)
+    read_length_pairs = np.frombuffer(node_lengths, dtype=np.int64)
     read_length = np.repeat(read_length_pairs, 2)
     prefix_length = read_length[src] - ol
 

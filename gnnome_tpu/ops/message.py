@@ -43,6 +43,25 @@ def _plan_for(gt: GraphTensors, flip: bool):
     return gt.wplan_flip if flip else gt.wplan
 
 
+def combine_block_partials(partial, visited, n_pad: int, window: int):
+    """[NB*2W, D] per-block window partials -> [Np, D] node sums.
+
+    Row ``b*2W + j`` of ``partial`` belongs to node ``b*W + j``; each node
+    receives one row from its own block (low half) and one from the previous
+    block (high half), so the combine is a masked reshape + shifted add —
+    O(2*Np*D) elementwise, no segment-sum (the old per-tile layout needed a
+    [T*2W]-row scatter here, the measured bottleneck of the fused layer).
+    ``visited`` masks never-written (uninitialised) partial blocks.
+    """
+    NB = visited.shape[0]
+    D = partial.shape[1]
+    p = partial.reshape(NB, 2, window, D) * visited[:, None, None, None]
+    zero = jnp.zeros((1, window, D), partial.dtype)
+    res = (jnp.concatenate([p[:, 0], zero], axis=0)
+           + jnp.concatenate([zero, p[:, 1]], axis=0))
+    return res.reshape(n_pad, D)
+
+
 def fused_gate_gather(gt: GraphTensors, proj_u: jax.Array, proj_v: jax.Array,
                       b3e: jax.Array, flip: bool = False,
                       backend: str | None = None):
@@ -166,10 +185,10 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
 
     e_out, partial_u, partial_v = k3_fused_eval_layer(
         plan, proj_u, proj_v, b3e, e_in, bn_scale, bn_bias, gt.edge_mask)
-    sum_u = jax.ops.segment_sum(partial_u.astype(jnp.float32),
-                                plan.u_combine, num_segments=n_pad)
-    sum_v = jax.ops.segment_sum(partial_v.astype(jnp.float32),
-                                plan.v_combine, num_segments=n_pad)
+    sum_u = combine_block_partials(partial_u, plan.u_visited, n_pad,
+                                   plan.window)
+    sum_v = combine_block_partials(partial_v, plan.v_visited, n_pad,
+                                   plan.window)
 
     # overflow edges: recompute the full edge stage with direct gathers
     sl = plan.ovf_slots
@@ -201,8 +220,10 @@ def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
 
     n_pad = plan.n_pad
     partial_u, partial_v = k2_aggregate(plan, pay_u, pay_v)
-    sum_b = jax.ops.segment_sum(partial_u, plan.u_combine, num_segments=n_pad)
-    sum_f = jax.ops.segment_sum(partial_v, plan.v_combine, num_segments=n_pad)
+    sum_b = combine_block_partials(partial_u, plan.u_visited, n_pad,
+                                   plan.window)
+    sum_f = combine_block_partials(partial_v, plan.v_visited, n_pad,
+                                   plan.window)
     # overflow contributions
     sl, m = plan.ovf_slots, plan.ovf_mask
     sum_b = sum_b + jax.ops.segment_sum(
@@ -223,8 +244,11 @@ def _aggregate_fwd(plan, u_idx, v_idx, pay_u, pay_v):
 def _aggregate_bwd(res, g):
     u_idx, v_idx, dtype_probe = res
     d_sum_b, d_sum_f = g
-    d_pay_u = jnp.take(d_sum_b, u_idx, axis=0).astype(dtype_probe.dtype)
-    d_pay_v = jnp.take(d_sum_f, v_idx, axis=0).astype(dtype_probe.dtype)
+    # cast BEFORE the gather: a bf16 row gather is ~5x cheaper than f32
+    # (measured cost model, models/sym_gated_gcn.py docstring); in f32 mode
+    # the cast is a no-op so gradients are unchanged
+    d_pay_u = jnp.take(d_sum_b.astype(dtype_probe.dtype), u_idx, axis=0)
+    d_pay_v = jnp.take(d_sum_f.astype(dtype_probe.dtype), v_idx, axis=0)
     return None, None, None, d_pay_u, d_pay_v
 
 

@@ -116,8 +116,17 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
 def _k2_kernel(u_blk_ref, v_blk_ref, ul, vl, pay_u, pay_v,
                pu_out, pv_out, *, tile_e, window, chunk):
     io = jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
-    pu_out[:] = jnp.zeros_like(pu_out)
-    pv_out[:] = jnp.zeros_like(pv_out)
+    # block-keyed accumulation: the out blocks follow u_blk/v_blk (monotone),
+    # staying in VMEM across consecutive tiles; zero only on block change
+    t = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
+    def _():
+        pu_out[:] = jnp.zeros_like(pu_out)
+
+    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
+    def _():
+        pv_out[:] = jnp.zeros_like(pv_out)
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
@@ -145,11 +154,13 @@ def _k2_kernel(u_blk_ref, v_blk_ref, ul, vl, pay_u, pay_v,
 def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
     """pay_u/pay_v: [Ep, Dp] per-edge payloads ([sigma*m | sigma]).
 
-    Returns (partial_u, partial_v): [T*2W, Dp] window partial sums; row
-    ``t*2W + j`` belongs to node ``*_combine[t*2W + j]``.
+    Returns (partial_u, partial_v): [NB*2W, Dp] per-BLOCK partial sums; row
+    ``b*2W + j`` belongs to node ``b*W + j`` (combine with
+    ``message.combine_block_partials`` — a reshape+add, no segment-sum).
     """
     Ep, Dp = pay_u.shape
     T, ET, W = plan.n_tiles, plan.tile_e, plan.window
+    NB = plan.n_blocks
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -161,11 +172,11 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
             pl.BlockSpec((ET, Dp), lambda t, ub, vb: (t, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((2 * W, Dp), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((2 * W, Dp), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((2 * W, Dp), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((2 * W, Dp), lambda t, ub, vb: (vb[t], 0)),
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((T * 2 * W, Dp), jnp.float32)] * 2
+    out_shape = [jax.ShapeDtypeStruct((NB * 2 * W, Dp), jnp.float32)] * 2
     kern = functools.partial(_k2_kernel, tile_e=ET, window=W,
                              chunk=min(CHUNK, ET))
     return pl.pallas_call(
@@ -186,8 +197,16 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e, e_in,
     ioT = jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
     scale = affine[0:1, :]
     bias = affine[1:2, :]
-    pu_out[:] = jnp.zeros_like(pu_out)
-    pv_out[:] = jnp.zeros_like(pv_out)
+    # block-keyed accumulation (see _k2_kernel)
+    t = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
+    def _():
+        pu_out[:] = jnp.zeros_like(pu_out)
+
+    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
+    def _():
+        pv_out[:] = jnp.zeros_like(pv_out)
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
@@ -242,8 +261,8 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e, e_in,
 def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
                         bn_scale, bn_bias, emask):
     """Fused eval edge stage.  Returns (e_out [Ep, d], partial_u, partial_v
-    [T*2W, d+1]); overflow slots carry gate = affine(b3e) + residual only
-    (caller patches e_out and adds overflow payloads)."""
+    [NB*2W, 2d] per-block partials); overflow slots carry gate = affine(b3e)
+    + residual only (caller patches e_out and adds overflow payloads)."""
     Ep, d = b3e.shape
     T, ET, W = plan.n_tiles, plan.tile_e, plan.window
     dtype = b3e.dtype
@@ -269,14 +288,15 @@ def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
         ],
         out_specs=[
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((2 * W, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((2 * W, 2 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((2 * W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((2 * W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
         ],
     )
+    NB = plan.n_blocks
     out_shape = [
         jax.ShapeDtypeStruct((Ep, d), dtype),
-        jax.ShapeDtypeStruct((T * 2 * W, 2 * d), jnp.float32),
-        jax.ShapeDtypeStruct((T * 2 * W, 2 * d), jnp.float32),
+        jax.ShapeDtypeStruct((NB * 2 * W, 2 * d), jnp.float32),
+        jax.ShapeDtypeStruct((NB * 2 * W, 2 * d), jnp.float32),
     ]
     kern = functools.partial(_k3_kernel, tile_e=ET, window=W, d=d,
                              chunk=min(CHUNK, ET))

@@ -24,12 +24,13 @@ WINDOW = 512     # node rows per window block (coverage = 2 blocks)
 @dataclass(frozen=True)
 class WindowedPlan:
     # --- leaves ---
-    u_blk: jax.Array        # int32 [T]   u-window block index per tile
-    v_blk: jax.Array        # int32 [T]
+    u_blk: jax.Array        # int32 [T]  u-window block per tile, NON-DECREASING
+    v_blk: jax.Array        # int32 [T]  (monotone => kernels can accumulate
+                            #            partials per block, not per tile)
     u_local: jax.Array      # int32 [Ep, 1] src - u_blk*W, sentinel 2W if overflow
     v_local: jax.Array      # int32 [Ep, 1]
-    u_combine: jax.Array    # int32 [T*2W] node id per u-partial row
-    v_combine: jax.Array    # int32 [T*2W]
+    u_visited: jax.Array    # float32 [NB] 1 where some tile wrote block b
+    v_visited: jax.Array    # float32 [NB]
     ovf_slots: jax.Array    # int32 [n_ovf_pad] overflow edge slots (pad: Ep-1*)
     ovf_mask: jax.Array     # float32 [n_ovf_pad, 1] 1 for real overflow rows
     # --- static ---
@@ -43,11 +44,17 @@ class WindowedPlan:
     def sentinel(self) -> int:
         return 2 * self.window
 
+    @property
+    def n_blocks(self) -> int:
+        """Distinct window-block positions (= Np/W - 1); the aggregation
+        kernels emit one (2W, D) partial block per position."""
+        return self.n_pad // self.window - 1
+
 
 jax.tree_util.register_dataclass(
     WindowedPlan,
-    data_fields=["u_blk", "v_blk", "u_local", "v_local", "u_combine",
-                 "v_combine", "ovf_slots", "ovf_mask"],
+    data_fields=["u_blk", "v_blk", "u_local", "v_local", "u_visited",
+                 "v_visited", "ovf_slots", "ovf_mask"],
     meta_fields=["tile_e", "window", "n_tiles", "n_ovf", "n_pad"],
 )
 
@@ -61,6 +68,12 @@ def _plan_side(idx: np.ndarray, n_tiles: int, tile_e: int, window: int,
     med = np.median(tiles, axis=1).astype(np.int64)
     # centre the 2-block window on the median: med - blk*W in [W/2, 3W/2)
     blk = np.clip((med - window // 2) // window, 0, max_blk).astype(np.int32)
+    # monotone non-decreasing blocks: lets the kernels keep one (2W, D)
+    # accumulator per block position in VMEM across consecutive tiles (and
+    # makes the combine a reshape+add instead of a segment-sum).  Assembly
+    # graphs are banded, so the running max displaces almost nothing; edges a
+    # displaced window no longer covers go to the overflow path.
+    blk = np.maximum.accumulate(blk)
     base = (blk.astype(np.int64) * window)[:, None]
     local = tiles - base
     ovf = (local < 0) | (local >= 2 * window)
@@ -102,17 +115,17 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
     ovf_mask = np.zeros((n_ovf_pad, 1), dtype=np.float32)
     ovf_mask[:n_ovf] = 1.0
 
-    ar = np.arange(2 * window, dtype=np.int64)
-    u_combine = np.clip(u_blk.astype(np.int64)[:, None] * window + ar[None, :],
-                        0, Np - 1).reshape(-1).astype(np.int32)
-    v_combine = np.clip(v_blk.astype(np.int64)[:, None] * window + ar[None, :],
-                        0, Np - 1).reshape(-1).astype(np.int32)
+    n_blocks = Np // window - 1
+    u_visited = np.zeros(n_blocks, dtype=np.float32)
+    v_visited = np.zeros(n_blocks, dtype=np.float32)
+    u_visited[u_blk] = 1.0     # unvisited partial blocks hold uninitialised
+    v_visited[v_blk] = 1.0     # HBM; the combine masks them out
 
     return WindowedPlan(
         u_blk=jnp.asarray(u_blk), v_blk=jnp.asarray(v_blk),
         u_local=jnp.asarray(u_local.reshape(-1, 1)),
         v_local=jnp.asarray(v_local.reshape(-1, 1)),
-        u_combine=jnp.asarray(u_combine), v_combine=jnp.asarray(v_combine),
+        u_visited=jnp.asarray(u_visited), v_visited=jnp.asarray(v_visited),
         ovf_slots=jnp.asarray(ovf_slots), ovf_mask=jnp.asarray(ovf_mask),
         tile_e=tile_e, window=window, n_tiles=n_tiles, n_ovf=n_ovf,
         n_pad=Np,

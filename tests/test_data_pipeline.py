@@ -99,3 +99,18 @@ def test_dataset_cache_and_lazy_loading(tmp_path):
     assert idx == 0 and g0.num_nodes == 40
     ds3 = dataset_for("hifiasm", str(root), n_need=3)
     assert not ds3.has_cache()
+
+    # epoch 2+ does zero disk reads: repeated access returns the in-memory
+    # graph (reference keeps graphs loaded for the run, graph_dataset.py:47-56)
+    _, again = ds[0]
+    assert again is g0
+    import gnnome_tpu.data.dataset as dsmod
+    calls = []
+    orig = dsmod.AssemblyGraph.load
+    dsmod.AssemblyGraph.load = classmethod(
+        lambda cls, p: calls.append(p) or orig(p))
+    try:
+        ds[0], ds[1], ds[0], ds[1]
+        assert len(calls) == 1  # only ds[1]'s first-ever access hits disk
+    finally:
+        dsmod.AssemblyGraph.load = orig
