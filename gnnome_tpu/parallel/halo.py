@@ -133,8 +133,28 @@ def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
     off = src.astype(np.int64) - blk_start
     reach = np.maximum(np.maximum(-off, off - (Nb - 1)), 0)
     k_cap = _round_up(int(max_k_frac * Nb), 8)
-    K = int(reach[real].max()) if real.any() else 0
-    K = max(8, _round_up(K, 8))
+    # strip size: real assembly graphs have a bimodal reach distribution —
+    # almost all edges are near-local plus a thin tail of stray long-range
+    # overlaps.  Choose the cheapest K over reach quantiles, routing the tail
+    # through the overflow buffer (cost model: a strip row is ppermuted twice
+    # per layer, an overflow row is psum'd once — weight overflow 4x).
+    K = 8
+    if real.any():
+        r = reach[real]
+        best = None
+        for q in (90.0, 99.0, 99.9, 99.99, 100.0):
+            k_cand = max(8, _round_up(int(np.percentile(r, q)), 8))
+            if k_cand > k_cap:
+                continue
+            n_over = len(np.unique(src[real & (reach > k_cand)]))
+            if n_over > max_ovf_frac * Nb:
+                continue
+            cost = 2 * k_cand + 4 * n_over
+            if best is None or cost < best[0]:
+                best = (cost, k_cand)
+        if best is None:
+            return None
+        K = best[1]
     counts = np.bincount(owner[real], minlength=P)
     Emax = max(128, _round_up(int(counts.max()), 128))
     if bucket_growth and bucket_growth > 1.0:
@@ -183,10 +203,12 @@ def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
     slot_map[real_idx, 1] = pos
 
     nmask = np.asarray(gt.node_mask).reshape(P, Nb, 1).astype(np.float32)
+    # leaves stay NUMPY: multi-host device_put accepts a host array identical
+    # on every process, but not an array already committed to one device
     return HaloPlan(
-        src_ext=jnp.asarray(src_ext), dst_loc=jnp.asarray(dst_loc),
-        e_feat=jnp.asarray(e_dev), emask=jnp.asarray(emask),
-        nmask=jnp.asarray(nmask), ovf_rows=jnp.asarray(ovf_rows),
+        src_ext=src_ext, dst_loc=dst_loc,
+        e_feat=e_dev, emask=emask,
+        nmask=nmask, ovf_rows=ovf_rows,
         P=P, Nb=Nb, K=K, Emax=Emax, Rpad=Rpad, n_ovf=R, n_edges=gt.n_edges,
         slot_map=HostArray(slot_map),
     )
@@ -619,45 +641,105 @@ def prepare_halo_example(cfg: Config, mesh, gt: GraphTensors,
     if plan is None:
         return None
     gshard = graph_sharding(mesh)
-    x = _pad_host(x_host, gt.n_nodes_pad).reshape(P, plan.Nb, -1)
-    x = jax.device_put(jnp.asarray(x), gshard)
+    # device_put from HOST numpy (not jnp.asarray): in a multi-process mesh a
+    # pre-committed single-device array cannot be resharded globally, while a
+    # host array identical on all processes can
+    x = jax.device_put(_pad_host(x_host, gt.n_nodes_pad)
+                       .reshape(P, plan.Nb, -1), gshard)
     if x_rev_host is not None:
-        xr = _pad_host(x_rev_host, gt.n_nodes_pad).reshape(P, plan.Nb, -1)
-        xr = jax.device_put(jnp.asarray(xr), gshard)
+        xr = jax.device_put(_pad_host(x_rev_host, gt.n_nodes_pad)
+                            .reshape(P, plan.Nb, -1), gshard)
     else:
         xr = x
     if y_host is not None:
         lab = to_device_edges(
             plan, _pad_host(y_host.astype(np.float32)[:, None],
                             gt.n_edges_pad), gt)
-        lab = jax.device_put(jnp.asarray(lab), gshard)
+        lab = jax.device_put(lab, gshard)
     else:
         lab = None
     rshard = replicated_sharding(mesh)
-    scalars = (jax.device_put(jnp.asarray(gt.n_nodes, jnp.float32), rshard),
-               jax.device_put(jnp.asarray(gt.n_edges, jnp.float32), rshard))
+    scalars = (jax.device_put(np.float32(gt.n_nodes), rshard),
+               jax.device_put(np.float32(gt.n_edges), rshard))
     plan_dev = jax.device_put(plan, gshard)
     return HaloExample(gt=gt, plan=plan_dev, x=x, x_rev=xr, labels=lab,
                        scalars=scalars, n_edges=gt.n_edges)
 
 
+def band_order(src: np.ndarray, dst: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Pair-level BFS relabelling: new node id per old node id, RC pairs
+    (i, i^1) kept adjacent.
+
+    Halo plans need a BANDED node order (every edge's endpoints close in id
+    space).  Assembler output is genome-coherent so the identity order
+    usually works; graphs whose reads are not position-ordered (or shuffled
+    subgraphs) get re-banded by following connectivity — the node-order analog
+    of the partitioner's BFS mode (graphs/partition.py:29-53)."""
+    from collections import deque
+
+    n_pairs = n_nodes // 2
+    pair_u = src >> 1
+    pair_v = dst >> 1
+    order = np.argsort(pair_u, kind="stable")
+    nbr = pair_v[order]
+    ptr = np.zeros(n_pairs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(pair_u, minlength=n_pairs), out=ptr[1:])
+
+    new_pair = np.full(n_pairs, -1, dtype=np.int64)
+    pos = 0
+    for seed in range(n_pairs):
+        if new_pair[seed] >= 0:
+            continue
+        queue = deque([seed])
+        new_pair[seed] = pos
+        pos += 1
+        while queue:
+            p = queue.popleft()
+            for q in nbr[ptr[p]:ptr[p + 1]]:
+                if new_pair[q] < 0:
+                    new_pair[q] = pos
+                    pos += 1
+                    queue.append(int(q))
+    new_of_old = np.empty(n_nodes, dtype=np.int64)
+    new_of_old[0::2] = 2 * new_pair
+    new_of_old[1::2] = 2 * new_pair + 1
+    return new_of_old
+
+
 def halo_example_from_unit(cfg: Config, mesh, unit) -> HaloExample | None:
     """HaloExample from a train.step.HostUnit (same masking/clustering/
-    z-scoring semantics as the single-chip example builder)."""
+    z-scoring semantics as the single-chip example builder).
+
+    Tries the assembler's node order first; if it yields no halo plan,
+    re-bands the nodes with ``band_order`` and retries (edge ids — and hence
+    labels/logits order — are unaffected by node relabelling)."""
     from ..train.step import _zscore
 
     P = mesh.devices.size
-    gt = GraphTensors.build(unit.src, unit.dst, unit.n_nodes,
-                            cfg.compute.edge_pad_multiple,
-                            cfg.compute.node_pad_multiple,
-                            divisible_by=P,
-                            bucket_growth=unit.bucket_growth)
     zi, zo = _zscore(unit.in_deg), _zscore(unit.out_deg)
-    return prepare_halo_example(cfg, mesh, gt,
-                                np.stack([zi, zo], axis=1),
-                                np.stack([zo, zi], axis=1),
-                                unit.e_feat, unit.y,
+    for relabel in (False, True):
+        if relabel:
+            new_of_old = band_order(unit.src, unit.dst, unit.n_nodes)
+            src = new_of_old[unit.src].astype(unit.src.dtype)
+            dst = new_of_old[unit.dst].astype(unit.dst.dtype)
+            old_of_new = np.argsort(new_of_old)
+            x = np.stack([zi, zo], axis=1)[old_of_new]
+            x_rev = np.stack([zo, zi], axis=1)[old_of_new]
+        else:
+            src, dst = unit.src, unit.dst
+            x = np.stack([zi, zo], axis=1)
+            x_rev = np.stack([zo, zi], axis=1)
+        gt = GraphTensors.build(src, dst, unit.n_nodes,
+                                cfg.compute.edge_pad_multiple,
+                                cfg.compute.node_pad_multiple,
+                                divisible_by=P,
                                 bucket_growth=unit.bucket_growth)
+        ex = prepare_halo_example(cfg, mesh, gt, x, x_rev,
+                                  unit.e_feat, unit.y,
+                                  bucket_growth=unit.bucket_growth)
+        if ex is not None:
+            return ex
+    return None
 
 
 def _pad_host(a: np.ndarray, n: int) -> np.ndarray:
@@ -671,18 +753,31 @@ def _pad_host(a: np.ndarray, n: int) -> np.ndarray:
 
 def halo_score_graph(graph, params, state, cfg: Config, mesh):
     """Multi-chip inference via halo exchange; returns host-order edge logits
-    or None when the graph has no halo plan (caller falls back to GSPMD)."""
+    or None when the graph has no halo plan even after band reordering
+    (caller falls back to GSPMD)."""
     from ..models import edge_features, node_features
     from .mesh import replicated_sharding
 
     P = mesh.devices.size
-    gt = GraphTensors.build(graph.src, graph.dst, graph.num_nodes,
-                            cfg.compute.edge_pad_multiple,
-                            cfg.compute.node_pad_multiple,
-                            divisible_by=P)
-    ex = prepare_halo_example(cfg, mesh, gt, node_features(graph), None,
-                              edge_features(graph, cfg.data.use_similarities),
-                              None, bucket_growth=0.0)
+    x_id = node_features(graph)
+    ef = edge_features(graph, cfg.data.use_similarities)
+    ex = None
+    for relabel in (False, True):
+        if relabel:
+            new_of_old = band_order(graph.src, graph.dst, graph.num_nodes)
+            src = new_of_old[graph.src].astype(graph.src.dtype)
+            dst = new_of_old[graph.dst].astype(graph.dst.dtype)
+            x = x_id[np.argsort(new_of_old)]
+        else:
+            src, dst, x = graph.src, graph.dst, x_id
+        gt = GraphTensors.build(src, dst, graph.num_nodes,
+                                cfg.compute.edge_pad_multiple,
+                                cfg.compute.node_pad_multiple,
+                                divisible_by=P)
+        ex = prepare_halo_example(cfg, mesh, gt, x, None, ef, None,
+                                  bucket_growth=0.0)
+        if ex is not None:
+            break
     if ex is None:
         return None
     rshard = replicated_sharding(mesh)
@@ -690,7 +785,7 @@ def halo_score_graph(graph, params, state, cfg: Config, mesh):
     state = jax.device_put(state, rshard)
     fwd = make_halo_forward(cfg, mesh)
     logits = fwd(params, state, ex.plan, ex.x, ex.scalars)
-    return halo_scores_to_host(ex.plan, np.asarray(logits)[..., None], gt)
+    return halo_scores_to_host(ex.plan, np.asarray(logits)[..., None], ex.gt)
 
 
 def halo_scores_to_host(plan: HaloPlan, scores_dev: np.ndarray,

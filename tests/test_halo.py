@@ -138,3 +138,38 @@ def test_halo_score_graph_none_for_unbanded():
     gt = GraphTensors.build(src, dst, n, 256, 64, divisible_by=8)
     plan = build_halo_plan(gt, np.zeros((gt.n_edges_pad, 2), np.float32), 8)
     assert plan is None
+
+
+def test_halo_band_reorder_for_shuffled_graph():
+    """A graph whose node ids are randomly permuted (not genome-ordered)
+    yields no identity-order plan, but halo_score_graph re-bands it with the
+    BFS pair order and still matches the single-device logits."""
+    import dataclasses
+    from gnnome_tpu.parallel.halo import band_order
+
+    g, cfg, gt0 = _setup(seed=5)
+    rng = np.random.default_rng(4)
+    pair_perm = rng.permutation(g.num_nodes // 2)
+    new_of_old = np.empty(g.num_nodes, dtype=np.int64)
+    new_of_old[0::2] = 2 * pair_perm
+    new_of_old[1::2] = 2 * pair_perm + 1
+    old_of_new = np.argsort(new_of_old)
+    g2 = dataclasses.replace(
+        g, src=new_of_old[g.src].astype(g.src.dtype),
+        dst=new_of_old[g.dst].astype(g.dst.dtype),
+        read_length=g.read_length[old_of_new], _csr=None, _csc=None)
+
+    gt2 = GraphTensors.build(g2.src, g2.dst, g2.num_nodes, 256, 64,
+                             divisible_by=8)
+    assert build_halo_plan(
+        gt2, np.asarray(gt2.pad_edges(edge_features(g2))), 8) is None, \
+        "shuffled graph must not be banded in identity order"
+    # RC-pair adjacency is preserved by the re-banding permutation
+    nn = band_order(g2.src, g2.dst, g2.num_nodes)
+    assert np.array_equal(nn[0::2] ^ 1, nn[1::2])
+
+    params, state = load_model_weights(WEIGHTS)
+    ref = score_graph(g2, params, state, cfg)
+    got = halo_score_graph(g2, params, state, cfg, make_mesh(8))
+    assert got is not None, "band reordering should recover a halo plan"
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
