@@ -184,7 +184,7 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
     n_pad = plan.n_pad
 
     e_out, partial_u, partial_v = k3_fused_eval_layer(
-        plan, proj_u, proj_v, b3e, e_in, bn_scale, bn_bias, gt.edge_mask)
+        plan, proj_u, proj_v, b3e, e_in, bn_scale, bn_bias)
     sum_u = combine_block_partials(partial_u, plan.u_visited, n_pad,
                                    plan.window)
     sum_v = combine_block_partials(partial_v, plan.v_visited, n_pad,

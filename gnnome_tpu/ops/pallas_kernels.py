@@ -1,6 +1,6 @@
 """Pallas/Mosaic TPU kernels for the message-passing hot path.
 
-Two kernels over the windowed plan (ops/windowed.py):
+Three kernels over the windowed plan (ops/windowed.py):
 
 K1 ``gather_gate``   per edge tile: DMA both endpoints' node-row windows into
                      VMEM (Pallas block prefetch with scalar-driven index maps
@@ -9,21 +9,29 @@ K1 ``gather_gate``   per edge tile: DMA both endpoints' node-row windows into
                      input ``B1h[u] + B2h[v] + B3e`` plus the gathered message
                      values A2h[u], A3h[v].
 
-K2 ``aggregate``     per edge tile: transpose-one-hot matmuls accumulate
-                     ``[sigma*m | sigma]`` into per-tile window partials for
-                     BOTH aggregation directions; a cheap XLA segment-sum
-                     combines the (much smaller) partial rows into node space.
+K2 ``aggregate``     per edge tile: one-hot matmuls accumulate
+                     ``[sigma*m | sigma]`` into per-block window partials for
+                     BOTH aggregation directions; a reshape+add combine turns
+                     the partial rows into node space (ops/message.py).
 
-Tiles are large (TILE_E edges) to amortise window DMA and keep the partial
-volume small; the edge loop runs in CHUNK-row steps inside the kernel so the
-one-hot temporaries stay VMEM-sized.  Dots run at Precision.HIGHEST: with f32
-inputs the one-hot row select is then exact to f32 (bf16x3 passes), with bf16
-inputs it is a single MXU pass with f32 accumulation.
+K3 ``fused eval``    the whole eval-mode edge stage in one pass: selects ->
+                     gate -> BN affine -> relu -> residual -> sigmoid -> both
+                     aggregation partials.
 
-Both kernels replace row-gather/scatter HLOs (the measured cost driver on
-TPU — see models/sym_gated_gcn.py docstring) with sequential window DMA + MXU
-selects.  Edges escaping their tile window are routed to a small XLA overflow
-path by the caller (ops/message.py).
+One-hots are built **transposed** ``[2W, chunk]`` (window rows x edge lanes):
+the per-edge local indices stream in lane-major rows (see windowed.py — a
+column layout pays a 128x lane-padding tax in HBM, the dominant kernel cost
+before this design), the build is a broadcast compare against iota over
+sublanes, selects contract the one-hot's dim 0 (``dot_general`` with a
+transposed contraction — native on the MXU), and scatters are plain dots that
+accumulate a whole chunk in ONE MXU op.  Padded and overflow edges carry the
+sentinel index 2W, so their one-hot columns are all-zero and they are inert
+in every select and scatter — no edge mask enters the kernels; overflow slots
+are patched by a small XLA path in the caller (ops/message.py).
+
+Dots run at Precision.HIGHEST for f32 operands: the one-hot row select is
+then exact to f32 (bf16x3 passes); bf16 operands use default precision (a
+single MXU pass with f32 accumulation).
 """
 from __future__ import annotations
 
@@ -36,8 +44,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .windowed import WindowedPlan
 
-CHUNK = 512          # edge rows per inner step (one-hot height)
-
 
 def _prec(dtype):
     # HIGHEST makes f32 one-hot selects exact (bf16x3 passes); bf16 operands
@@ -46,28 +52,43 @@ def _prec(dtype):
             else jax.lax.Precision.HIGHEST)
 
 
+def _ohT(io2, idx_ref, c, chunk, dtype):
+    """Transposed one-hot [2W, chunk] for in-kernel chunk ``c``: column e is
+    one-hot at the local window row of edge ``c*chunk + e`` (all-zero for the
+    sentinel 2W: padded / overflow edges)."""
+    row = idx_ref[c, :][None, :]            # [1, chunk] lane-major
+    return (io2 == row).astype(dtype)
+
+
+def _selT(ohT, w0, w1, pr):
+    """Row select via transposed contraction: [chunk, D] = ohT^T @ [w0; w1]."""
+    dn = (((0,), (0,)), ((), ()))
+    W = w0.shape[0]
+    return (jax.lax.dot_general(ohT[:W], w0[:], dimension_numbers=dn,
+                                preferred_element_type=jnp.float32,
+                                precision=pr)
+            + jax.lax.dot_general(ohT[W:], w1[:], dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=pr))
+
+
+def _scatT(ohT, pay, out):
+    """Accumulate a whole chunk into the [2W, D] window partial in one dot."""
+    out[:] += jnp.dot(ohT, pay, preferred_element_type=jnp.float32,
+                      precision=_prec(pay.dtype)).astype(out.dtype)
+
+
 # ---------------------------------------------------------------- K1: gather
 def _k1_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
                gate_out, a2h_out, a3h_out, *, tile_e, window, d, chunk):
-    io = jax.lax.broadcasted_iota(jnp.int32, (chunk, window), 1)
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
     dt = gate_out.dtype
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
-        ulc = ul[sl, 0]
-        vlc = vl[sl, 0]
-
-        def select(idx, w0, w1):
-            oh0 = (io == idx[:, None]).astype(w0.dtype)
-            oh1 = (io == (idx[:, None] - window)).astype(w0.dtype)
-            pr = _prec(w0.dtype)
-            return (jnp.dot(oh0, w0[:], preferred_element_type=jnp.float32,
-                            precision=pr)
-                    + jnp.dot(oh1, w1[:], preferred_element_type=jnp.float32,
-                              precision=pr))
-
-        gu = select(ulc, u0, u1)          # [chunk, 2d] = [B1h_u | A2h_u]
-        gv = select(vlc, v0, v1)          # [chunk, 2d] = [B2h_v | A3h_v]
+        pr = _prec(u0.dtype)
+        gu = _selT(_ohT(io2, ul, c, chunk, u0.dtype), u0, u1, pr)
+        gv = _selT(_ohT(io2, vl, c, chunk, u0.dtype), v0, v1, pr)
         gate_out[sl, :] = (gu[:, :d] + gv[:, :d]).astype(dt) + b3e[sl, :]
         a2h_out[sl, :] = gu[:, d:].astype(dt)
         a3h_out[sl, :] = gv[:, d:].astype(dt)
@@ -81,8 +102,9 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
     b3e: [Ep, d] slot order.  Returns (gate_raw, a2h_u, a3h_v), each [Ep, d];
     overflow slots carry only the b3e part (caller patches)."""
     Ep, d = b3e.shape
-    T, ET, W = plan.n_tiles, plan.tile_e, plan.window
+    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
     dtype = b3e.dtype
+    rows = plan.rows_p
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -92,8 +114,8 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
         ],
         out_specs=[
@@ -103,8 +125,7 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((Ep, d), dtype)] * 3
-    kern = functools.partial(_k1_kernel, tile_e=ET, window=W, d=d,
-                             chunk=min(CHUNK, ET))
+    kern = functools.partial(_k1_kernel, tile_e=ET, window=W, d=d, chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
@@ -115,7 +136,7 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
 # ------------------------------------------------------------- K2: aggregate
 def _k2_kernel(u_blk_ref, v_blk_ref, ul, vl, pay_u, pay_v,
                pu_out, pv_out, *, tile_e, window, chunk):
-    io = jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
     # block-keyed accumulation: the out blocks follow u_blk/v_blk (monotone),
     # staying in VMEM across consecutive tiles; zero only on block change
     t = pl.program_id(0)
@@ -130,22 +151,9 @@ def _k2_kernel(u_blk_ref, v_blk_ref, ul, vl, pay_u, pay_v,
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
-        ulc = ul[sl, 0]
-        vlc = vl[sl, 0]
-
-        def scatter(idx, pay_c, out):
-            ohT0 = (io == idx[None, :]).astype(pay_c.dtype)
-            ohT1 = (io == (idx[None, :] - window)).astype(pay_c.dtype)
-            pr = _prec(pay_c.dtype)
-            out[:window, :] += jnp.dot(
-                ohT0, pay_c, preferred_element_type=jnp.float32,
-                precision=pr).astype(out.dtype)
-            out[window:, :] += jnp.dot(
-                ohT1, pay_c, preferred_element_type=jnp.float32,
-                precision=pr).astype(out.dtype)
-
-        scatter(ulc, pay_u[sl, :], pu_out)
-        scatter(vlc, pay_v[sl, :], pv_out)
+        dt = pay_u.dtype
+        _scatT(_ohT(io2, ul, c, chunk, dt), pay_u[sl, :], pu_out)
+        _scatT(_ohT(io2, vl, c, chunk, dt), pay_v[sl, :], pv_out)
         return 0
 
     jax.lax.fori_loop(0, tile_e // chunk, body, 0)
@@ -159,15 +167,16 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
     ``message.combine_block_partials`` — a reshape+add, no segment-sum).
     """
     Ep, Dp = pay_u.shape
-    T, ET, W = plan.n_tiles, plan.tile_e, plan.window
+    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
     NB = plan.n_blocks
+    rows = plan.rows_p
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, Dp), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, Dp), lambda t, ub, vb: (t, 0)),
         ],
@@ -177,8 +186,7 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((NB * 2 * W, Dp), jnp.float32)] * 2
-    kern = functools.partial(_k2_kernel, tile_e=ET, window=W,
-                             chunk=min(CHUNK, ET))
+    kern = functools.partial(_k2_kernel, tile_e=ET, window=W, chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
@@ -187,14 +195,13 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
 
 # ----------------------------------------------------- K3: fused eval layer
 def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e, e_in,
-               affine, emask, e_out, pu_out, pv_out, *, tile_e, window, d,
-               chunk):
+               affine, e_out, pu_out, pv_out, *, tile_e, window, d, chunk):
     """Whole SymGatedGCN edge stage for EVAL mode in one pass: windowed
     endpoint selects -> gate -> BatchNorm affine -> relu -> residual ->
     sigmoid -> both aggregation partials.  No HBM round-trips between steps
-    (the split K1/K2 path pays ~8 extra E x d passes per layer)."""
-    io = jax.lax.broadcasted_iota(jnp.int32, (chunk, window), 1)
-    ioT = jax.lax.broadcasted_iota(jnp.int32, (window, chunk), 0)
+    (the split K1/K2 path pays ~8 extra E x d passes per layer).  Each
+    endpoint's one-hot is built once and reused by select AND scatter."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
     scale = affine[0:1, :]
     bias = affine[1:2, :]
     # block-keyed accumulation (see _k2_kernel)
@@ -210,20 +217,11 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e, e_in,
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
-        ulc = ul[sl, 0]
-        vlc = vl[sl, 0]
         pr = _prec(u0.dtype)
-
-        def select(idx, w0, w1):
-            oh0 = (io == idx[:, None]).astype(w0.dtype)
-            oh1 = (io == (idx[:, None] - window)).astype(w0.dtype)
-            return (jnp.dot(oh0, w0[:], preferred_element_type=jnp.float32,
-                            precision=pr)
-                    + jnp.dot(oh1, w1[:], preferred_element_type=jnp.float32,
-                              precision=pr))
-
-        g_u = select(ulc, u0, u1)
-        g_v = select(vlc, v0, v1)
+        ohT_u = _ohT(io2, ul, c, chunk, u0.dtype)
+        ohT_v = _ohT(io2, vl, c, chunk, u0.dtype)
+        g_u = _selT(ohT_u, u0, u1, pr)
+        g_v = _selT(ohT_v, v0, v1, pr)
         dt = e_out.dtype
         gate = (g_u[:, :d] + g_v[:, :d]).astype(dt) + b3e[sl, :]
         gate = gate * scale + bias            # eval BatchNorm affine
@@ -231,41 +229,32 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e, e_in,
         eo = gate + e_in[sl, :]
         e_out[sl, :] = eo
         # sigmoid in f32: Mosaic's bf16 logistic lowering miscompiles
-        # (f32 constant broadcast into a bf16 vector)
-        sigma = (jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
-                 * emask[sl, :].astype(dt))
+        # (f32 constant broadcast into a bf16 vector); padded/overflow edges
+        # need no masking — their one-hot columns are all-zero (sentinel)
+        sigma = jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
 
         pay_v = jnp.concatenate(
             [sigma * g_u[:, d:].astype(dt), sigma], axis=1)   # into dst
         pay_u = jnp.concatenate(
             [sigma * g_v[:, d:].astype(dt), sigma], axis=1)   # into src
 
-        def scatter(idx, pay_c, out):
-            ohT0 = (ioT == idx[None, :]).astype(pay_c.dtype)
-            ohT1 = (ioT == (idx[None, :] - window)).astype(pay_c.dtype)
-            prs = _prec(pay_c.dtype)
-            out[:window, :] += jnp.dot(
-                ohT0, pay_c, preferred_element_type=jnp.float32,
-                precision=prs).astype(out.dtype)
-            out[window:, :] += jnp.dot(
-                ohT1, pay_c, preferred_element_type=jnp.float32,
-                precision=prs).astype(out.dtype)
-
-        scatter(ulc, pay_u, pu_out)
-        scatter(vlc, pay_v, pv_out)
+        _scatT(ohT_u, pay_u, pu_out)
+        _scatT(ohT_v, pay_v, pv_out)
         return 0
 
     jax.lax.fori_loop(0, tile_e // chunk, body, 0)
 
 
 def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
-                        bn_scale, bn_bias, emask):
+                        bn_scale, bn_bias):
     """Fused eval edge stage.  Returns (e_out [Ep, d], partial_u, partial_v
     [NB*2W, 2d] per-block partials); overflow slots carry gate = affine(b3e)
-    + residual only (caller patches e_out and adds overflow payloads)."""
+    + residual only and contribute nothing to the partials (caller patches
+    e_out and adds overflow payloads)."""
     Ep, d = b3e.shape
-    T, ET, W = plan.n_tiles, plan.tile_e, plan.window
+    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
     dtype = b3e.dtype
+    rows = plan.rows_p
     # [8, d]: min sublane tile is 8; rows 0/1 hold scale/bias
     affine = jnp.concatenate(
         [jnp.stack([bn_scale, bn_bias]),
@@ -279,12 +268,11 @@ def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((8, d), lambda t, ub, vb: (0, 0)),
-            pl.BlockSpec((ET, 1), lambda t, ub, vb: (t, 0)),
         ],
         out_specs=[
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
@@ -298,13 +286,12 @@ def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
         jax.ShapeDtypeStruct((NB * 2 * W, 2 * d), jnp.float32),
         jax.ShapeDtypeStruct((NB * 2 * W, 2 * d), jnp.float32),
     ]
-    kern = functools.partial(_k3_kernel, tile_e=ET, window=W, d=d,
-                             chunk=min(CHUNK, ET))
+    kern = functools.partial(_k3_kernel, tile_e=ET, window=W, d=d, chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
     )(plan.u_blk, plan.v_blk, proj_u, proj_u, proj_v, proj_v,
-      plan.u_local, plan.v_local, b3e, e_in, affine, emask)
+      plan.u_local, plan.v_local, b3e, e_in, affine)
 
 
 # ----------------------------------------------------------------- utilities

@@ -7,6 +7,14 @@ a narrow window.  The plan quantises those windows to ``window``-row blocks
 can prefetch them; edges whose endpoints escape the window are routed to a
 small XLA overflow path.
 
+Per-edge local indices are stored **lane-major** ``[Ep/chunk, chunk]`` (slot
+``s`` lives at row ``s // chunk``, lane ``s % chunk``): a column-vector
+``[Ep, 1]`` layout tiles to 128 lanes in HBM, so each kernel would stream
+128x the index bytes (measured: ~1 MB/tile/array of pure padding — the
+dominant kernel cost before this layout).  Lane-major rows feed the
+transposed one-hot build directly (iota over sublanes vs a broadcast lane
+row), no in-kernel relayout.
+
 Built once per GraphTensors on host (numpy).  All shapes static.
 """
 from __future__ import annotations
@@ -19,6 +27,12 @@ import numpy as np
 
 TILE_E = 2048    # edges per kernel tile (amortises window DMA + partial rows)
 WINDOW = 512     # node rows per window block (coverage = 2 blocks)
+CHUNK = 512      # edge rows per in-kernel step (one-hot lane width)
+# (TILE_E, WINDOW) trade one-hot flops (~4*W*d per edge per kernel) against
+# overflow AND per-tile pipeline overhead: on the bench graph 2048/512 ->
+# 0.26% overflow; 1024/256 halves the flops but DOUBLES the tile count and
+# measured ~15% SLOWER end-to-end — the kernels are HBM-streaming-bound, not
+# MXU-bound (scripts/k3_ablate.py).
 
 
 @dataclass(frozen=True)
@@ -27,8 +41,13 @@ class WindowedPlan:
     u_blk: jax.Array        # int32 [T]  u-window block per tile, NON-DECREASING
     v_blk: jax.Array        # int32 [T]  (monotone => kernels can accumulate
                             #            partials per block, not per tile)
-    u_local: jax.Array      # int32 [Ep, 1] src - u_blk*W, sentinel 2W if overflow
-    v_local: jax.Array      # int32 [Ep, 1]
+    u_local: jax.Array      # int32 [T*rows_p, chunk] lane-major: tile t's
+                            #   chunk c lives at row t*rows_p + c (rows_p =
+                            #   tile_e/chunk padded up to a multiple of 8 for
+                            #   the sublane tiling; pad rows hold sentinels);
+                            #   value = src - u_blk*W, sentinel 2W if
+                            #   overflow/padded
+    v_local: jax.Array      # int32 [T*rows_p, chunk]
     u_visited: jax.Array    # float32 [NB] 1 where some tile wrote block b
     v_visited: jax.Array    # float32 [NB]
     ovf_slots: jax.Array    # int32 [n_ovf_pad] overflow edge slots (pad: Ep-1*)
@@ -36,6 +55,7 @@ class WindowedPlan:
     # --- static ---
     tile_e: int = TILE_E
     window: int = WINDOW
+    chunk: int = CHUNK
     n_tiles: int = 0
     n_ovf: int = 0
     n_pad: int = 0          # padded node count of the owning GraphTensors
@@ -50,12 +70,18 @@ class WindowedPlan:
         kernels emit one (2W, D) partial block per position."""
         return self.n_pad // self.window - 1
 
+    @property
+    def rows_p(self) -> int:
+        """Sublane-padded local-index rows per tile."""
+        r = self.tile_e // self.chunk
+        return ((r + 7) // 8) * 8
+
 
 jax.tree_util.register_dataclass(
     WindowedPlan,
     data_fields=["u_blk", "v_blk", "u_local", "v_local", "u_visited",
                  "v_visited", "ovf_slots", "ovf_mask"],
-    meta_fields=["tile_e", "window", "n_tiles", "n_ovf", "n_pad"],
+    meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_ovf", "n_pad"],
 )
 
 
@@ -82,13 +108,16 @@ def _plan_side(idx: np.ndarray, n_tiles: int, tile_e: int, window: int,
 
 
 def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
-                        window: int = WINDOW) -> WindowedPlan | None:
+                        window: int = WINDOW,
+                        chunk: int | None = None) -> WindowedPlan | None:
     """Plan for the (src->dst) direction, or the reversed roles if ``flip``.
 
     Returns None when the graph is too small to be worth tiling.
     """
     Ep, Np = gt.n_edges_pad, gt.n_nodes_pad
-    if Ep % tile_e != 0 or Np < 2 * window or Np % window != 0:
+    chunk = min(chunk or CHUNK, tile_e)
+    if Ep % tile_e != 0 or Np < 2 * window or Np % window != 0 \
+            or tile_e % chunk != 0:
         return None
     src = np.asarray(gt.src)
     dst = np.asarray(gt.dst)
@@ -106,6 +135,11 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
     # an edge handled by overflow must contribute NOTHING in-kernel
     u_local = np.where(ovf, 2 * window, u_local).astype(np.int32)
     v_local = np.where(ovf, 2 * window, v_local).astype(np.int32)
+    # padded slots: sentinel one-hot columns (all-zero) make them inert in
+    # every select AND scatter — kernels need no edge mask
+    pad = np.asarray(gt.edge_mask)[:, 0] == 0
+    u_local = np.where(pad, 2 * window, u_local).astype(np.int32)
+    v_local = np.where(pad, 2 * window, v_local).astype(np.int32)
 
     ovf_ids = np.nonzero(ovf)[0].astype(np.int32)
     n_ovf = int(ovf_ids.shape[0])
@@ -121,12 +155,23 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
     u_visited[u_blk] = 1.0     # unvisited partial blocks hold uninitialised
     v_visited[v_blk] = 1.0     # HBM; the combine masks them out
 
+    def _lane_major(local: np.ndarray) -> np.ndarray:
+        """[Ep] slot order -> [T*rows_p, chunk] with sentinel pad rows."""
+        rows = tile_e // chunk
+        rows_p = ((rows + 7) // 8) * 8
+        a = local.reshape(n_tiles, rows, chunk)
+        if rows_p != rows:
+            pad = np.full((n_tiles, rows_p - rows, chunk), 2 * window,
+                          dtype=np.int32)
+            a = np.concatenate([a, pad], axis=1)
+        return a.reshape(n_tiles * rows_p, chunk)
+
     return WindowedPlan(
         u_blk=jnp.asarray(u_blk), v_blk=jnp.asarray(v_blk),
-        u_local=jnp.asarray(u_local.reshape(-1, 1)),
-        v_local=jnp.asarray(v_local.reshape(-1, 1)),
+        u_local=jnp.asarray(_lane_major(u_local)),
+        v_local=jnp.asarray(_lane_major(v_local)),
         u_visited=jnp.asarray(u_visited), v_visited=jnp.asarray(v_visited),
         ovf_slots=jnp.asarray(ovf_slots), ovf_mask=jnp.asarray(ovf_mask),
-        tile_e=tile_e, window=window, n_tiles=n_tiles, n_ovf=n_ovf,
-        n_pad=Np,
+        tile_e=tile_e, window=window, chunk=chunk, n_tiles=n_tiles,
+        n_ovf=n_ovf, n_pad=Np,
     )

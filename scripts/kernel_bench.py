@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--only", default="")
+    ap.add_argument("--tile-e", type=int, default=0)
+    ap.add_argument("--window", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -47,7 +50,15 @@ def main():
     epad, npad = effective_pads(cfg)
     gt = GraphTensors.build(src, dst, n_nodes, edge_pad_multiple=epad,
                             node_pad_multiple=npad)
-    gt = with_windowed_plans(gt, flip_too=False)
+    if args.tile_e or args.window or args.chunk:
+        import dataclasses
+        from gnnome_tpu.ops.windowed import build_windowed_plan, TILE_E, WINDOW, CHUNK
+        plan = build_windowed_plan(
+            gt, flip=False, tile_e=args.tile_e or TILE_E,
+            window=args.window or WINDOW, chunk=args.chunk or CHUNK)
+        gt = dataclasses.replace(gt, wplan=plan)
+    else:
+        gt = with_windowed_plans(gt, flip_too=False)
     plan = gt.wplan
     Ep, Np = gt.n_edges_pad, gt.n_nodes_pad
     d = 64

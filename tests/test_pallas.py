@@ -43,7 +43,11 @@ def test_plan_invariants():
         assert plan is not None
         T, W = plan.n_tiles, plan.window
         assert T * plan.tile_e == gt.n_edges_pad
-        ul = np.asarray(plan.u_local)[:, 0]
+        # lane-major rows -> slot order, dropping sublane pad rows
+        rows = plan.tile_e // plan.chunk
+        ul = (np.asarray(plan.u_local)
+              .reshape(T, plan.rows_p, plan.chunk)[:, :rows, :]
+              .reshape(-1))
         blk = np.repeat(np.asarray(plan.u_blk), plan.tile_e).astype(np.int64)
         un = np.asarray(u).astype(np.int64)
         in_win = ul < 2 * W
@@ -64,13 +68,14 @@ def test_fused_gate_gather_matches_xla():
     pu = jnp.asarray(rng.normal(size=(Np, 128)).astype(np.float32))
     pv = jnp.asarray(rng.normal(size=(Np, 128)).astype(np.float32))
     b3e = jnp.asarray(rng.normal(size=(Ep, 64)).astype(np.float32))
+    real = np.asarray(gt.edge_mask)[:, 0] > 0  # padded slots are undefined
     for flip in (False, True):
         ref = message.fused_gate_gather(gt, pu, pv, b3e, flip=flip,
                                         backend="xla")
         got = message.fused_gate_gather(gt, pu, pv, b3e, flip=flip,
                                         backend="pallas")
         for a, b in zip(got, ref):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+            np.testing.assert_allclose(np.asarray(a)[real], np.asarray(b)[real],
                                        atol=1e-5, rtol=1e-5)
 
 
