@@ -105,14 +105,17 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
 
     b3e = (e @ p["B3"]["w"].astype(dtype)) + p["B3"]["b"].astype(dtype)
 
-    from ..ops.message import fused_gate_gather, fused_eval_edge_stage, _plan_for
-    # K3 is the bf16 perf path (the f32 parity mode keeps the verified
+    from ..ops.message import (fused_gate_gather, fused_eval_edge_stage,
+                               fused_train_edge_stage, _plan_for)
+    # K3/K4 are the bf16 perf paths (the f32 parity mode keeps the verified
     # K1/K2/XLA route; K3-f32 also trips this environment's remote compiler).
-    # Interpreter mode (tests) exercises K3 at any dtype.
+    # Interpreter mode (tests) exercises them at any dtype.
     from ..ops.pallas_kernels import _interpret
-    use_k3 = (backend == "pallas" and not training and norm == "batch"
-              and (dtype == jnp.bfloat16 or _interpret())
-              and _plan_for(gt, flip) is not None)
+    fused_ok = (backend == "pallas" and norm == "batch"
+                and (dtype == jnp.bfloat16 or _interpret())
+                and _plan_for(gt, flip) is not None)
+    use_k3 = fused_ok and not training
+    use_k4 = fused_ok and training
     if use_k3:
         # whole edge stage in one fused Pallas pass (eval BN = affine)
         bn_e_scale = (p["bn_e"]["scale"]
@@ -125,6 +128,34 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
         h_fwd = (sum_v[:, :d] / (sum_v[:, d:] + GATE_EPS)).astype(dtype)
         h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
         s_bn_e = s["bn_e"]
+    elif use_k4:
+        # training: K1 gather (differentiable) -> masked batch statistics
+        # folded into one affine -> K4 fused edge stage (affine/relu/residual/
+        # sigmoid/dual-scatter in one pass).  BN semantics match norm.batch_norm
+        # exactly: biased batch var normalises, unbiased updates the running
+        # stats TWICE (the reference's shared bn_e quirk, gated_gcn_full.py:
+        # 106,119), momentum 0.1.
+        gate_raw, a2h_u, a3h_v = fused_gate_gather(
+            gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d], b3e,
+            flip=flip, backend=backend)
+        x = gate_raw.astype(jnp.float32)
+        m = gt.edge_mask.astype(jnp.float32)
+        n_valid = gt.n_edges
+        mean = (x * m).sum(axis=0) / n_valid
+        var = (((x - mean) ** 2) * m).sum(axis=0) / n_valid    # biased
+        inv = jax.lax.rsqrt(var + 1e-5)
+        scale_eff = p["bn_e"]["scale"] * inv
+        bias_eff = p["bn_e"]["bias"] - mean * scale_eff
+        unbiased = var * (n_valid / (n_valid - 1)) if n_valid > 1 else var
+        rm, rv = s["bn_e"]["mean"], s["bn_e"]["var"]
+        for _ in range(2):
+            rm = 0.9 * rm + 0.1 * mean
+            rv = 0.9 * rv + 0.1 * unbiased
+        s_bn_e = {"mean": rm, "var": rv, "count": s["bn_e"]["count"] + 2}
+        e_out, sum_v, sum_u = fused_train_edge_stage(
+            gt, gate_raw, a2h_u, a3h_v, e_in, scale_eff, bias_eff, flip=flip)
+        h_fwd = (sum_v[:, :d] / (sum_v[:, d:] + GATE_EPS)).astype(dtype)
+        h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
     else:
         # fused endpoint gathers + gate (reference gated_gcn_full.py:104-105);
         # Pallas windowed kernels when the graph carries a plan, XLA otherwise

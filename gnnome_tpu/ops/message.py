@@ -212,6 +212,99 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
     return e_out, sum_v, sum_u
 
 
+def fused_train_edge_stage(gt: GraphTensors, gate_raw, a2h_u, a3h_v, e_in,
+                           scale_eff, bias_eff, flip: bool = False):
+    """TRAINING-mode fused edge stage (Pallas K4) with a custom VJP.
+
+    ``gate_raw``/``a2h_u``/``a3h_v`` are K1's (overflow-patched) outputs;
+    ``scale_eff``/``bias_eff`` fold the batch statistics into one affine
+    (y = x*scale_eff + bias_eff == batch_norm(x) — the caller computes the
+    statistics, so gradients flow through mean/var in the outer graph).
+    Returns (e_out [Ep, d], sum_v [Np, 2d], sum_u [Np, 2d]).
+
+    The backward pass is XLA: two node-cotangent gathers plus one fused
+    elementwise chain (the adjoint of affine->relu->residual->sigmoid->
+    payload), with the padded-slot mask applied where the kernel's sentinel
+    one-hots did the masking in the forward.
+    """
+    plan = _plan_for(gt, flip)
+    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+    return _train_edge(plan, u_idx, v_idx, gt.edge_mask, gate_raw,
+                       a2h_u, a3h_v, e_in, scale_eff, bias_eff)
+
+
+@jax.custom_vjp
+def _train_edge(plan, u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in,
+                scale_eff, bias_eff):
+    from .pallas_kernels import k4_train_edge
+
+    d = gate_raw.shape[1]
+    n_pad = plan.n_pad
+    e_out, partial_u, partial_v = k4_train_edge(
+        plan, gate_raw, a2h_u, a3h_v, e_in,
+        scale_eff.astype(gate_raw.dtype), bias_eff.astype(gate_raw.dtype))
+    sum_u = combine_block_partials(partial_u, plan.u_visited, n_pad,
+                                   plan.window)
+    sum_v = combine_block_partials(partial_v, plan.v_visited, n_pad,
+                                   plan.window)
+    # overflow edges: e_out is exact everywhere (elementwise from the patched
+    # gate_raw); only their aggregation payloads are missing
+    sl, m = plan.ovf_slots, plan.ovf_mask
+    eo_ovf = jnp.take(e_out, sl, axis=0)
+    sigma = jax.nn.sigmoid(eo_ovf.astype(jnp.float32)) * m
+    sum_v = sum_v + jax.ops.segment_sum(
+        jnp.concatenate([sigma * jnp.take(a2h_u, sl, axis=0), sigma], axis=1),
+        jnp.take(v_idx, sl), num_segments=n_pad)
+    sum_u = sum_u + jax.ops.segment_sum(
+        jnp.concatenate([sigma * jnp.take(a3h_v, sl, axis=0), sigma], axis=1),
+        jnp.take(u_idx, sl), num_segments=n_pad)
+    return e_out, sum_v, sum_u
+
+
+def _train_edge_fwd(plan, u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in,
+                    scale_eff, bias_eff):
+    out = _train_edge(plan, u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in,
+                      scale_eff, bias_eff)
+    return out, (u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in,
+                 scale_eff, bias_eff)
+
+
+def _train_edge_bwd(res, g):
+    u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in, scale_eff, bias_eff = res
+    d_e_out, d_sum_v, d_sum_u = g
+    d = gate_raw.shape[1]
+    dt = gate_raw.dtype
+    m = emask.astype(jnp.float32)
+    # node-cotangent gathers; padded slots must not pick up a real node's
+    # cotangent (the kernel's sentinel one-hots excluded them in the forward)
+    # cast BEFORE the gather: bf16 row gathers are ~5x cheaper (no-op in f32)
+    du = jnp.take(d_sum_u.astype(dt), u_idx, axis=0).astype(jnp.float32) * m
+    dv = jnp.take(d_sum_v.astype(dt), v_idx, axis=0).astype(jnp.float32) * m
+    # recompute the elementwise forward in f32
+    gf = gate_raw.astype(jnp.float32)
+    gaff = gf * scale_eff + bias_eff
+    relu_m = (gaff > 0).astype(jnp.float32)
+    eo = jax.nn.relu(gaff) + e_in.astype(jnp.float32)
+    sigma = jax.nn.sigmoid(eo)
+    a2f = a2h_u.astype(jnp.float32)
+    a3f = a3h_v.astype(jnp.float32)
+    d_a2h = (sigma * dv[:, :d]).astype(dt)
+    d_a3h = (sigma * du[:, :d]).astype(dt)
+    # sigma is the d-wide elementwise gate: its cotangent is elementwise too
+    d_sigma = (dv[:, :d] * a2f + dv[:, d:]
+               + du[:, :d] * a3f + du[:, d:])
+    d_eo = d_e_out.astype(jnp.float32) + d_sigma * sigma * (1.0 - sigma)
+    d_gaff = d_eo * relu_m
+    d_gate_raw = (d_gaff * scale_eff).astype(dt)
+    d_scale = (d_gaff * gf).sum(axis=0).astype(scale_eff.dtype)
+    d_bias = d_gaff.sum(axis=0).astype(bias_eff.dtype)
+    return (None, None, None, None, d_gate_raw, d_a2h, d_a3h,
+            d_eo.astype(e_in.dtype), d_scale, d_bias)
+
+
+_train_edge.defvjp(_train_edge_fwd, _train_edge_bwd)
+
+
 @jax.custom_vjp
 def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
     """(sum_b [Np, Dp] into u_idx, sum_f [Np, Dp] into v_idx) from edge

@@ -294,6 +294,94 @@ def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
       plan.u_local, plan.v_local, b3e, e_in, affine)
 
 
+# ------------------------------------------------- K4: fused train edge stage
+def _k4_kernel(u_blk_ref, v_blk_ref, ul, vl, gate_raw, a2h, a3h, e_in,
+               affine, e_out, pu_out, pv_out, *, tile_e, window, d, chunk):
+    """Training-mode edge stage AFTER the gate gather: BatchNorm affine (batch
+    statistics are computed by the caller from ``gate_raw`` — training BN
+    cannot be one-pass) -> relu -> residual -> sigmoid -> both aggregation
+    partials.  Unlike K3 it takes the per-edge gathers as EDGE inputs (K1's
+    outputs), so no window DMA: the fusion removes the [sigma*m | sigma]
+    payload materialisation round-trip and every elementwise HBM pass of the
+    split path (reference hot path: gated_gcn_full.py:104-127)."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
+    scale = affine[0:1, :]
+    bias = affine[1:2, :]
+    t = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
+    def _():
+        pu_out[:] = jnp.zeros_like(pu_out)
+
+    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
+    def _():
+        pv_out[:] = jnp.zeros_like(pv_out)
+
+    def body(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        dt = e_out.dtype
+        g = gate_raw[sl, :] * scale + bias
+        g = jax.nn.relu(g)
+        eo = g + e_in[sl, :]
+        e_out[sl, :] = eo
+        # f32 sigmoid: Mosaic's bf16 logistic lowering miscompiles
+        sigma = jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
+        pay_v = jnp.concatenate([sigma * a2h[sl, :], sigma], axis=1)
+        pay_u = jnp.concatenate([sigma * a3h[sl, :], sigma], axis=1)
+        _scatT(_ohT(io2, ul, c, chunk, dt), pay_u, pu_out)
+        _scatT(_ohT(io2, vl, c, chunk, dt), pay_v, pv_out)
+        return 0
+
+    jax.lax.fori_loop(0, tile_e // chunk, body, 0)
+
+
+def k4_train_edge(plan: WindowedPlan, gate_raw, a2h_u, a3h_v, e_in,
+                  bn_scale, bn_bias):
+    """Fused training edge stage.  ``gate_raw`` must already include the
+    overflow patch (it is elementwise from here on, so e_out is exact for ALL
+    slots); overflow edges contribute nothing to the partials (sentinel
+    one-hots) and the caller adds their payloads via a small XLA segment-sum.
+    Returns (e_out [Ep, d], partial_u, partial_v [NB*2W, 2d])."""
+    Ep, d = gate_raw.shape
+    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    dtype = gate_raw.dtype
+    rows = plan.rows_p
+    affine = jnp.concatenate(
+        [jnp.stack([bn_scale, bn_bias]),
+         jnp.zeros((6, d), bn_scale.dtype)]).astype(dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((8, d), lambda t, ub, vb: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((2 * W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((2 * W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+        ],
+    )
+    NB = plan.n_blocks
+    out_shape = [
+        jax.ShapeDtypeStruct((Ep, d), dtype),
+        jax.ShapeDtypeStruct((NB * 2 * W, 2 * d), jnp.float32),
+        jax.ShapeDtypeStruct((NB * 2 * W, 2 * d), jnp.float32),
+    ]
+    kern = functools.partial(_k4_kernel, tile_e=ET, window=W, d=d, chunk=C)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=_interpret(),
+    )(plan.u_blk, plan.v_blk, plan.u_local, plan.v_local,
+      gate_raw, a2h_u, a3h_v, e_in, affine)
+
+
 # ----------------------------------------------------------------- utilities
 _INTERPRET = False
 
