@@ -185,14 +185,13 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
 
 # ----------------------------------------------------------------------- model
 def score_edges(p, gt: GraphTensors, h, e, *, flip: bool = False,
-                dtype=jnp.float32):
+                dtype=jnp.float32, backend: Optional[str] = None):
     """Edge logits from final node/edge states, slot order
     (reference layers/score_predictor.py:12-24).  ``flip`` swaps endpoint
     roles for the reversed-graph pass."""
-    from ..ops.message import gather_uv
+    from ..ops.message import gather_uv_planned
 
-    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    h_src, h_dst = gather_uv(u_idx, v_idx, not flip, h)
+    h_src, h_dst = gather_uv_planned(gt, flip, h, backend=backend)
     z = jnp.concatenate([h_src, h_dst, e], axis=1)
     z = jax.nn.relu(z @ p["W1"]["w"].astype(dtype) + p["W1"]["b"].astype(dtype))
     z = jax.nn.relu(z @ p["W2"]["w"].astype(dtype) + p["W2"]["b"].astype(dtype))
@@ -242,7 +241,7 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
     (h, e), new_gnn_state = run_layers(h, e)
 
     predict = partial(score_edges, params["predictor"], gt, flip=flip,
-                      dtype=dtype)
+                      dtype=dtype, backend=backend)
     if remat:
         # the predictor's concat/MLP residuals are E x 192-sized — recompute
         predict = jax.checkpoint(predict)

@@ -27,6 +27,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.custom_vjp
+def _permute_rows(perm, inv_perm, x):
+    """Row permutation ``x[perm]`` whose adjoint is a GATHER by the inverse
+    permutation.  XLA's default transpose of ``jnp.take`` is a scatter-add,
+    which lowers to a serial per-row loop on TPU — measured 270 ms per
+    [1.57M, 64] application in the train-step backward vs ~5 ms for the
+    equivalent gather (the permutation is a bijection, so no adds occur)."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_rows_fwd(perm, inv_perm, x):
+    return jnp.take(x, perm, axis=0), inv_perm
+
+
+def _permute_rows_bwd(inv_perm, g):
+    return None, None, jnp.take(g, inv_perm, axis=0)
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -122,11 +143,11 @@ class GraphTensors:
     # ----------------------------------------------------- edge-order mapping
     def edges_to_slots(self, x: jax.Array) -> jax.Array:
         """Host-edge-order [Ep, ...] -> slot order (device, one narrow gather)."""
-        return jnp.take(x, self.eid_of_slot, axis=0)
+        return _permute_rows(self.eid_of_slot, self.slot_of_eid, x)
 
     def slots_to_edges(self, x: jax.Array) -> jax.Array:
         """Slot order [Ep, ...] -> host edge order."""
-        return jnp.take(x, self.slot_of_eid, axis=0)
+        return _permute_rows(self.slot_of_eid, self.eid_of_slot, x)
 
     # ------------------------------------------------------------- transforms
     def pad_nodes(self, x: np.ndarray, fill: float = 0.0) -> jnp.ndarray:

