@@ -135,10 +135,10 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
         # exactly: biased batch var normalises, unbiased updates the running
         # stats TWICE (the reference's shared bn_e quirk, gated_gcn_full.py:
         # 106,119), momentum 0.1.
-        gate_raw, a2h_u, a3h_v = fused_gate_gather(
-            gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d], b3e,
-            flip=flip, backend=backend)
-        x = gate_raw.astype(jnp.float32)
+        from ..ops.message import fused_gate_gather3
+        g3 = fused_gate_gather3(gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d],
+                                b3e, flip=flip)
+        x = g3[:, :d].astype(jnp.float32)
         m = gt.edge_mask.astype(jnp.float32)
         n_valid = gt.n_edges
         mean = (x * m).sum(axis=0) / n_valid
@@ -153,7 +153,7 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
             rv = 0.9 * rv + 0.1 * unbiased
         s_bn_e = {"mean": rm, "var": rv, "count": s["bn_e"]["count"] + 2}
         e_out, sum_v, sum_u = fused_train_edge_stage(
-            gt, gate_raw, a2h_u, a3h_v, e_in, scale_eff, bias_eff, flip=flip)
+            gt, g3, e_in, scale_eff, bias_eff, flip=flip)
         h_fwd = (sum_v[:, :d] / (sum_v[:, d:] + GATE_EPS)).astype(dtype)
         h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
     else:

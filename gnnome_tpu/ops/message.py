@@ -75,9 +75,22 @@ def fused_gate_gather(gt: GraphTensors, proj_u: jax.Array, proj_v: jax.Array,
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
     plan = _plan_for(gt, flip)
     if backend == "pallas" and plan is not None:
-        return _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e)
+        d = b3e.shape[1]
+        g3 = _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e)
+        return g3[:, :d], g3[:, d: 2 * d], g3[:, 2 * d:]
     # v_idx is the slot-sort key when not flipped -> sorted adjoint
     return _gate_gather_xla(u_idx, v_idx, not flip, proj_u, proj_v, b3e)
+
+
+def fused_gate_gather3(gt: GraphTensors, proj_u, proj_v, b3e,
+                       flip: bool = False):
+    """Pallas-only variant returning K1's fused g3 [Ep, 3d] =
+    [gate_raw | a2h_u | a3h_v] directly (no column slicing) — the K4 training
+    path consumes it as one array, halving the lane-padded HBM traffic of
+    three separate [Ep, d] tensors."""
+    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+    plan = _plan_for(gt, flip)
+    return _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -170,17 +183,16 @@ def _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e):
     from .pallas_kernels import k1_gather_gate
 
     d = b3e.shape[1]
-    gate, a2h_u, a3h_v = k1_gather_gate(plan, proj_u, proj_v, b3e)
+    g3 = k1_gather_gate(plan, proj_u, proj_v, b3e)
     # patch overflow edges with direct XLA gathers (mask cast keeps the
     # compute dtype — an f32 mask would silently promote the whole array)
     sl = plan.ovf_slots
-    m = plan.ovf_mask.astype(gate.dtype)
+    m = plan.ovf_mask.astype(g3.dtype)
     gu = jnp.take(proj_u, jnp.take(u_idx, sl), axis=0)
     gv = jnp.take(proj_v, jnp.take(v_idx, sl), axis=0)
-    gate = gate.at[sl].add(m * (gu[:, :d] + gv[:, :d]))
-    a2h_u = a2h_u.at[sl].add(m * gu[:, d:])
-    a3h_v = a3h_v.at[sl].add(m * gv[:, d:])
-    return gate, a2h_u, a3h_v
+    g3 = g3.at[sl].add(m * jnp.concatenate(
+        [gu[:, :d] + gv[:, :d], gu[:, d:], gv[:, d:]], axis=1))
+    return g3
 
 
 def _gate_gather_fwd(plan, u_idx, v_idx, proj_u, proj_v, b3e):
@@ -190,13 +202,16 @@ def _gate_gather_fwd(plan, u_idx, v_idx, proj_u, proj_v, b3e):
 
 def _gate_gather_bwd(res, g):
     plan, u_idx, v_idx = res
-    d_gate, d_a2h, d_a3h = g
-    # the adjoint of the windowed gather is the windowed scatter: reuse K2
-    d_pu, d_pv = _aggregate_pallas(plan, u_idx, v_idx,
-                                   jnp.concatenate([d_gate, d_a2h], axis=1),
-                                   jnp.concatenate([d_gate, d_a3h], axis=1))
-    dt = d_gate.dtype
-    return None, None, None, d_pu.astype(dt), d_pv.astype(dt), d_gate
+    d_g3 = g
+    d = d_g3.shape[1] // 3
+    # the adjoint of the windowed gather is the windowed scatter: reuse K2;
+    # the u-side payload [d_gate | d_a2h] is a contiguous slice of d_g3
+    d_pu, d_pv = _aggregate_pallas(
+        plan, u_idx, v_idx, d_g3[:, : 2 * d],
+        jnp.concatenate([d_g3[:, :d], d_g3[:, 2 * d:]], axis=1))
+    dt = d_g3.dtype
+    return (None, None, None, d_pu.astype(dt), d_pv.astype(dt),
+            d_g3[:, :d])
 
 
 _gate_gather_pallas.defvjp(_gate_gather_fwd, _gate_gather_bwd)
@@ -244,14 +259,14 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
     return e_out, sum_v, sum_u
 
 
-def fused_train_edge_stage(gt: GraphTensors, gate_raw, a2h_u, a3h_v, e_in,
+def fused_train_edge_stage(gt: GraphTensors, g3, e_in,
                            scale_eff, bias_eff, flip: bool = False):
     """TRAINING-mode fused edge stage (Pallas K4) with a custom VJP.
 
-    ``gate_raw``/``a2h_u``/``a3h_v`` are K1's (overflow-patched) outputs;
-    ``scale_eff``/``bias_eff`` fold the batch statistics into one affine
-    (y = x*scale_eff + bias_eff == batch_norm(x) — the caller computes the
-    statistics, so gradients flow through mean/var in the outer graph).
+    ``g3`` [Ep, 3d] is K1's fused (overflow-patched) [gate_raw | a2h | a3h]
+    output; ``scale_eff``/``bias_eff`` fold the batch statistics into one
+    affine (y = x*scale_eff + bias_eff == batch_norm(x) — the caller computes
+    the statistics, so gradients flow through mean/var in the outer graph).
     Returns (e_out [Ep, d], sum_v [Np, 2d], sum_u [Np, 2d]).
 
     The backward pass is XLA: two node-cotangent gathers plus one fused
@@ -261,51 +276,48 @@ def fused_train_edge_stage(gt: GraphTensors, gate_raw, a2h_u, a3h_v, e_in,
     """
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    return _train_edge(plan, u_idx, v_idx, gt.edge_mask, gate_raw,
-                       a2h_u, a3h_v, e_in, scale_eff, bias_eff)
+    return _train_edge(plan, u_idx, v_idx, gt.edge_mask, g3, e_in,
+                       scale_eff, bias_eff)
 
 
 @jax.custom_vjp
-def _train_edge(plan, u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in,
-                scale_eff, bias_eff):
+def _train_edge(plan, u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff):
     from .pallas_kernels import k4_train_edge
 
-    d = gate_raw.shape[1]
+    d = g3.shape[1] // 3
     n_pad = plan.n_pad
     e_out, partial_u, partial_v = k4_train_edge(
-        plan, gate_raw, a2h_u, a3h_v, e_in,
-        scale_eff.astype(gate_raw.dtype), bias_eff.astype(gate_raw.dtype))
+        plan, g3, e_in, scale_eff.astype(g3.dtype), bias_eff.astype(g3.dtype))
     sum_u = combine_block_partials(partial_u, plan.u_visited, n_pad,
                                    plan.window)
     sum_v = combine_block_partials(partial_v, plan.v_visited, n_pad,
                                    plan.window)
     # overflow edges: e_out is exact everywhere (elementwise from the patched
-    # gate_raw); only their aggregation payloads are missing
+    # gate columns); only their aggregation payloads are missing
     sl, m = plan.ovf_slots, plan.ovf_mask
     eo_ovf = jnp.take(e_out, sl, axis=0)
+    g3_ovf = jnp.take(g3, sl, axis=0)
     sigma = jax.nn.sigmoid(eo_ovf.astype(jnp.float32)) * m
     sum_v = sum_v + jax.ops.segment_sum(
-        jnp.concatenate([sigma * jnp.take(a2h_u, sl, axis=0), sigma], axis=1),
+        jnp.concatenate([sigma * g3_ovf[:, d: 2 * d], sigma], axis=1),
         jnp.take(v_idx, sl), num_segments=n_pad)
     sum_u = sum_u + jax.ops.segment_sum(
-        jnp.concatenate([sigma * jnp.take(a3h_v, sl, axis=0), sigma], axis=1),
+        jnp.concatenate([sigma * g3_ovf[:, 2 * d:], sigma], axis=1),
         jnp.take(u_idx, sl), num_segments=n_pad)
     return e_out, sum_v, sum_u
 
 
-def _train_edge_fwd(plan, u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in,
-                    scale_eff, bias_eff):
-    out = _train_edge(plan, u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in,
-                      scale_eff, bias_eff)
-    return out, (u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in,
-                 scale_eff, bias_eff)
+def _train_edge_fwd(plan, u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff):
+    out = _train_edge(plan, u_idx, v_idx, emask, g3, e_in, scale_eff,
+                      bias_eff)
+    return out, (u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff)
 
 
 def _train_edge_bwd(res, g):
-    u_idx, v_idx, emask, gate_raw, a2h_u, a3h_v, e_in, scale_eff, bias_eff = res
+    u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff = res
     d_e_out, d_sum_v, d_sum_u = g
-    d = gate_raw.shape[1]
-    dt = gate_raw.dtype
+    d = g3.shape[1] // 3
+    dt = g3.dtype
     m = emask.astype(jnp.float32)
     # node-cotangent gathers; padded slots must not pick up a real node's
     # cotangent (the kernel's sentinel one-hots excluded them in the forward)
@@ -313,13 +325,13 @@ def _train_edge_bwd(res, g):
     du = jnp.take(d_sum_u.astype(dt), u_idx, axis=0).astype(jnp.float32) * m
     dv = jnp.take(d_sum_v.astype(dt), v_idx, axis=0).astype(jnp.float32) * m
     # recompute the elementwise forward in f32
-    gf = gate_raw.astype(jnp.float32)
+    gf = g3[:, :d].astype(jnp.float32)
     gaff = gf * scale_eff + bias_eff
     relu_m = (gaff > 0).astype(jnp.float32)
     eo = jax.nn.relu(gaff) + e_in.astype(jnp.float32)
     sigma = jax.nn.sigmoid(eo)
-    a2f = a2h_u.astype(jnp.float32)
-    a3f = a3h_v.astype(jnp.float32)
+    a2f = g3[:, d: 2 * d].astype(jnp.float32)
+    a3f = g3[:, 2 * d:].astype(jnp.float32)
     d_a2h = (sigma * dv[:, :d]).astype(dt)
     d_a3h = (sigma * du[:, :d]).astype(dt)
     # sigma is the d-wide elementwise gate: its cotangent is elementwise too
@@ -330,7 +342,8 @@ def _train_edge_bwd(res, g):
     d_gate_raw = (d_gaff * scale_eff).astype(dt)
     d_scale = (d_gaff * gf).sum(axis=0).astype(scale_eff.dtype)
     d_bias = d_gaff.sum(axis=0).astype(bias_eff.dtype)
-    return (None, None, None, None, d_gate_raw, d_a2h, d_a3h,
+    d_g3 = jnp.concatenate([d_gate_raw, d_a2h, d_a3h], axis=1)
+    return (None, None, None, None, d_g3,
             d_eo.astype(e_in.dtype), d_scale, d_bias)
 
 

@@ -80,18 +80,21 @@ def _scatT(ohT, pay, out):
 
 # ---------------------------------------------------------------- K1: gather
 def _k1_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
-               gate_out, a2h_out, a3h_out, *, tile_e, window, d, chunk):
+               g3_out, *, tile_e, window, d, chunk):
     io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
-    dt = gate_out.dtype
+    dt = g3_out.dtype
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
         pr = _prec(u0.dtype)
         gu = _selT(_ohT(io2, ul, c, chunk, u0.dtype), u0, u1, pr)
         gv = _selT(_ohT(io2, vl, c, chunk, u0.dtype), v0, v1, pr)
-        gate_out[sl, :] = (gu[:, :d] + gv[:, :d]).astype(dt) + b3e[sl, :]
-        a2h_out[sl, :] = gu[:, d:].astype(dt)
-        a3h_out[sl, :] = gv[:, d:].astype(dt)
+        gate = (gu[:, :d] + gv[:, :d]).astype(dt) + b3e[sl, :]
+        # one fused [chunk, 3d] store: a 3d-wide row costs 256 HBM lanes vs
+        # 3 x 128 for separate d-wide outputs (every [*, 64] array lane-pads
+        # 2x; [*, 192] pads only 1.33x) and one out-block DMA per tile
+        g3_out[sl, :] = jnp.concatenate(
+            [gate, gu[:, d:].astype(dt), gv[:, d:].astype(dt)], axis=1)
         return 0
 
     # static unroll: lets Mosaic interleave one-hot builds (VPU) with the
@@ -102,8 +105,8 @@ def _k1_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
 
 def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
     """proj_u/proj_v: [Np, 2d] node arrays ([B1h|A2h] / [B2h|A3h]);
-    b3e: [Ep, d] slot order.  Returns (gate_raw, a2h_u, a3h_v), each [Ep, d];
-    overflow slots carry only the b3e part (caller patches)."""
+    b3e: [Ep, d] slot order.  Returns g3 [Ep, 3d] = [gate_raw | a2h_u | a3h_v];
+    overflow slots carry only the b3e part of the gate (caller patches)."""
     Ep, d = b3e.shape
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
     dtype = b3e.dtype
@@ -122,18 +125,16 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, 3 * d), lambda t, ub, vb: (t, 0)),
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((Ep, d), dtype)] * 3
+    out_shape = [jax.ShapeDtypeStruct((Ep, 3 * d), dtype)]
     kern = functools.partial(_k1_kernel, tile_e=ET, window=W, d=d, chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
     )(plan.u_blk, plan.v_blk, proj_u, proj_u, proj_v, proj_v,
-      plan.u_local, plan.v_local, b3e)
+      plan.u_local, plan.v_local, b3e)[0]
 
 
 # ------------------------------------------------------------- K2: aggregate
@@ -304,15 +305,16 @@ def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
 
 
 # ------------------------------------------------- K4: fused train edge stage
-def _k4_kernel(u_blk_ref, v_blk_ref, ul, vl, gate_raw, a2h, a3h, e_in,
+def _k4_kernel(u_blk_ref, v_blk_ref, ul, vl, g3, e_in,
                affine, e_out, pu_out, pv_out, *, tile_e, window, d, chunk):
     """Training-mode edge stage AFTER the gate gather: BatchNorm affine (batch
-    statistics are computed by the caller from ``gate_raw`` — training BN
-    cannot be one-pass) -> relu -> residual -> sigmoid -> both aggregation
-    partials.  Unlike K3 it takes the per-edge gathers as EDGE inputs (K1's
-    outputs), so no window DMA: the fusion removes the [sigma*m | sigma]
-    payload materialisation round-trip and every elementwise HBM pass of the
-    split path (reference hot path: gated_gcn_full.py:104-127)."""
+    statistics are computed by the caller from the gate columns of ``g3`` —
+    training BN cannot be one-pass) -> relu -> residual -> sigmoid -> both
+    aggregation partials.  Unlike K3 it takes K1's fused [gate|a2h|a3h] edge
+    output as ONE input, so no window DMA: the fusion removes the
+    [sigma*m | sigma] payload materialisation round-trip and every elementwise
+    HBM pass of the split path (reference hot path: gated_gcn_full.py:
+    104-127)."""
     io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
     scale = affine[0:1, :]
     bias = affine[1:2, :]
@@ -329,14 +331,15 @@ def _k4_kernel(u_blk_ref, v_blk_ref, ul, vl, gate_raw, a2h, a3h, e_in,
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
         dt = e_out.dtype
-        g = gate_raw[sl, :] * scale + bias
+        g3c = g3[sl, :]
+        g = g3c[:, :d] * scale + bias
         g = jax.nn.relu(g)
         eo = g + e_in[sl, :]
         e_out[sl, :] = eo
         # f32 sigmoid: Mosaic's bf16 logistic lowering miscompiles
         sigma = jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
-        pay_v = jnp.concatenate([sigma * a2h[sl, :], sigma], axis=1)
-        pay_u = jnp.concatenate([sigma * a3h[sl, :], sigma], axis=1)
+        pay_v = jnp.concatenate([sigma * g3c[:, d: 2 * d], sigma], axis=1)
+        pay_u = jnp.concatenate([sigma * g3c[:, 2 * d:], sigma], axis=1)
         _scatT(_ohT(io2, ul, c, chunk, dt), pay_u, pu_out)
         _scatT(_ohT(io2, vl, c, chunk, dt), pay_v, pv_out)
         return 0
@@ -347,16 +350,17 @@ def _k4_kernel(u_blk_ref, v_blk_ref, ul, vl, gate_raw, a2h, a3h, e_in,
         body(c, 0)
 
 
-def k4_train_edge(plan: WindowedPlan, gate_raw, a2h_u, a3h_v, e_in,
-                  bn_scale, bn_bias):
-    """Fused training edge stage.  ``gate_raw`` must already include the
-    overflow patch (it is elementwise from here on, so e_out is exact for ALL
+def k4_train_edge(plan: WindowedPlan, g3, e_in, bn_scale, bn_bias):
+    """Fused training edge stage over K1's fused output ``g3`` [Ep, 3d] =
+    [gate_raw | a2h_u | a3h_v].  The gate columns must already include the
+    overflow patch (elementwise from here on, so e_out is exact for ALL
     slots); overflow edges contribute nothing to the partials (sentinel
     one-hots) and the caller adds their payloads via a small XLA segment-sum.
     Returns (e_out [Ep, d], partial_u, partial_v [NB*2W, 2d])."""
-    Ep, d = gate_raw.shape
+    Ep, d3 = g3.shape
+    d = d3 // 3
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
-    dtype = gate_raw.dtype
+    dtype = g3.dtype
     rows = plan.rows_p
     affine = jnp.concatenate(
         [jnp.stack([bn_scale, bn_bias]),
@@ -368,9 +372,7 @@ def k4_train_edge(plan: WindowedPlan, gate_raw, a2h_u, a3h_v, e_in,
         in_specs=[
             pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, 3 * d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((8, d), lambda t, ub, vb: (0, 0)),
         ],
@@ -390,8 +392,7 @@ def k4_train_edge(plan: WindowedPlan, gate_raw, a2h_u, a3h_v, e_in,
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
-    )(plan.u_blk, plan.v_blk, plan.u_local, plan.v_local,
-      gate_raw, a2h_u, a3h_v, e_in, affine)
+    )(plan.u_blk, plan.v_blk, plan.u_local, plan.v_local, g3, e_in, affine)
 
 
 # ----------------------------------------------------------------- utilities
