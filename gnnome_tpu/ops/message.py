@@ -310,41 +310,56 @@ def _train_edge(plan, u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff):
 def _train_edge_fwd(plan, u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff):
     out = _train_edge(plan, u_idx, v_idx, emask, g3, e_in, scale_eff,
                       bias_eff)
-    return out, (u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff)
+    return out, (plan, u_idx, v_idx, g3, e_in, scale_eff, bias_eff)
 
 
 def _train_edge_bwd(res, g):
-    u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff = res
+    """Fused K5 backward: one Pallas pass does the windowed node-cotangent
+    selects (the adjoint of K4's scatters), the recomputed elementwise
+    forward, the full adjoint chain, and the d_scale/d_bias tile partials —
+    replacing two XLA gathers + ~10 elementwise HBM passes.  Only the
+    overflow edges' aggregation-cotangent terms are patched here (their
+    in-kernel selects hit the sentinel, exactly mirroring the forward)."""
+    from .pallas_kernels import k5_train_edge_bwd
+
+    plan, u_idx, v_idx, g3, e_in, scale_eff, bias_eff = res
     d_e_out, d_sum_v, d_sum_u = g
     d = g3.shape[1] // 3
     dt = g3.dtype
-    m = emask.astype(jnp.float32)
-    # node-cotangent gathers; padded slots must not pick up a real node's
-    # cotangent (the kernel's sentinel one-hots excluded them in the forward)
-    # cast BEFORE the gather: bf16 row gathers are ~5x cheaper (no-op in f32)
-    du = jnp.take(d_sum_u.astype(dt), u_idx, axis=0).astype(jnp.float32) * m
-    dv = jnp.take(d_sum_v.astype(dt), v_idx, axis=0).astype(jnp.float32) * m
-    # recompute the elementwise forward in f32
-    gf = g3[:, :d].astype(jnp.float32)
+    # cast BEFORE the kernel: bf16 node-window DMAs are ~2x cheaper (no-op
+    # in f32 mode); padded slots carry sentinel one-hots -> zero selects
+    d_g3, d_e_in, dsb = k5_train_edge_bwd(
+        plan, d_sum_u.astype(dt), d_sum_v.astype(dt), g3, e_in, d_e_out,
+        scale_eff, bias_eff)
+    dsb = dsb.reshape(plan.n_tiles, 8, d)
+    d_scale = dsb[:, 0].sum(axis=0)
+    d_bias = dsb[:, 1].sum(axis=0)
+
+    # overflow patch: the kernel selected ZERO node cotangents for overflow
+    # edges (sentinel one-hots); add their missing d_sigma-driven terms
+    sl, m = plan.ovf_slots, plan.ovf_mask
+    du = jnp.take(d_sum_u.astype(dt), jnp.take(u_idx, sl),
+                  axis=0).astype(jnp.float32) * m
+    dv = jnp.take(d_sum_v.astype(dt), jnp.take(v_idx, sl),
+                  axis=0).astype(jnp.float32) * m
+    g3o = jnp.take(g3, sl, axis=0).astype(jnp.float32)
+    gf = g3o[:, :d]
     gaff = gf * scale_eff + bias_eff
     relu_m = (gaff > 0).astype(jnp.float32)
-    eo = jax.nn.relu(gaff) + e_in.astype(jnp.float32)
+    eo = jax.nn.relu(gaff) + jnp.take(e_in, sl, axis=0).astype(jnp.float32)
     sigma = jax.nn.sigmoid(eo)
-    a2f = g3[:, d: 2 * d].astype(jnp.float32)
-    a3f = g3[:, 2 * d:].astype(jnp.float32)
-    d_a2h = (sigma * dv[:, :d]).astype(dt)
-    d_a3h = (sigma * du[:, :d]).astype(dt)
-    # sigma is the d-wide elementwise gate: its cotangent is elementwise too
-    d_sigma = (dv[:, :d] * a2f + dv[:, d:]
-               + du[:, :d] * a3f + du[:, d:])
-    d_eo = d_e_out.astype(jnp.float32) + d_sigma * sigma * (1.0 - sigma)
-    d_gaff = d_eo * relu_m
-    d_gate_raw = (d_gaff * scale_eff).astype(dt)
-    d_scale = (d_gaff * gf).sum(axis=0).astype(scale_eff.dtype)
-    d_bias = d_gaff.sum(axis=0).astype(bias_eff.dtype)
-    d_g3 = jnp.concatenate([d_gate_raw, d_a2h, d_a3h], axis=1)
-    return (None, None, None, None, d_g3,
-            d_eo.astype(e_in.dtype), d_scale, d_bias)
+    d_sigma = (dv[:, :d] * g3o[:, d: 2 * d] + dv[:, d:]
+               + du[:, :d] * g3o[:, 2 * d:] + du[:, d:])
+    d_eo_x = d_sigma * sigma * (1.0 - sigma)   # the term the kernel missed
+    d_gaff_x = d_eo_x * relu_m
+    d_g3 = d_g3.at[sl].add(jnp.concatenate(
+        [d_gaff_x * scale_eff, sigma * dv[:, :d], sigma * du[:, :d]],
+        axis=1).astype(dt))
+    d_e_in = d_e_in.at[sl].add(d_eo_x.astype(d_e_in.dtype))
+    d_scale = d_scale + (d_gaff_x * gf).sum(axis=0)
+    d_bias = d_bias + d_gaff_x.sum(axis=0)
+    return (None, None, None, None, d_g3, d_e_in.astype(e_in.dtype),
+            d_scale.astype(scale_eff.dtype), d_bias.astype(bias_eff.dtype))
 
 
 _train_edge.defvjp(_train_edge_fwd, _train_edge_bwd)

@@ -395,6 +395,102 @@ def k4_train_edge(plan: WindowedPlan, g3, e_in, bn_scale, bn_bias):
     )(plan.u_blk, plan.v_blk, plan.u_local, plan.v_local, g3, e_in, affine)
 
 
+# --------------------------------------------- K5: train edge stage backward
+def _k5_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, ul, vl, g3, e_in,
+               d_e_out, affine, dg3_out, dein_out, dsb_out,
+               *, tile_e, window, d, chunk):
+    """Adjoint of the K4 edge stage in one pass: windowed SELECTS of the two
+    node cotangent arrays (the adjoint of K4's scatters), the recomputed
+    elementwise forward, the full elementwise adjoint chain, the fused d_g3
+    cotangent, d_e_in, and per-tile partials of d_scale/d_bias.  Replaces two
+    XLA node gathers plus ~10 separate elementwise HBM passes.  Overflow
+    edges get zero aggregation cotangents in-kernel (sentinel one-hots); the
+    caller patches their missing aggregation terms with an XLA path."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
+    scale = affine[0:1, :].astype(jnp.float32)
+    bias = affine[1:2, :].astype(jnp.float32)
+    acc_scale = jnp.zeros((1, d), jnp.float32)
+    acc_bias = jnp.zeros((1, d), jnp.float32)
+
+    for c in range(tile_e // chunk):
+        sl = pl.ds(c * chunk, chunk)
+        dt = dg3_out.dtype
+        pr = _prec(du0.dtype)
+        du = _selT(_ohT(io2, ul, c, chunk, du0.dtype), du0, du1, pr)
+        dv = _selT(_ohT(io2, vl, c, chunk, du0.dtype), dv0, dv1, pr)
+        g3c = g3[sl, :].astype(jnp.float32)
+        gf = g3c[:, :d]
+        gaff = gf * scale + bias
+        relu_m = (gaff > 0).astype(jnp.float32)
+        eo = jax.nn.relu(gaff) + e_in[sl, :].astype(jnp.float32)
+        sigma = jax.nn.sigmoid(eo)
+        d_sigma = (dv[:, :d] * g3c[:, d: 2 * d] + dv[:, d:]
+                   + du[:, :d] * g3c[:, 2 * d:] + du[:, d:])
+        d_eo = (d_e_out[sl, :].astype(jnp.float32)
+                + d_sigma * sigma * (1.0 - sigma))
+        d_gaff = d_eo * relu_m
+        dg3_out[sl, :] = jnp.concatenate(
+            [d_gaff * scale, sigma * dv[:, :d], sigma * du[:, :d]],
+            axis=1).astype(dt)
+        dein_out[sl, :] = d_eo.astype(dein_out.dtype)
+        acc_scale = acc_scale + jnp.sum(d_gaff * gf, axis=0, keepdims=True)
+        acc_bias = acc_bias + jnp.sum(d_gaff, axis=0, keepdims=True)
+
+    dsb = jnp.concatenate(
+        [acc_scale, acc_bias, jnp.zeros((6, d), jnp.float32)], axis=0)
+    dsb_out[:] = dsb
+
+
+def k5_train_edge_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, g3, e_in,
+                      d_e_out, scale_eff, bias_eff):
+    """Fused K4 backward.  ``d_sum_u``/``d_sum_v`` are the node cotangent
+    arrays [Np, 2d] (cast to the compute dtype by the caller); returns
+    (d_g3 [Ep, 3d], d_e_in [Ep, d], dsb [T*8, d]) where dsb rows 0/1 of each
+    tile hold the d_scale / d_bias partials (caller sums tiles and adds the
+    overflow patch)."""
+    Ep, d3 = g3.shape
+    d = d3 // 3
+    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    dtype = g3.dtype
+    rows = plan.rows_p
+    affine = jnp.concatenate(
+        [jnp.stack([scale_eff, bias_eff]),
+         jnp.zeros((6, d), jnp.float32)]).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, 3 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((8, d), lambda t, ub, vb: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((ET, 3 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((8, d), lambda t, ub, vb: (t, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((Ep, 3 * d), dtype),
+        jax.ShapeDtypeStruct((Ep, d), dtype),
+        jax.ShapeDtypeStruct((T * 8, d), jnp.float32),
+    ]
+    kern = functools.partial(_k5_kernel, tile_e=ET, window=W, d=d, chunk=C)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=_interpret(),
+    )(plan.u_blk, plan.v_blk, d_sum_u, d_sum_u, d_sum_v, d_sum_v,
+      plan.u_local, plan.v_local, g3, e_in, d_e_out, affine)
+
+
 # ----------------------------------------------------------------- utilities
 _INTERPRET = False
 
