@@ -157,6 +157,15 @@ def _run_epoch(ds, params, state, opt_state, pos_weight, cfg, rng_np, rng_key,
                                              ex.x_rev, ex.e, ex.labels,
                                              ex.mask, pw, gt_proc=gt_proc)
                 logits_np = np.asarray(logits)[: ex.n_edges]
+                # flagship examples run slot-ordered: pair logits with the
+                # identically-permuted labels (metrics are order-invariant)
+                if ex.slot_io:
+                    labels_np = np.asarray(ex.labels)[: ex.n_edges]
+                else:
+                    labels_np = unit.y[: ex.n_edges].astype(np.float32)
+                metrics_list.append(compute_metrics(logits_np, labels_np,
+                                                    float(loss)))
+                continue
             labels_np = unit.y[: logits_np.shape[0]].astype(np.float32)
             metrics_list.append(compute_metrics(logits_np, labels_np,
                                                 float(loss)))

@@ -33,6 +33,7 @@ class TrainExample:
     mask: "object"       # [Ep] device float32
     n_edges: int
     gt_proc: "object" = None   # transformed processor graph (zoo models only)
+    slot_io: bool = False      # e/labels pre-permuted to slot order on host
 
 
 def _zscore(v: np.ndarray) -> np.ndarray:
@@ -69,11 +70,30 @@ def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
     zi, zo = _zscore(in_deg), _zscore(out_deg)
     x = gt.pad_nodes(np.stack([zi, zo], axis=1))
     x_rev = gt.pad_nodes(np.stack([zo, zi], axis=1))
-    e = gt.pad_edges(e_feat)
-    labels = jnp.asarray(np.pad(y.astype(np.float32), (0, gt.n_edges_pad - y.shape[0])))
+    e_np = np.zeros((gt.n_edges_pad, e_feat.shape[1]), np.float32)
+    e_np[: e_feat.shape[0]] = e_feat
+    y_np = np.pad(y.astype(np.float32), (0, gt.n_edges_pad - y.shape[0]))
+    # flagship model: permute edge arrays to slot order ON THE HOST so the
+    # jitted step pays zero device permutation gathers (forward slot_io=True);
+    # padded slots sort last, so masks/truncation behave identically
+    slot_io = cfg.model.model in ("sym_gatedgcn", "sym_gated_gcn")
+    if slot_io:
+        eid_of_slot = np.asarray(gt.eid_of_slot)
+        e_np = e_np[eid_of_slot]
+        y_np = y_np[eid_of_slot]
     mask = gt.edge_mask[:, 0]
-    return TrainExample(gt=gt, x=x, x_rev=x_rev, e=e, labels=labels, mask=mask,
-                        n_edges=int(y.shape[0]))
+    return TrainExample(gt=gt, x=x, x_rev=x_rev, e=jnp.asarray(e_np),
+                        labels=jnp.asarray(y_np), mask=mask,
+                        n_edges=int(y.shape[0]), slot_io=slot_io)
+
+
+def logits_to_host(ex: TrainExample, logits) -> np.ndarray:
+    """Step logits -> host edge order, truncated to real edges (undoes the
+    example builder's host-side slot permutation when ``ex.slot_io``)."""
+    a = np.asarray(logits)
+    if ex.slot_io:
+        a = a[np.asarray(ex.gt.slot_of_eid)]
+    return a[: ex.n_edges]
 
 
 def mask_graph_strandwise(graph, fraction: float, rng: np.random.Generator):
@@ -200,17 +220,21 @@ def make_steps(cfg: Config):
 
     def loss_fn(params, state, gt, gt_proc, x, x_rev, e, labels, mask,
                 pos_weight, rng, training):
+        # the flagship forward does its edge IO in slot order (the example
+        # builder pre-permuted e/labels on host); losses are order-invariant
+        # as long as logits/labels/mask agree, and they do
         k1, k2 = jax.random.split(rng)
         logits_org, state = fwd(params, state, gt, x, e, model_cfg,
                                 training=training, flip=False, rng=k1,
                                 backend=backend, remat=(remat if training else False),
-                                dtype=dtype, gt_proc=gt_proc)
+                                dtype=dtype, gt_proc=gt_proc, slot_io=is_sym)
         logits_org = logits_org[:, 0]
         if use_sym:
             logits_rev, state = fwd(params, state, gt, x_rev, e, model_cfg,
                                     training=training, flip=True, rng=k2,
                                     backend=backend, remat=(remat if training else False),
-                                    dtype=dtype, gt_proc=gt_proc)
+                                    dtype=dtype, gt_proc=gt_proc,
+                                    slot_io=is_sym)
             loss = symmetry_loss(logits_org, logits_rev[:, 0], labels,
                                  pos_weight, alpha=alpha, mask=mask)
         else:

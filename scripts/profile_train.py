@@ -82,14 +82,14 @@ def main():
                              training=training, flip=False, rng=k1,
                              backend=backend,
                              remat=(cfg.compute.remat if training else False),
-                             dtype=dtype)
+                             dtype=dtype, slot_io=ex.slot_io)
         logits_org = logits_org[:, 0]
         if use_sym:
             logits_rev, st = fwd(params, st, ex.gt, ex.x_rev, ex.e, model_cfg,
                                  training=training, flip=True, rng=k2,
                                  backend=backend,
                                  remat=(cfg.compute.remat if training else False),
-                                 dtype=dtype)
+                                 dtype=dtype, slot_io=ex.slot_io)
             loss = symmetry_loss(logits_org, logits_rev[:, 0], ex.labels, pw,
                                  alpha=cfg.train.alpha, mask=ex.mask)
         else:

@@ -75,7 +75,8 @@ def test_halo_train_step_matches_single_device():
     assert abs(float(loss1) - float(loss2)) < 1e-5
     got = halo_scores_to_host(hex_.plan, np.asarray(logits2)[..., None],
                               hex_.gt)
-    np.testing.assert_allclose(got, np.asarray(logits1)[: g.num_edges],
+    from gnnome_tpu.train.step import logits_to_host
+    np.testing.assert_allclose(got, logits_to_host(ex, logits1),
                                atol=5e-5, rtol=1e-3)
     # updated params agree (Adam first-step tolerance, see test_parallel)
     for a, b in zip(jax.tree_util.tree_leaves(p1),
