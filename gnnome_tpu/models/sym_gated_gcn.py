@@ -189,11 +189,24 @@ def score_edges(p, gt: GraphTensors, h, e, *, flip: bool = False,
     """Edge logits from final node/edge states, slot order
     (reference layers/score_predictor.py:12-24).  ``flip`` swaps endpoint
     roles for the reversed-graph pass."""
-    from ..ops.message import gather_uv_planned
+    from ..ops.message import gather_uv_planned, fused_score_gate, _plan_for
 
-    h_src, h_dst = gather_uv_planned(gt, flip, h, backend=backend)
-    z = jnp.concatenate([h_src, h_dst, e], axis=1)
-    z = jax.nn.relu(z @ p["W1"]["w"].astype(dtype) + p["W1"]["b"].astype(dtype))
+    d = h.shape[1]
+    w1 = p["W1"]["w"].astype(dtype)
+    b1 = p["W1"]["b"].astype(dtype)
+    if backend == "pallas" and _plan_for(gt, flip) is not None:
+        # K6: pre-project the endpoint parts in NODE space (row gathers cost
+        # the same at any width <= 128, so gather-after-matmul moves the
+        # [Ep,3d]x[3d,H] matmul to [Np,d]x[d,H] and fuses both gathers, the
+        # add and the relu into one windowed pass
+        pu = h @ w1[:d]
+        pv = h @ w1[d: 2 * d]
+        be = e @ w1[2 * d:] + b1
+        z = fused_score_gate(gt, flip, pu, pv, be)
+    else:
+        h_src, h_dst = gather_uv_planned(gt, flip, h, backend=backend)
+        z = jnp.concatenate([h_src, h_dst, e], axis=1)
+        z = jax.nn.relu(z @ w1 + b1)
     z = jax.nn.relu(z @ p["W2"]["w"].astype(dtype) + p["W2"]["b"].astype(dtype))
     return z @ p["W3"]["w"].astype(dtype) + p["W3"]["b"].astype(dtype)
 

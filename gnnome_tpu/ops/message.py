@@ -408,6 +408,49 @@ def _aggregate_bwd(res, g):
 _aggregate_pallas.defvjp(_aggregate_fwd, _aggregate_bwd)
 
 
+def fused_score_gate(gt: GraphTensors, flip: bool, pu, pv, be):
+    """``relu(pu[u] + pv[v] + be)`` for the score predictor's first layer
+    (Pallas K6): endpoint gathers, the three-way add and the relu in one
+    windowed pass.  ``pu``/``pv`` are the [Np, H] node pre-projections
+    ``h @ W1u`` / ``h @ W1v``; ``be`` = ``e @ W1e + b1`` in slot order.
+    Requires a windowed plan; the caller checks."""
+    plan = _plan_for(gt, flip)
+    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+    return _score_gate_pallas(plan, u_idx, v_idx, pu, pv, be)
+
+
+@jax.custom_vjp
+def _score_gate_pallas(plan, u_idx, v_idx, pu, pv, be):
+    from .pallas_kernels import k6_score_gate
+
+    z = k6_score_gate(plan, pu, pv, be)
+    # overflow slots: recompute with direct gathers
+    sl = plan.ovf_slots
+    m = plan.ovf_mask.astype(z.dtype)
+    zo = jax.nn.relu(jnp.take(pu, jnp.take(u_idx, sl), axis=0)
+                     + jnp.take(pv, jnp.take(v_idx, sl), axis=0)
+                     + jnp.take(be, sl, axis=0))
+    old = jnp.take(z, sl, axis=0)
+    return z.at[sl].set(m * zo + (1.0 - m) * old)
+
+
+def _score_gate_fwd(plan, u_idx, v_idx, pu, pv, be):
+    z = _score_gate_pallas(plan, u_idx, v_idx, pu, pv, be)
+    return z, (plan, u_idx, v_idx, z)
+
+
+def _score_gate_bwd(res, dz):
+    plan, u_idx, v_idx, z = res
+    dz = dz * (z > 0).astype(dz.dtype)
+    # adjoint of the two windowed selects = the K2 dual scatter
+    d_pu, d_pv = _aggregate_pallas(plan, u_idx, v_idx, dz, dz)
+    return (None, None, None, d_pu.astype(dz.dtype), d_pv.astype(dz.dtype),
+            dz)
+
+
+_score_gate_pallas.defvjp(_score_gate_fwd, _score_gate_bwd)
+
+
 def sddmm_add(a_nodes, b_nodes, e_edges, src, dst):
     """Per-edge ``a[src] + b[dst] + e`` — the generic SDDMM primitive
     (reference gated_gcn_full.py:104-105); the SymGatedGCN layer itself uses

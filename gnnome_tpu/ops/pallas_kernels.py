@@ -491,6 +491,57 @@ def k5_train_edge_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, g3, e_in,
       plan.u_local, plan.v_local, g3, e_in, d_e_out, affine)
 
 
+# ------------------------------------------- K6: score-predictor first layer
+def _k6_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, be,
+               z_out, *, tile_e, window, d, chunk):
+    """Fused ``relu(pu[u] + pv[v] + be)`` — the score predictor's endpoint
+    gathers AND first-layer matmul in one windowed pass (``pu = h @ W1u`` etc.
+    are computed in NODE space by the caller, so the [Ep, 3d] concat and the
+    edge-space [Ep,3d]x[3d,H] matmul never materialise; reference
+    score_predictor.py:13-23).  Overflow slots carry relu(be) (caller
+    patches)."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
+    for c in range(tile_e // chunk):
+        sl = pl.ds(c * chunk, chunk)
+        pr = _prec(u0.dtype)
+        gu = _selT(_ohT(io2, ul, c, chunk, u0.dtype), u0, u1, pr)
+        gv = _selT(_ohT(io2, vl, c, chunk, u0.dtype), v0, v1, pr)
+        z_out[sl, :] = jax.nn.relu(
+            (gu + gv).astype(z_out.dtype) + be[sl, :])
+
+
+def k6_score_gate(plan: WindowedPlan, pu, pv, be):
+    """pu/pv: [Np, H] node pre-projections; be: [Ep, H] slot order.
+    Returns z [Ep, H] = relu(pu[u] + pv[v] + be)."""
+    Ep, H = be.shape
+    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    rows = plan.rows_p
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((W, H), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, H), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((W, H), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, H), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, H), lambda t, ub, vb: (t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((ET, H), lambda t, ub, vb: (t, 0)),
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((Ep, H), be.dtype)]
+    kern = functools.partial(_k6_kernel, tile_e=ET, window=W, d=H, chunk=C)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=_interpret(),
+    )(plan.u_blk, plan.v_blk, pu, pu, pv, pv,
+      plan.u_local, plan.v_local, be)[0]
+
+
 # ----------------------------------------------------------------- utilities
 _INTERPRET = False
 
