@@ -141,8 +141,14 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
         x = g3[:, :d].astype(jnp.float32)
         m = gt.edge_mask.astype(jnp.float32)
         n_valid = gt.n_edges
-        mean = (x * m).sum(axis=0) / n_valid
-        var = (((x - mean) ** 2) * m).sum(axis=0) / n_valid    # biased
+        # one-pass sum/sumsq: both reduces read x once (XLA fuses them into a
+        # single [Ep, d] sweep) and the adjoint is one linear-in-x elementwise
+        # pass, vs two sweeps + the (x-mean)^2 chain of the naive form
+        xm = x * m
+        s1 = xm.sum(axis=0)
+        s2 = (xm * x).sum(axis=0)
+        mean = s1 / n_valid
+        var = s2 / n_valid - mean * mean                       # biased
         inv = jax.lax.rsqrt(var + 1e-5)
         scale_eff = p["bn_e"]["scale"] * inv
         bias_eff = p["bn_e"]["bias"] - mean * scale_eff
