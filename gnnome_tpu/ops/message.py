@@ -43,23 +43,27 @@ def _plan_for(gt: GraphTensors, flip: bool):
     return gt.wplan_flip if flip else gt.wplan
 
 
-def combine_block_partials(partial, visited, n_pad: int, window: int):
-    """[NB*2W, D] per-block window partials -> [Np, D] node sums.
+def combine_block_partials(low, high, visited, n_pad: int, window: int):
+    """(low, high) [NB*W, D] per-block window partials -> [Np, D] node sums.
 
-    Row ``b*2W + j`` of ``partial`` belongs to node ``b*W + j``; each node
-    receives one row from its own block (low half) and one from the previous
-    block (high half), so the combine is a masked reshape + shifted add —
-    O(2*Np*D) elementwise, no segment-sum (the old per-tile layout needed a
-    [T*2W]-row scatter here, the measured bottleneck of the fused layer).
-    ``visited`` masks never-written (uninitialised) partial blocks.
+    Row ``b*W + j`` of ``low`` belongs to node ``b*W + j``, of ``high`` to
+    node ``(b+1)*W + j``: the combine is a masked pad + shifted add over two
+    CONTIGUOUS arrays — one fused elementwise pass, no strided slices (the
+    old interleaved [NB*2W, D] layout cost three separate ~540 MB fusions
+    per combine on the bench graph).  ``visited`` masks never-written
+    (uninitialised) partial blocks.
     """
     NB = visited.shape[0]
-    D = partial.shape[1]
-    p = partial.reshape(NB, 2, window, D) * visited[:, None, None, None]
-    zero = jnp.zeros((1, window, D), partial.dtype)
-    res = (jnp.concatenate([p[:, 0], zero], axis=0)
-           + jnp.concatenate([zero, p[:, 1]], axis=0))
-    return res.reshape(n_pad, D)
+    D = low.shape[1]
+    zero = jnp.zeros((), low.dtype)
+    lm = (low.reshape(NB, window, D) * visited[:, None, None]
+          ).reshape(NB * window, D)
+    hm = (high.reshape(NB, window, D) * visited[:, None, None]
+          ).reshape(NB * window, D)
+    pad = n_pad - NB * window            # == window
+    res = (jax.lax.pad(lm, zero, ((0, pad, 0), (0, 0, 0)))
+           + jax.lax.pad(hm, zero, ((pad, 0, 0), (0, 0, 0))))
+    return res
 
 
 def fused_gate_gather(gt: GraphTensors, proj_u: jax.Array, proj_v: jax.Array,
@@ -230,11 +234,11 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
     d = b3e.shape[1]
     n_pad = plan.n_pad
 
-    e_out, partial_u, partial_v = k3_fused_eval_layer(
+    e_out, pu_lo, pu_hi, pv_lo, pv_hi = k3_fused_eval_layer(
         plan, proj_u, proj_v, b3e, e_in, bn_scale, bn_bias)
-    sum_u = combine_block_partials(partial_u, plan.u_visited, n_pad,
+    sum_u = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
                                    plan.window)
-    sum_v = combine_block_partials(partial_v, plan.v_visited, n_pad,
+    sum_v = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
                                    plan.window)
 
     # overflow edges: recompute the full edge stage with direct gathers
@@ -286,11 +290,11 @@ def _train_edge(plan, u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff):
 
     d = g3.shape[1] // 3
     n_pad = plan.n_pad
-    e_out, partial_u, partial_v = k4_train_edge(
+    e_out, pu_lo, pu_hi, pv_lo, pv_hi = k4_train_edge(
         plan, g3, e_in, scale_eff.astype(g3.dtype), bias_eff.astype(g3.dtype))
-    sum_u = combine_block_partials(partial_u, plan.u_visited, n_pad,
+    sum_u = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
                                    plan.window)
-    sum_v = combine_block_partials(partial_v, plan.v_visited, n_pad,
+    sum_v = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
                                    plan.window)
     # overflow edges: e_out is exact everywhere (elementwise from the patched
     # gate columns); only their aggregation payloads are missing
@@ -372,10 +376,10 @@ def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
     from .pallas_kernels import k2_aggregate
 
     n_pad = plan.n_pad
-    partial_u, partial_v = k2_aggregate(plan, pay_u, pay_v)
-    sum_b = combine_block_partials(partial_u, plan.u_visited, n_pad,
+    pu_lo, pu_hi, pv_lo, pv_hi = k2_aggregate(plan, pay_u, pay_v)
+    sum_b = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
                                    plan.window)
-    sum_f = combine_block_partials(partial_v, plan.v_visited, n_pad,
+    sum_f = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
                                    plan.window)
     # overflow contributions
     sl, m = plan.ovf_slots, plan.ovf_mask
