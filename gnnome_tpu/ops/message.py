@@ -43,7 +43,8 @@ def _plan_for(gt: GraphTensors, flip: bool):
     return gt.wplan_flip if flip else gt.wplan
 
 
-def combine_block_partials(low, high, visited, n_pad: int, window: int):
+def combine_block_partials(low, high, visited, n_pad: int, window: int,
+                           all_visited: bool = False):
     """(low, high) [NB*W, D] per-block window partials -> [Np, D] node sums.
 
     Row ``b*W + j`` of ``low`` belongs to node ``b*W + j``, of ``high`` to
@@ -51,15 +52,19 @@ def combine_block_partials(low, high, visited, n_pad: int, window: int):
     CONTIGUOUS arrays — one fused elementwise pass, no strided slices (the
     old interleaved [NB*2W, D] layout cost three separate ~540 MB fusions
     per combine on the bench graph).  ``visited`` masks never-written
-    (uninitialised) partial blocks.
+    (uninitialised) partial blocks; when the host-side plan proves every
+    block was visited (``all_visited``), the mask pass is skipped entirely.
     """
     NB = visited.shape[0]
     D = low.shape[1]
     zero = jnp.zeros((), low.dtype)
-    lm = (low.reshape(NB, window, D) * visited[:, None, None]
-          ).reshape(NB * window, D)
-    hm = (high.reshape(NB, window, D) * visited[:, None, None]
-          ).reshape(NB * window, D)
+    if all_visited:
+        lm, hm = low, high
+    else:
+        lm = (low.reshape(NB, window, D) * visited[:, None, None]
+              ).reshape(NB * window, D)
+        hm = (high.reshape(NB, window, D) * visited[:, None, None]
+              ).reshape(NB * window, D)
     pad = n_pad - NB * window            # == window
     res = (jax.lax.pad(lm, zero, ((0, pad, 0), (0, 0, 0)))
            + jax.lax.pad(hm, zero, ((pad, 0, 0), (0, 0, 0))))
@@ -237,9 +242,9 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
     e_out, pu_lo, pu_hi, pv_lo, pv_hi = k3_fused_eval_layer(
         plan, proj_u, proj_v, b3e, e_in, bn_scale, bn_bias)
     sum_u = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
-                                   plan.window)
+                                   plan.window, plan.u_all)
     sum_v = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
-                                   plan.window)
+                                   plan.window, plan.v_all)
 
     # overflow edges: recompute the full edge stage with direct gathers
     sl = plan.ovf_slots
@@ -293,9 +298,9 @@ def _train_edge(plan, u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff):
     e_out, pu_lo, pu_hi, pv_lo, pv_hi = k4_train_edge(
         plan, g3, e_in, scale_eff.astype(g3.dtype), bias_eff.astype(g3.dtype))
     sum_u = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
-                                   plan.window)
+                                   plan.window, plan.u_all)
     sum_v = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
-                                   plan.window)
+                                   plan.window, plan.v_all)
     # overflow edges: e_out is exact everywhere (elementwise from the patched
     # gate columns); only their aggregation payloads are missing
     sl, m = plan.ovf_slots, plan.ovf_mask
@@ -378,9 +383,9 @@ def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
     n_pad = plan.n_pad
     pu_lo, pu_hi, pv_lo, pv_hi = k2_aggregate(plan, pay_u, pay_v)
     sum_b = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
-                                   plan.window)
+                                   plan.window, plan.u_all)
     sum_f = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
-                                   plan.window)
+                                   plan.window, plan.v_all)
     # overflow contributions
     sl, m = plan.ovf_slots, plan.ovf_mask
     sum_b = sum_b + jax.ops.segment_sum(

@@ -59,6 +59,8 @@ class WindowedPlan:
     n_tiles: int = 0
     n_ovf: int = 0
     n_pad: int = 0          # padded node count of the owning GraphTensors
+    u_all: bool = False     # every u block visited => combine can skip the
+    v_all: bool = False     #   visited-mask pass (one full [NB*W, D] sweep)
 
     @property
     def sentinel(self) -> int:
@@ -81,7 +83,8 @@ jax.tree_util.register_dataclass(
     WindowedPlan,
     data_fields=["u_blk", "v_blk", "u_local", "v_local", "u_visited",
                  "v_visited", "ovf_slots", "ovf_mask"],
-    meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_ovf", "n_pad"],
+    meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_ovf", "n_pad",
+                 "u_all", "v_all"],
 )
 
 
@@ -174,4 +177,5 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
         ovf_slots=jnp.asarray(ovf_slots), ovf_mask=jnp.asarray(ovf_mask),
         tile_e=tile_e, window=window, chunk=chunk, n_tiles=n_tiles,
         n_ovf=n_ovf, n_pad=Np,
+        u_all=bool(u_visited.all()), v_all=bool(v_visited.all()),
     )
