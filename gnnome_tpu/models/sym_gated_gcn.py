@@ -245,11 +245,27 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
                        norm=cfg.normalization, drop_rate=cfg.dropout,
                        backend=backend, dtype=dtype)
 
+    # "full" remat (the large-graph mode): carry (h, e) through the scan
+    # packed two rows per 128-lane row.  The scan's per-layer carry stack is
+    # the dominant training allocation at multi-million-edge scale
+    # ([L, Ep, 64]); XLA pads a 64-wide bf16/f32 minor dim 2x to the 128-lane
+    # tile AND keeps a compressed+uncompressed copy pair alive while
+    # rematerialising it (measured 18 GB for 6.3M edges).  A [Ep/2, 128]
+    # carry has no lane padding, so the stack is stored once at its unpadded
+    # size.  The repack is an exact row-major reshape (bitwise identity).
+    pack = remat == "full"
+
+    def _pack(a):
+        return a.reshape(a.shape[0] // 2, 2 * a.shape[1]) if pack else a
+
+    def _unpack(a):
+        return a.reshape(a.shape[0] * 2, a.shape[1] // 2) if pack else a
+
     def body(carry, inp):
         h, e = carry
         p_l, s_l, key_l = inp
-        h, e, new_s = layer_fn(p_l, s_l, gt, h, e, rng=key_l)
-        return (h, e), new_s
+        h, e, new_s = layer_fn(p_l, s_l, gt, _unpack(h), _unpack(e), rng=key_l)
+        return (_pack(h), _pack(e)), new_s
 
     if remat:
         body = jax.checkpoint(body)
@@ -261,12 +277,14 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
         return jax.lax.scan(body, (h, e), (params["gnn"], state["gnn"], keys))
 
     if remat == "full":
-        # outer remat too: the scan's per-layer (h, e) carries dominate memory
-        # on multi-million-edge graphs (e is E x d per layer boundary);
-        # recompute them in backward at O(L^2/2) layer-forward cost
+        # outer remat too: nothing is saved in the primal forward, so the two
+        # symmetry-loss passes never hold their carry stacks at the same time
+        # (each is rebuilt, used and freed inside its own backward segment),
+        # at O(L^2/2) layer-forward recompute cost
         run_layers = jax.checkpoint(
             run_layers, policy=jax.checkpoint_policies.nothing_saveable)
-    (h, e), new_gnn_state = run_layers(h, e)
+    (h, e), new_gnn_state = run_layers(_pack(h), _pack(e))
+    h, e = _unpack(h), _unpack(e)
 
     predict = partial(score_edges, params["predictor"], gt, flip=flip,
                       dtype=dtype, backend=backend)
