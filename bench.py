@@ -359,7 +359,7 @@ def mesh_worker(n_devices: int, n_nodes: int, avg_degree: float,
         "mesh_devices": n_devices,
         "mesh_path": path,
         "mesh_halo_k": int(hex_.plan.K) if hex_ is not None else -1,
-        "platform": "cpu-mesh-sim",
+        "mesh_platform": "cpu-mesh-sim",
         "edges_per_s_1dev": round(eps_1, 1),
         "edges_per_s_mesh": round(eps_n, 1),
         # the N virtual devices share this host's cores, so equal total

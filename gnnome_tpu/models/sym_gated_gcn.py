@@ -106,7 +106,7 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
     b3e = (e @ p["B3"]["w"].astype(dtype)) + p["B3"]["b"].astype(dtype)
 
     from ..ops.message import (fused_gate_gather, fused_eval_edge_stage,
-                               fused_train_edge_stage, _plan_for)
+                               _plan_for)
     # K3/K4 are the bf16 perf paths (the f32 parity mode keeps the verified
     # K1/K2/XLA route; K3-f32 also trips this environment's remote compiler).
     # Interpreter mode (tests) exercises them at any dtype.
@@ -129,37 +129,23 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
         h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
         s_bn_e = s["bn_e"]
     elif use_k4:
-        # training: K1 gather (differentiable) -> masked batch statistics
-        # folded into one affine -> K4 fused edge stage (affine/relu/residual/
-        # sigmoid/dual-scatter in one pass).  BN semantics match norm.batch_norm
-        # exactly: biased batch var normalises, unbiased updates the running
-        # stats TWICE (the reference's shared bn_e quirk, gated_gcn_full.py:
-        # 106,119), momentum 0.1.
-        from ..ops.message import fused_gate_gather3
-        g3 = fused_gate_gather3(gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d],
-                                b3e, flip=flip)
-        x = g3[:, :d].astype(jnp.float32)
-        m = gt.edge_mask.astype(jnp.float32)
-        n_valid = gt.n_edges
-        # one-pass sum/sumsq: both reduces read x once (XLA fuses them into a
-        # single [Ep, d] sweep) and the adjoint is one linear-in-x elementwise
-        # pass, vs two sweeps + the (x-mean)^2 chain of the naive form
-        xm = x * m
-        s1 = xm.sum(axis=0)
-        s2 = (xm * x).sum(axis=0)
-        mean = s1 / n_valid
-        var = s2 / n_valid - mean * mean                       # biased
-        inv = jax.lax.rsqrt(var + 1e-5)
-        scale_eff = p["bn_e"]["scale"] * inv
-        bias_eff = p["bn_e"]["bias"] - mean * scale_eff
-        unbiased = var * (n_valid / (n_valid - 1)) if n_valid > 1 else var
+        # training: the whole edge stage (windowed batch statistics -> affine
+        # -> relu -> residual -> sigmoid -> dual aggregation) is ONE custom-VJP
+        # primitive with fused Pallas forward (K7+K3) and backward (K8) — no
+        # [Ep, 3d] gate/message arrays ever reach HBM.  BN semantics match
+        # norm.batch_norm exactly: biased batch var normalises, unbiased
+        # updates the running stats TWICE (the reference's shared bn_e quirk,
+        # gated_gcn_full.py:106,119), momentum 0.1, gradients flow through
+        # the batch statistics (torch BN training semantics).
+        from ..ops.message import fused_train_layer
+        e_out, sum_v, sum_u, mean, unbiased = fused_train_layer(
+            gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d], b3e, e_in,
+            p["bn_e"]["scale"], p["bn_e"]["bias"], flip=flip)
         rm, rv = s["bn_e"]["mean"], s["bn_e"]["var"]
         for _ in range(2):
             rm = 0.9 * rm + 0.1 * mean
             rv = 0.9 * rv + 0.1 * unbiased
         s_bn_e = {"mean": rm, "var": rv, "count": s["bn_e"]["count"] + 2}
-        e_out, sum_v, sum_u = fused_train_edge_stage(
-            gt, g3, e_in, scale_eff, bias_eff, flip=flip)
         h_fwd = (sum_v[:, :d] / (sum_v[:, d:] + GATE_EPS)).astype(dtype)
         h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
     else:

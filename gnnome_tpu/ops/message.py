@@ -91,17 +91,6 @@ def fused_gate_gather(gt: GraphTensors, proj_u: jax.Array, proj_v: jax.Array,
     return _gate_gather_xla(u_idx, v_idx, not flip, proj_u, proj_v, b3e)
 
 
-def fused_gate_gather3(gt: GraphTensors, proj_u, proj_v, b3e,
-                       flip: bool = False):
-    """Pallas-only variant returning K1's fused g3 [Ep, 3d] =
-    [gate_raw | a2h_u | a3h_v] directly (no column slicing) — the K4 training
-    path consumes it as one array, halving the lane-padded HBM traffic of
-    three separate [Ep, d] tensors."""
-    u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    plan = _plan_for(gt, flip)
-    return _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e)
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _gate_gather_xla(u_idx, v_idx, v_sorted, proj_u, proj_v, b3e):
     """XLA endpoint gathers with segment-sum adjoints (measured ~2x faster on
@@ -231,11 +220,18 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
     """EVAL-mode fused edge stage (Pallas K3): returns
     (e_out [Ep, d], sum_into_v [Np, d+1], sum_into_u [Np, d+1]) where u/v are
     the flip-resolved endpoint roles.  Requires a windowed plan; caller must
-    check.  Not differentiable (inference path)."""
-    from .pallas_kernels import k3_fused_eval_layer
-
+    check.  Not differentiable (inference path; the training path wraps the
+    same kernel in ``fused_train_layer``'s custom VJP)."""
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
+    return _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e, e_in,
+                            bn_scale, bn_bias)
+
+
+def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e, e_in,
+                     bn_scale, bn_bias):
+    from .pallas_kernels import k3_fused_eval_layer
+
     d = b3e.shape[1]
     n_pad = plan.n_pad
 
@@ -268,110 +264,169 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
     return e_out, sum_v, sum_u
 
 
-def fused_train_edge_stage(gt: GraphTensors, g3, e_in,
-                           scale_eff, bias_eff, flip: bool = False):
-    """TRAINING-mode fused edge stage (Pallas K4) with a custom VJP.
 
-    ``g3`` [Ep, 3d] is K1's fused (overflow-patched) [gate_raw | a2h | a3h]
-    output; ``scale_eff``/``bias_eff`` fold the batch statistics into one
-    affine (y = x*scale_eff + bias_eff == batch_norm(x) — the caller computes
-    the statistics, so gradients flow through mean/var in the outer graph).
-    Returns (e_out [Ep, d], sum_v [Np, 2d], sum_u [Np, 2d]).
+def fused_train_layer(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
+                      gamma, beta, flip: bool = False):
+    """The WHOLE training-mode edge stage — batch statistics, BatchNorm,
+    relu, residual, sigmoid, both gated aggregations — as one differentiable
+    primitive with no [Ep, 3d] intermediates in HBM (reference hot path
+    gated_gcn_full.py:104-127 + the torch BN batch-stat backward).
 
-    The backward pass is XLA: two node-cotangent gathers plus one fused
-    elementwise chain (the adjoint of affine->relu->residual->sigmoid->
-    payload), with the padded-slot mask applied where the kernel's sentinel
-    one-hots did the masking in the forward.
-    """
+    Forward: K7 computes the gate statistics windowed (gate_raw never
+    materialises), the statistics fold into one affine, and the K3 kernel
+    runs the fused edge stage.  Backward: K8 re-selects everything from the
+    node windows and emits d_proj window partials + [x | d_y] directly; the
+    batch-statistics chain closes in node space because its per-edge term
+    ``m*(c1 + c2*x)`` is linear in x (K7's [xsum | deg] partials supply the
+    scatter).  Returns (e_out [Ep, d], sum_v [Np, 2d], sum_u [Np, 2d],
+    mean [d], unbiased_var [d]); the mean/var outputs carry NO gradient
+    (torch updates running stats under no_grad)."""
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    return _train_edge(plan, u_idx, v_idx, gt.edge_mask, g3, e_in,
-                       scale_eff, bias_eff)
+    return _train_layer(gt.n_edges, plan, u_idx, v_idx, gt.edge_mask,
+                        proj_u, proj_v, b3e, e_in, gamma, beta)
 
 
-@jax.custom_vjp
-def _train_edge(plan, u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff):
-    from .pallas_kernels import k4_train_edge
+def _train_layer_impl(n_edges, plan, u_idx, v_idx, emask, proj_u, proj_v,
+                      b3e, e_in, gamma, beta):
+    from .pallas_kernels import k7_gate_stats
 
-    d = g3.shape[1] // 3
+    d = b3e.shape[1]
     n_pad = plan.n_pad
-    e_out, pu_lo, pu_hi, pv_lo, pv_hi = k4_train_edge(
-        plan, g3, e_in, scale_eff.astype(g3.dtype), bias_eff.astype(g3.dtype))
-    sum_u = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
-                                   plan.window, plan.u_all)
-    sum_v = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
-                                   plan.window, plan.v_all)
-    # overflow edges: e_out is exact everywhere (elementwise from the patched
-    # gate columns); only their aggregation payloads are missing
+    stats, xu_lo, xu_hi, xv_lo, xv_hi = k7_gate_stats(plan, proj_u, proj_v,
+                                                      b3e)
+    stats = stats.reshape(plan.n_tiles, 8, d)
+    s1 = stats[:, 0].sum(axis=0)
+    s2 = stats[:, 1].sum(axis=0)
+    xsum_u = combine_block_partials(xu_lo, xu_hi, plan.u_visited, n_pad,
+                                    plan.window, plan.u_all)
+    xsum_v = combine_block_partials(xv_lo, xv_hi, plan.v_visited, n_pad,
+                                    plan.window, plan.v_all)
+    # overflow edges: the kernel excluded them (sentinel); add their exact
+    # contributions from direct gathers
     sl, m = plan.ovf_slots, plan.ovf_mask
-    eo_ovf = jnp.take(e_out, sl, axis=0)
-    g3_ovf = jnp.take(g3, sl, axis=0)
-    sigma = jax.nn.sigmoid(eo_ovf.astype(jnp.float32)) * m
-    sum_v = sum_v + jax.ops.segment_sum(
-        jnp.concatenate([sigma * g3_ovf[:, d: 2 * d], sigma], axis=1),
-        jnp.take(v_idx, sl), num_segments=n_pad)
-    sum_u = sum_u + jax.ops.segment_sum(
-        jnp.concatenate([sigma * g3_ovf[:, 2 * d:], sigma], axis=1),
-        jnp.take(u_idx, sl), num_segments=n_pad)
-    return e_out, sum_v, sum_u
+    uo, vo = jnp.take(u_idx, sl), jnp.take(v_idx, sl)
+    gu = jnp.take(proj_u, uo, axis=0)
+    gv = jnp.take(proj_v, vo, axis=0)
+    x_o = (gu[:, :d] + gv[:, :d]).astype(b3e.dtype) + jnp.take(b3e, sl,
+                                                               axis=0)
+    xf_o = x_o.astype(jnp.float32) * m
+    s1 = s1 + xf_o.sum(axis=0)
+    s2 = s2 + (xf_o * x_o.astype(jnp.float32)).sum(axis=0)
+    pay_o = jnp.concatenate([xf_o, m * jnp.ones_like(xf_o)], axis=1)
+    xsum_u = xsum_u + jax.ops.segment_sum(pay_o, uo, num_segments=n_pad)
+    xsum_v = xsum_v + jax.ops.segment_sum(pay_o, vo, num_segments=n_pad)
+
+    n = n_edges
+    mean = s1 / n
+    var = s2 / n - mean * mean                      # biased (normalises)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    scale_eff = gamma * inv
+    bias_eff = beta - mean * scale_eff
+    unbiased = var * (n / (n - 1)) if n > 1 else var
+
+    e_out, sum_v, sum_u = _eval_edge_stage(plan, u_idx, v_idx, proj_u,
+                                           proj_v, b3e, e_in, scale_eff,
+                                           bias_eff)
+    out = (e_out, sum_v, sum_u, mean, unbiased)
+    res = (plan, u_idx, v_idx, emask, proj_u, proj_v, b3e, e_in, gamma,
+           xsum_u, xsum_v, mean, inv, scale_eff, bias_eff)
+    return out, res
 
 
-def _train_edge_fwd(plan, u_idx, v_idx, emask, g3, e_in, scale_eff, bias_eff):
-    out = _train_edge(plan, u_idx, v_idx, emask, g3, e_in, scale_eff,
-                      bias_eff)
-    return out, (plan, u_idx, v_idx, g3, e_in, scale_eff, bias_eff)
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _train_layer(n_edges, plan, u_idx, v_idx, emask, proj_u, proj_v,
+                 b3e, e_in, gamma, beta):
+    out, _ = _train_layer_impl(n_edges, plan, u_idx, v_idx, emask,
+                               proj_u, proj_v, b3e, e_in, gamma, beta)
+    return out
 
 
-def _train_edge_bwd(res, g):
-    """Fused K5 backward: one Pallas pass does the windowed node-cotangent
-    selects (the adjoint of K4's scatters), the recomputed elementwise
-    forward, the full adjoint chain, and the d_scale/d_bias tile partials —
-    replacing two XLA gathers + ~10 elementwise HBM passes.  Only the
-    overflow edges' aggregation-cotangent terms are patched here (their
-    in-kernel selects hit the sentinel, exactly mirroring the forward)."""
-    from .pallas_kernels import k5_train_edge_bwd
+def _train_layer_fwd(n_edges, plan, u_idx, v_idx, emask, proj_u, proj_v,
+                     b3e, e_in, gamma, beta):
+    return _train_layer_impl(n_edges, plan, u_idx, v_idx, emask,
+                             proj_u, proj_v, b3e, e_in, gamma, beta)
 
-    plan, u_idx, v_idx, g3, e_in, scale_eff, bias_eff = res
-    d_e_out, d_sum_v, d_sum_u = g
-    d = g3.shape[1] // 3
-    dt = g3.dtype
-    # cast BEFORE the kernel: bf16 node-window DMAs are ~2x cheaper (no-op
-    # in f32 mode); padded slots carry sentinel one-hots -> zero selects
-    d_g3, d_e_in, dsb = k5_train_edge_bwd(
-        plan, d_sum_u.astype(dt), d_sum_v.astype(dt), g3, e_in, d_e_out,
-        scale_eff, bias_eff)
-    dsb = dsb.reshape(plan.n_tiles, 8, d)
-    d_scale = dsb[:, 0].sum(axis=0)
-    d_bias = dsb[:, 1].sum(axis=0)
 
-    # overflow patch: the kernel selected ZERO node cotangents for overflow
-    # edges (sentinel one-hots); add their missing d_sigma-driven terms
+def _train_layer_bwd(n_edges, res, cots):
+    from .pallas_kernels import k8_train_layer_bwd
+
+    (plan, u_idx, v_idx, emask, proj_u, proj_v, b3e, e_in, gamma,
+     xsum_u, xsum_v, mean, inv, scale_eff, bias_eff) = res
+    # mean/unbiased-var cotangents are dropped: running-stat updates carry no
+    # gradient (torch semantics — they happen under no_grad)
+    d_e_out, d_sum_v, d_sum_u, _dm, _dv = cots
+    dt = b3e.dtype
+    d = b3e.shape[1]
+    n_pad = plan.n_pad
+
+    # cast BEFORE the kernel: bf16 node-window DMAs are ~2x cheaper (no-op in
+    # f32 mode); padded slots carry sentinel one-hots -> zero selects
+    xdy, d_e_in, pu_lo, pu_hi, pv_lo, pv_hi = k8_train_layer_bwd(
+        plan, d_sum_u.astype(dt), d_sum_v.astype(dt), proj_u, proj_v,
+        b3e, e_in, d_e_out, scale_eff, bias_eff)
+    d_pu = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
+                                  plan.window, plan.u_all)
+    d_pv = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
+                                  plan.window, plan.v_all)
+
+    # ---- overflow patch: recompute forward + adjoint with direct gathers
     sl, m = plan.ovf_slots, plan.ovf_mask
-    du = jnp.take(d_sum_u.astype(dt), jnp.take(u_idx, sl),
-                  axis=0).astype(jnp.float32) * m
-    dv = jnp.take(d_sum_v.astype(dt), jnp.take(v_idx, sl),
-                  axis=0).astype(jnp.float32) * m
-    g3o = jnp.take(g3, sl, axis=0).astype(jnp.float32)
-    gf = g3o[:, :d]
-    gaff = gf * scale_eff + bias_eff
+    uo, vo = jnp.take(u_idx, sl), jnp.take(v_idx, sl)
+    gu = jnp.take(proj_u, uo, axis=0)
+    gv = jnp.take(proj_v, vo, axis=0)
+    x_o = (gu[:, :d] + gv[:, :d]).astype(dt) + jnp.take(b3e, sl, axis=0)
+    gaff = x_o * scale_eff.astype(dt) + bias_eff.astype(dt)
     relu_m = (gaff > 0).astype(jnp.float32)
-    eo = jax.nn.relu(gaff) + jnp.take(e_in, sl, axis=0).astype(jnp.float32)
-    sigma = jax.nn.sigmoid(eo)
-    d_sigma = (dv[:, :d] * g3o[:, d: 2 * d] + dv[:, d:]
-               + du[:, :d] * g3o[:, 2 * d:] + du[:, d:])
-    d_eo_x = d_sigma * sigma * (1.0 - sigma)   # the term the kernel missed
-    d_gaff_x = d_eo_x * relu_m
-    d_g3 = d_g3.at[sl].add(jnp.concatenate(
-        [d_gaff_x * scale_eff, sigma * dv[:, :d], sigma * du[:, :d]],
-        axis=1).astype(dt))
-    d_e_in = d_e_in.at[sl].add(d_eo_x.astype(d_e_in.dtype))
-    d_scale = d_scale + (d_gaff_x * gf).sum(axis=0)
-    d_bias = d_bias + d_gaff_x.sum(axis=0)
-    return (None, None, None, None, d_g3, d_e_in.astype(e_in.dtype),
-            d_scale.astype(scale_eff.dtype), d_bias.astype(bias_eff.dtype))
+    eo = jax.nn.relu(gaff) + jnp.take(e_in, sl, axis=0)
+    sigma = jax.nn.sigmoid(eo.astype(jnp.float32))
+    du_o = jnp.take(d_sum_u.astype(dt), uo, axis=0).astype(jnp.float32) * m
+    dv_o = jnp.take(d_sum_v.astype(dt), vo, axis=0).astype(jnp.float32) * m
+    a2u = gu[:, d:].astype(jnp.float32)
+    a3v = gv[:, d:].astype(jnp.float32)
+    d_sigma = (dv_o[:, :d] * a2u + dv_o[:, d:]
+               + du_o[:, :d] * a3v + du_o[:, d:])
+    d_eo_x = d_sigma * sigma * (1.0 - sigma)
+    d_y_o = ((jnp.take(d_e_out, sl, axis=0).astype(jnp.float32) + d_eo_x)
+             * relu_m * m)
+    new_row = jnp.concatenate([x_o.astype(jnp.float32), d_y_o], axis=1)
+    old_row = jnp.take(xdy, sl, axis=0).astype(jnp.float32)
+    xdy = xdy.at[sl].set(jnp.where(m > 0, new_row, old_row).astype(dt))
+    d_e_in = d_e_in.at[sl].add((m * d_eo_x).astype(dt))
+    d_pu = d_pu + jax.ops.segment_sum(
+        jnp.concatenate([d_y_o * scale_eff, sigma * dv_o[:, :d]], axis=1),
+        uo, num_segments=n_pad)
+    d_pv = d_pv + jax.ops.segment_sum(
+        jnp.concatenate([d_y_o * scale_eff, sigma * du_o[:, :d]], axis=1),
+        vo, num_segments=n_pad)
+
+    # ---- batch-statistics chain, closed from [x | d_y] + the K7 partials
+    x = xdy[:, :d].astype(jnp.float32)
+    dy = xdy[:, d:].astype(jnp.float32)
+    dym = dy * emask
+    A = dym.sum(axis=0)                             # d_bias_eff
+    B = (dym * x).sum(axis=0)                       # d_scale_eff (pre-chain)
+    g_term = B - mean * A
+    d_gamma = inv * g_term
+    d_beta = A
+    d_var = -0.5 * (inv ** 3) * (gamma * g_term)
+    d_mean = -A * scale_eff - 2.0 * mean * d_var
+    c1 = d_mean / n_edges
+    c2 = 2.0 * d_var / n_edges
+    d_b3e = (dy * scale_eff + emask * (c1 + c2 * x)).astype(dt)
+    # node-space stats term: sum_e m*(c1 + c2*x) into each endpoint =
+    # c1*deg + c2*xsum (K7's [xsum | deg] partials)
+    zu = c2 * xsum_u[:, :d] + c1 * xsum_u[:, d:]
+    zv = c2 * xsum_v[:, :d] + c1 * xsum_v[:, d:]
+    d_pu = d_pu + jnp.concatenate([zu, jnp.zeros_like(zu)], axis=1)
+    d_pv = d_pv + jnp.concatenate([zv, jnp.zeros_like(zv)], axis=1)
+
+    return (None, None, None, None, d_pu.astype(dt), d_pv.astype(dt),
+            d_b3e, d_e_in.astype(e_in.dtype),
+            d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype))
 
 
-_train_edge.defvjp(_train_edge_fwd, _train_edge_bwd)
+_train_layer.defvjp(_train_layer_fwd, _train_layer_bwd)
 
 
 @jax.custom_vjp

@@ -321,21 +321,126 @@ def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
       plan.u_local, plan.v_local, b3e, e_in, affine)
 
 
-# ------------------------------------------------- K4: fused train edge stage
-def _k4_kernel(u_blk_ref, v_blk_ref, ul, vl, g3, e_in,
-               affine, e_out, pu_lo, pu_hi, pv_lo, pv_hi,
+# ---------------------------------------------- K7: training gate statistics
+def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
+               stats_out, xu_lo, xu_hi, xv_lo, xv_hi,
                *, tile_e, window, d, chunk):
-    """Training-mode edge stage AFTER the gate gather: BatchNorm affine (batch
-    statistics are computed by the caller from the gate columns of ``g3`` —
-    training BN cannot be one-pass) -> relu -> residual -> sigmoid -> both
-    aggregation partials.  Unlike K3 it takes K1's fused [gate|a2h|a3h] edge
-    output as ONE input, so no window DMA: the fusion removes the
-    [sigma*m | sigma] payload materialisation round-trip and every elementwise
-    HBM pass of the split path (reference hot path: gated_gcn_full.py:
-    104-127)."""
+    """Training BatchNorm is two-pass: this is the FIRST pass, fused.  Per
+    chunk: windowed gate-half selects -> gate_raw x -> per-tile [sum(x),
+    sum(x^2)] partials (the batch statistics) AND per-block window partials of
+    [sum(x) | count] keyed by BOTH endpoints (the backward's batch-stat
+    correction term is linear in x, so its node-space scatter is
+    ``c1*deg + c2*xsum`` — see message._train_layer_bwd).  gate_raw never
+    touches HBM: the [Ep, 3d] K1 payload this pass replaces was the largest
+    allocation of the 1M-node training step (3 GB padded, twice)."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
+    t = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
+    def _():
+        xu_lo[:] = jnp.zeros_like(xu_lo)
+        xu_hi[:] = jnp.zeros_like(xu_hi)
+
+    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
+    def _():
+        xv_lo[:] = jnp.zeros_like(xv_lo)
+        xv_hi[:] = jnp.zeros_like(xv_hi)
+
+    acc1 = jnp.zeros((1, d), jnp.float32)
+    acc2 = jnp.zeros((1, d), jnp.float32)
+    dt = b3e.dtype
+    ones = jnp.ones((chunk, d), dt)
+    for c in range(tile_e // chunk):
+        sl = pl.ds(c * chunk, chunk)
+        pr = _prec(u0.dtype)
+        ohT_u = _ohT(io2, ul, c, chunk, u0.dtype)
+        ohT_v = _ohT(io2, vl, c, chunk, u0.dtype)
+        xu = _selT(ohT_u, u0, u1, pr)
+        xv = _selT(ohT_v, v0, v1, pr)
+        x = (xu[:, :d] + xv[:, :d]).astype(dt) + b3e[sl, :]
+        xf = x.astype(jnp.float32)
+        # padded AND overflow slots carry the sentinel -> excluded here and
+        # inert in the scatters; the caller adds overflow edges' contributions
+        mrow = (ul[c, :] != 2 * window).astype(jnp.float32)[None, :]
+        acc1 = acc1 + jnp.dot(mrow, xf, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+        acc2 = acc2 + jnp.dot(mrow, xf * xf,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+        pay = jnp.concatenate([x, ones], axis=1)
+        _scatT(ohT_u, pay, xu_lo, xu_hi)
+        _scatT(ohT_v, pay, xv_lo, xv_hi)
+
+    stats_out[:] = jnp.concatenate(
+        [acc1, acc2, jnp.zeros((6, d), jnp.float32)], axis=0)
+
+
+def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e):
+    """First (statistics) pass of the training edge stage.  Returns
+    (stats [T*8, d] f32 — rows 0/1 of each tile hold sum(x)/sum(x^2) over
+    kernel-covered valid edges, xu_lo, xu_hi, xv_lo, xv_hi [NB*W, 2d] f32 —
+    per-block partials of [sum(x) | count] keyed by u / v, see k2_aggregate
+    for the low/high split)."""
+    Ep, d = b3e.shape
+    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    rows = plan.rows_p
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            # full-width (W, 2d) windows: a (W, d) block of a [Np, 2d] array
+            # violates the 128-lane block rule; the gate halves are sliced
+            # from the select results instead
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+        ],
+    )
+    NB = plan.n_blocks
+    out_shape = (
+        [jax.ShapeDtypeStruct((T * 8, d), jnp.float32)]
+        + [jax.ShapeDtypeStruct((NB * W, 2 * d), jnp.float32)] * 4
+    )
+    kern = functools.partial(_k7_kernel, tile_e=ET, window=W, d=d, chunk=C)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=_interpret(),
+    )(plan.u_blk, plan.v_blk, proj_u, proj_u, proj_v, proj_v,
+      plan.u_local, plan.v_local, b3e)
+
+
+# ------------------------------------- K8: fused training layer backward
+def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
+               ul, vl, b3e, e_in, d_e_out, affine,
+               xdy_out, dein_out, pu_lo, pu_hi, pv_lo, pv_hi,
+               *, tile_e, window, d, chunk):
+    """Adjoint of the whole training edge stage in one pass, with NO [Ep, 3d]
+    HBM arrays: the forward gate/messages are RE-SELECTED from the node
+    windows (cheaper than streaming a materialised [Ep, 3d] payload — the
+    kernels are HBM-bound), the elementwise forward is recomputed, the full
+    adjoint chain runs in registers, and the d_proj payloads
+    [d_gate_local | d_msg] are scattered straight into per-block window
+    partials (one-hots built once per chunk serve 4 selects + 2 scatters).
+    Outputs additionally [x | d_y] per edge (``xdy`` — one unpadded [Ep, 2d]
+    row instead of two lane-padded [Ep, d] arrays): the caller closes the
+    batch-statistics chain from it (d_gamma/d_beta/d_b3e and the c1+c2*x
+    node-space correction via K7's deg/xsum partials)."""
     io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
     scale = affine[0:1, :]
     bias = affine[1:2, :]
+    scale_f = scale.astype(jnp.float32)
     t = pl.program_id(0)
 
     @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
@@ -348,136 +453,56 @@ def _k4_kernel(u_blk_ref, v_blk_ref, ul, vl, g3, e_in,
         pv_lo[:] = jnp.zeros_like(pv_lo)
         pv_hi[:] = jnp.zeros_like(pv_hi)
 
-    def body(c, _):
+    for c in range(tile_e // chunk):
         sl = pl.ds(c * chunk, chunk)
-        dt = e_out.dtype
-        g3c = g3[sl, :]
-        g = g3c[:, :d] * scale + bias
-        g = jax.nn.relu(g)
-        eo = g + e_in[sl, :]
-        e_out[sl, :] = eo
+        dt = xdy_out.dtype
+        pr = _prec(u0.dtype)
+        ohT_u = _ohT(io2, ul, c, chunk, u0.dtype)
+        ohT_v = _ohT(io2, vl, c, chunk, u0.dtype)
+        gu = _selT(ohT_u, u0, u1, pr)
+        gv = _selT(ohT_v, v0, v1, pr)
+        du = _selT(ohT_u, du0, du1, pr)
+        dv = _selT(ohT_v, dv0, dv1, pr)
+        # recomputed forward, bit-matching the K3/K7 dtype discipline
+        x = (gu[:, :d] + gv[:, :d]).astype(dt) + b3e[sl, :]
+        gaff = x * scale + bias
+        # compare in f32: Mosaic has no bf16 vector cmpf (conversion is exact)
+        relu_m = (gaff.astype(jnp.float32) > 0).astype(jnp.float32)
+        eo = jax.nn.relu(gaff) + e_in[sl, :]
         # f32 sigmoid: Mosaic's bf16 logistic lowering miscompiles
-        sigma = jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
-        pay_v = jnp.concatenate([sigma * g3c[:, d: 2 * d], sigma], axis=1)
-        pay_u = jnp.concatenate([sigma * g3c[:, 2 * d:], sigma], axis=1)
-        _scatT(_ohT(io2, ul, c, chunk, dt), pay_u, pu_lo, pu_hi)
-        _scatT(_ohT(io2, vl, c, chunk, dt), pay_v, pv_lo, pv_hi)
-        return 0
-
-    # static unroll: lets Mosaic interleave one-hot builds (VPU) with the
-    # select/scatter dots (MXU) across chunks; fori_loop serialises them
-    for c in range(tile_e // chunk):
-        body(c, 0)
-
-
-def k4_train_edge(plan: WindowedPlan, g3, e_in, bn_scale, bn_bias):
-    """Fused training edge stage over K1's fused output ``g3`` [Ep, 3d] =
-    [gate_raw | a2h_u | a3h_v].  The gate columns must already include the
-    overflow patch (elementwise from here on, so e_out is exact for ALL
-    slots); overflow edges contribute nothing to the partials (sentinel
-    one-hots) and the caller adds their payloads via a small XLA segment-sum.
-    Returns (e_out [Ep, d], pu_lo, pu_hi, pv_lo, pv_hi [NB*W, 2d], see
-    k2_aggregate)."""
-    Ep, d3 = g3.shape
-    d = d3 // 3
-    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
-    dtype = g3.dtype
-    rows = plan.rows_p
-    affine = jnp.concatenate(
-        [jnp.stack([bn_scale, bn_bias]),
-         jnp.zeros((6, d), bn_scale.dtype)]).astype(dtype)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, 3 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((8, d), lambda t, ub, vb: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-        ],
-    )
-    NB = plan.n_blocks
-    out_shape = (
-        [jax.ShapeDtypeStruct((Ep, d), dtype)]
-        + [jax.ShapeDtypeStruct((NB * W, 2 * d), jnp.float32)] * 4
-    )
-    kern = functools.partial(_k4_kernel, tile_e=ET, window=W, d=d, chunk=C)
-    return pl.pallas_call(
-        kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=_interpret(),
-    )(plan.u_blk, plan.v_blk, plan.u_local, plan.v_local, g3, e_in, affine)
-
-
-# --------------------------------------------- K5: train edge stage backward
-def _k5_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, ul, vl, g3, e_in,
-               d_e_out, affine, dg3_out, dein_out, dsb_out,
-               *, tile_e, window, d, chunk):
-    """Adjoint of the K4 edge stage in one pass: windowed SELECTS of the two
-    node cotangent arrays (the adjoint of K4's scatters), the recomputed
-    elementwise forward, the full elementwise adjoint chain, the fused d_g3
-    cotangent, d_e_in, and per-tile partials of d_scale/d_bias.  Replaces two
-    XLA node gathers plus ~10 separate elementwise HBM passes.  Overflow
-    edges get zero aggregation cotangents in-kernel (sentinel one-hots); the
-    caller patches their missing aggregation terms with an XLA path."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
-    scale = affine[0:1, :].astype(jnp.float32)
-    bias = affine[1:2, :].astype(jnp.float32)
-    acc_scale = jnp.zeros((1, d), jnp.float32)
-    acc_bias = jnp.zeros((1, d), jnp.float32)
-
-    for c in range(tile_e // chunk):
-        sl = pl.ds(c * chunk, chunk)
-        dt = dg3_out.dtype
-        pr = _prec(du0.dtype)
-        du = _selT(_ohT(io2, ul, c, chunk, du0.dtype), du0, du1, pr)
-        dv = _selT(_ohT(io2, vl, c, chunk, du0.dtype), dv0, dv1, pr)
-        g3c = g3[sl, :].astype(jnp.float32)
-        gf = g3c[:, :d]
-        gaff = gf * scale + bias
-        relu_m = (gaff > 0).astype(jnp.float32)
-        eo = jax.nn.relu(gaff) + e_in[sl, :].astype(jnp.float32)
-        sigma = jax.nn.sigmoid(eo)
-        d_sigma = (dv[:, :d] * g3c[:, d: 2 * d] + dv[:, d:]
-                   + du[:, :d] * g3c[:, 2 * d:] + du[:, d:])
+        sigma = jax.nn.sigmoid(eo.astype(jnp.float32))
+        a2u = gu[:, d:].astype(dt).astype(jnp.float32)
+        a3v = gv[:, d:].astype(dt).astype(jnp.float32)
+        d_sigma = (dv[:, :d] * a2u + dv[:, d:]
+                   + du[:, :d] * a3v + du[:, d:])
         d_eo = (d_e_out[sl, :].astype(jnp.float32)
                 + d_sigma * sigma * (1.0 - sigma))
-        d_gaff = d_eo * relu_m
-        dg3_out[sl, :] = jnp.concatenate(
-            [d_gaff * scale, sigma * dv[:, :d], sigma * du[:, :d]],
-            axis=1).astype(dt)
-        dein_out[sl, :] = d_eo.astype(dein_out.dtype)
-        acc_scale = acc_scale + jnp.sum(d_gaff * gf, axis=0, keepdims=True)
-        acc_bias = acc_bias + jnp.sum(d_gaff, axis=0, keepdims=True)
-
-    dsb = jnp.concatenate(
-        [acc_scale, acc_bias, jnp.zeros((6, d), jnp.float32)], axis=0)
-    dsb_out[:] = dsb
+        d_y = d_eo * relu_m
+        xdy_out[sl, :] = jnp.concatenate([x, d_y.astype(dt)], axis=1)
+        dein_out[sl, :] = d_eo.astype(dt)
+        pay_u = jnp.concatenate(
+            [d_y * scale_f, sigma * dv[:, :d]], axis=1).astype(dt)
+        pay_v = jnp.concatenate(
+            [d_y * scale_f, sigma * du[:, :d]], axis=1).astype(dt)
+        _scatT(ohT_u, pay_u, pu_lo, pu_hi)
+        _scatT(ohT_v, pay_v, pv_lo, pv_hi)
 
 
-def k5_train_edge_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, g3, e_in,
-                      d_e_out, scale_eff, bias_eff):
-    """Fused K4 backward.  ``d_sum_u``/``d_sum_v`` are the node cotangent
-    arrays [Np, 2d] (cast to the compute dtype by the caller); returns
-    (d_g3 [Ep, 3d], d_e_in [Ep, d], dsb [T*8, d]) where dsb rows 0/1 of each
-    tile hold the d_scale / d_bias partials (caller sums tiles and adds the
-    overflow patch)."""
-    Ep, d3 = g3.shape
-    d = d3 // 3
+def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
+                       b3e, e_in, d_e_out, scale_eff, bias_eff):
+    """Fused training-layer backward.  ``d_sum_u``/``d_sum_v`` are the node
+    cotangent arrays [Np, 2d] (caller casts to the compute dtype); returns
+    (xdy [Ep, 2d] = [gate_raw | d_gate_affine], d_e_in [Ep, d],
+    pu_lo, pu_hi, pv_lo, pv_hi [NB*W, 2d] d_proj window partials).  Overflow
+    edges select zero everywhere (sentinel one-hots) and their xdy/partial
+    contributions are patched by the caller."""
+    Ep, d = b3e.shape
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
-    dtype = g3.dtype
+    dtype = b3e.dtype
     rows = plan.rows_p
     affine = jnp.concatenate(
         [jnp.stack([scale_eff, bias_eff]),
-         jnp.zeros((6, d), jnp.float32)]).astype(jnp.float32)
+         jnp.zeros((6, d), jnp.float32)]).astype(dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -487,30 +512,38 @@ def k5_train_edge_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, g3, e_in,
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
             pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, 3 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((8, d), lambda t, ub, vb: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((ET, 3 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ET, 2 * d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((8, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
         ],
     )
+    NB = plan.n_blocks
     out_shape = [
-        jax.ShapeDtypeStruct((Ep, 3 * d), dtype),
+        jax.ShapeDtypeStruct((Ep, 2 * d), dtype),
         jax.ShapeDtypeStruct((Ep, d), dtype),
-        jax.ShapeDtypeStruct((T * 8, d), jnp.float32),
-    ]
-    kern = functools.partial(_k5_kernel, tile_e=ET, window=W, d=d, chunk=C)
+    ] + [jax.ShapeDtypeStruct((NB * W, 2 * d), jnp.float32)] * 4
+    kern = functools.partial(_k8_kernel, tile_e=ET, window=W, d=d, chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
     )(plan.u_blk, plan.v_blk, d_sum_u, d_sum_u, d_sum_v, d_sum_v,
-      plan.u_local, plan.v_local, g3, e_in, d_e_out, affine)
+      proj_u, proj_u, proj_v, proj_v,
+      plan.u_local, plan.v_local, b3e, e_in, d_e_out, affine)
 
 
 # ------------------------------------------- K6: score-predictor first layer
