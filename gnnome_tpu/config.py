@@ -102,6 +102,12 @@ class ComputeConfig:
     remat: object = True               # False | True (per-layer) | "full"
                                        # ("full" also rematerialises the layer
                                        # carries — multi-million-edge graphs)
+    scheduler: str = "auto"            # auto | latency | memory : XLA op
+                                       # scheduler.  "memory" disables the
+                                       # latency-hiding scheduler (shorter
+                                       # buffer live ranges, less HBM
+                                       # fragmentation); "auto" = memory when
+                                       # remat == "full", else latency
     donate_state: bool = True
 
 

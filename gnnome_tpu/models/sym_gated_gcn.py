@@ -88,9 +88,10 @@ def _stack(trees):
 def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
                         flip: bool, norm: str, drop_rate: float,
                         rng: Optional[jax.Array], backend: Optional[str],
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, packed: bool = False):
     """One SymGatedGCN layer (reference gated_gcn_full.py:82-142).
-    ``h`` node space, ``e`` edge SLOT space."""
+    ``h`` node space; ``e`` edge SLOT space — PACKED [Ep/2, 2d] when
+    ``packed`` (the fused Pallas mode, see ops/message.py), else [Ep, d]."""
     h_in, e_in = h, e
     d = h.shape[1]
 
@@ -103,21 +104,23 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
     proj = h @ w + b
     a1h = proj[:, 4 * d:]
 
-    b3e = (e @ p["B3"]["w"].astype(dtype)) + p["B3"]["b"].astype(dtype)
+    w3 = p["B3"]["w"].astype(dtype)
+    b3 = p["B3"]["b"].astype(dtype)
+    if packed:
+        # packed edges stay packed: e_p @ blockdiag(W3, W3) is the exact
+        # per-edge e @ W3 (and HALF the [*, 128]-tile MXU passes of the
+        # unpacked [Ep, 64] matmul)
+        zero = jnp.zeros_like(w3)
+        wbd = jnp.concatenate(
+            [jnp.concatenate([w3, zero], axis=1),
+             jnp.concatenate([zero, w3], axis=1)], axis=0)
+        b3e = e @ wbd + jnp.concatenate([b3, b3])
+    else:
+        b3e = e @ w3 + b3
 
-    from ..ops.message import (fused_gate_gather, fused_eval_edge_stage,
-                               _plan_for)
-    # K3/K4 are the bf16 perf paths (the f32 parity mode keeps the verified
-    # K1/K2/XLA route; K3-f32 also trips this environment's remote compiler).
-    # Interpreter mode (tests) exercises them at any dtype.
-    from ..ops.pallas_kernels import _interpret
-    fused_ok = (backend == "pallas" and norm == "batch"
-                and (dtype == jnp.bfloat16 or _interpret())
-                and _plan_for(gt, flip) is not None)
-    use_k3 = fused_ok and not training
-    use_k4 = fused_ok and training
-    if use_k3:
+    if packed and not training:
         # whole edge stage in one fused Pallas pass (eval BN = affine)
+        from ..ops.message import fused_eval_edge_stage
         bn_e_scale = (p["bn_e"]["scale"]
                       * jax.lax.rsqrt(s["bn_e"]["var"] + 1e-5)).astype(dtype)
         bn_e_bias = (p["bn_e"]["bias"]
@@ -128,7 +131,7 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
         h_fwd = (sum_v[:, :d] / (sum_v[:, d:] + GATE_EPS)).astype(dtype)
         h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
         s_bn_e = s["bn_e"]
-    elif use_k4:
+    elif packed:
         # training: the whole edge stage (windowed batch statistics -> affine
         # -> relu -> residual -> sigmoid -> dual aggregation) is ONE custom-VJP
         # primitive with fused Pallas forward (K7+K3) and backward (K8) — no
@@ -149,6 +152,7 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
         h_fwd = (sum_v[:, :d] / (sum_v[:, d:] + GATE_EPS)).astype(dtype)
         h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
     else:
+        from ..ops.message import fused_gate_gather
         # fused endpoint gathers + gate (reference gated_gcn_full.py:104-105);
         # Pallas windowed kernels when the graph carries a plan, XLA otherwise
         gate, a2h_u, a3h_v = fused_gate_gather(gt, proj[:, : 2 * d],
@@ -177,29 +181,45 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
 
 # ----------------------------------------------------------------------- model
 def score_edges(p, gt: GraphTensors, h, e, *, flip: bool = False,
-                dtype=jnp.float32, backend: Optional[str] = None):
+                dtype=jnp.float32, backend: Optional[str] = None,
+                packed: bool = False):
     """Edge logits from final node/edge states, slot order
     (reference layers/score_predictor.py:12-24).  ``flip`` swaps endpoint
-    roles for the reversed-graph pass."""
-    from ..ops.message import gather_uv_planned, fused_score_gate, _plan_for
+    roles for the reversed-graph pass.  ``packed``: ``e`` is the packed
+    [Ep/2, 2d] fused-mode carry; the whole first predictor layer then runs
+    packed (K6 + block-diagonal matmuls, no 128-lane padding) and edges
+    unpack only at the narrow [Ep, 32] second layer."""
+    from ..ops.message import (gather_uv_planned, fused_score_gate,
+                               unpack_edges)
 
     d = h.shape[1]
     w1 = p["W1"]["w"].astype(dtype)
     b1 = p["W1"]["b"].astype(dtype)
-    if backend == "pallas" and _plan_for(gt, flip) is not None:
+    w2 = p["W2"]["w"].astype(dtype)
+    b2 = p["W2"]["b"].astype(dtype)
+    if packed:
         # K6: pre-project the endpoint parts in NODE space (row gathers cost
         # the same at any width <= 128, so gather-after-matmul moves the
         # [Ep,3d]x[3d,H] matmul to [Np,d]x[d,H] and fuses both gathers, the
         # add and the relu into one windowed pass
-        pu = h @ w1[:d]
-        pv = h @ w1[d: 2 * d]
-        be = e @ w1[2 * d:] + b1
-        z = fused_score_gate(gt, flip, pu, pv, be)
+        puv = jnp.concatenate([h @ w1[:d], h @ w1[d: 2 * d]], axis=1)
+        w1e = w1[2 * d:]
+        zero = jnp.zeros_like(w1e)
+        wbd1 = jnp.concatenate(
+            [jnp.concatenate([w1e, zero], axis=1),
+             jnp.concatenate([zero, w1e], axis=1)], axis=0)
+        be_p = e @ wbd1 + jnp.concatenate([b1, b1])
+        z_p = fused_score_gate(gt, flip, puv, be_p)
+        zero2 = jnp.zeros_like(w2)
+        wbd2 = jnp.concatenate(
+            [jnp.concatenate([w2, zero2], axis=1),
+             jnp.concatenate([zero2, w2], axis=1)], axis=0)
+        z = unpack_edges(jax.nn.relu(z_p @ wbd2 + jnp.concatenate([b2, b2])))
     else:
         h_src, h_dst = gather_uv_planned(gt, flip, h, backend=backend)
         z = jnp.concatenate([h_src, h_dst, e], axis=1)
         z = jax.nn.relu(z @ w1 + b1)
-    z = jax.nn.relu(z @ p["W2"]["w"].astype(dtype) + p["W2"]["b"].astype(dtype))
+        z = jax.nn.relu(z @ w2 + b2)
     return z @ p["W3"]["w"].astype(dtype) + p["W3"]["b"].astype(dtype)
 
 
@@ -221,15 +241,30 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
     graph).  Padded slots sort last, so ``[:n_edges]`` truncation and
     edge-masked losses work identically in either order.
     """
+    from ..ops.message import _plan_for, pack_edges
+    from ..ops.pallas_kernels import _interpret
+
     h = mlp2(params["node_encoder"], x).astype(dtype)
     e = mlp2(params["edge_encoder"], e).astype(dtype)
     if not slot_io:
         e = gt.edges_to_slots(e)
 
+    # fused Pallas mode: the whole edge stage runs in the K3/K7/K8 kernels
+    # over PACKED [Ep/2, 2d] edge arrays — e is packed ONCE here and stays
+    # packed through every layer (no 128-lane padding anywhere in the edge
+    # stream).  bf16-only on hardware (the f32 parity mode keeps the verified
+    # K1/K2/XLA route; fused-f32 also trips this environment's remote
+    # compiler); interpreter mode (tests) exercises it at any dtype.
+    fused = (backend == "pallas" and cfg.normalization == "batch"
+             and (dtype == jnp.bfloat16 or _interpret())
+             and _plan_for(gt, flip) is not None)
+    if fused:
+        e = pack_edges(e)
+
     num_layers = jax.tree_util.tree_leaves(params["gnn"])[0].shape[0]
     layer_fn = partial(sym_gated_gcn_layer, training=training, flip=flip,
                        norm=cfg.normalization, drop_rate=cfg.dropout,
-                       backend=backend, dtype=dtype)
+                       backend=backend, dtype=dtype, packed=fused)
 
     # "full" remat (the large-graph mode): carry (h, e) through the scan
     # packed two rows per 128-lane row.  The scan's per-layer carry stack is
@@ -239,28 +274,59 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
     # rematerialising it (measured 18 GB for 6.3M edges).  A [Ep/2, 128]
     # carry has no lane padding, so the stack is stored once at its unpadded
     # size.  The repack is an exact row-major reshape (bitwise identity).
-    pack = remat == "full"
+    # In fused mode e is already packed natively; only h needs the repack.
+    pack_h = remat == "full"
+    pack_e = pack_h and not fused
 
-    def _pack(a):
-        return a.reshape(a.shape[0] // 2, 2 * a.shape[1]) if pack else a
+    def _pk(a, on):
+        return a.reshape(a.shape[0] // 2, 2 * a.shape[1]) if on else a
 
-    def _unpack(a):
-        return a.reshape(a.shape[0] * 2, a.shape[1] // 2) if pack else a
+    def _unpk(a, on):
+        return a.reshape(a.shape[0] * 2, a.shape[1] // 2) if on else a
 
     def body(carry, inp):
         h, e = carry
         p_l, s_l, key_l = inp
-        h, e, new_s = layer_fn(p_l, s_l, gt, _unpack(h), _unpack(e), rng=key_l)
-        return (_pack(h), _pack(e)), new_s
+        h, e, new_s = layer_fn(p_l, s_l, gt, _unpk(h, pack_h),
+                               _unpk(e, pack_e), rng=key_l)
+        return (_pk(h, pack_h), _pk(e, pack_e)), new_s
 
     if remat:
         body = jax.checkpoint(body)
 
     keys = (jax.random.split(rng, num_layers) if rng is not None
             else jnp.zeros((num_layers, 2), jnp.uint32))
+    xs = (params["gnn"], state["gnn"], keys)
 
-    def run_layers(h, e):
-        return jax.lax.scan(body, (h, e), (params["gnn"], state["gnn"], keys))
+    # sqrt(L) remat schedule for the large-graph mode: a flat scan's backward
+    # saves EVERY layer's (h, e) carry ([L, Ep/2, 128] — 6 GB at 6.3M edges,
+    # the largest allocation after packing).  A scan of G groups of g layers
+    # saves only the G group-boundary carries; each group's backward rebuilds
+    # its g per-layer carries transiently, so the peak stack is (G + g)
+    # carries instead of L.
+    group = 1
+    if remat == "full":
+        group = max((g for g in range(1, num_layers + 1)
+                     if num_layers % g == 0 and g * g <= num_layers),
+                    default=1)
+
+    if group > 1:
+        n_groups = num_layers // group
+        gxs = jax.tree_util.tree_map(
+            lambda a: a.reshape(n_groups, group, *a.shape[1:]), xs)
+
+        @jax.checkpoint
+        def group_body(carry, ginp):
+            return jax.lax.scan(body, carry, ginp)
+
+        def run_layers(h, e):
+            (h, e), st = jax.lax.scan(group_body, (h, e), gxs)
+            st = jax.tree_util.tree_map(
+                lambda a: a.reshape(num_layers, *a.shape[2:]), st)
+            return (h, e), st
+    else:
+        def run_layers(h, e):
+            return jax.lax.scan(body, (h, e), xs)
 
     if remat == "full":
         # outer remat too: nothing is saved in the primal forward, so the two
@@ -269,11 +335,13 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
         # at O(L^2/2) layer-forward recompute cost
         run_layers = jax.checkpoint(
             run_layers, policy=jax.checkpoint_policies.nothing_saveable)
-    (h, e), new_gnn_state = run_layers(_pack(h), _pack(e))
-    h, e = _unpack(h), _unpack(e)
+    (h, e), new_gnn_state = run_layers(_pk(h, pack_h), _pk(e, pack_e))
+    h, e = _unpk(h, pack_h), _unpk(e, pack_e)
 
+    # in fused mode e stays PACKED into the score predictor (K6 + blockdiag
+    # matmuls); it unpacks only at the narrow [Ep, 32] second layer
     predict = partial(score_edges, params["predictor"], gt, flip=flip,
-                      dtype=dtype, backend=backend)
+                      dtype=dtype, backend=backend, packed=fused)
     if remat:
         # the predictor's concat/MLP residuals are E x 192-sized — recompute
         predict = jax.checkpoint(predict)

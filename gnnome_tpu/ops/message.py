@@ -61,9 +61,10 @@ def combine_block_partials(low, high, visited, n_pad: int, window: int,
     if all_visited:
         lm, hm = low, high
     else:
-        lm = (low.reshape(NB, window, D) * visited[:, None, None]
+        vis = visited.astype(low.dtype)    # keep the partials' dtype
+        lm = (low.reshape(NB, window, D) * vis[:, None, None]
               ).reshape(NB * window, D)
-        hm = (high.reshape(NB, window, D) * visited[:, None, None]
+        hm = (high.reshape(NB, window, D) * vis[:, None, None]
               ).reshape(NB * window, D)
     pad = n_pad - NB * window            # == window
     res = (jax.lax.pad(lm, zero, ((0, pad, 0), (0, 0, 0)))
@@ -215,89 +216,140 @@ def _gate_gather_bwd(res, g):
 _gate_gather_pallas.defvjp(_gate_gather_fwd, _gate_gather_bwd)
 
 
-def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
+# -------------------------------------------------- packed edge-array layout
+# All fused-path edge arrays are PACKED [Ep/2, 2d]: edge 2r in lanes :d of
+# row r, edge 2r+1 in lanes d: (an exact row-major reshape of the [Ep, d]
+# slot-order array).  A 64-wide bf16/f32 minor dim pays a 2x 128-lane padding
+# tax in HBM; the packed form is stored at its unpadded size and halves every
+# kernel's edge-stream bytes.  The helpers below give per-overflow-slot views
+# of packed arrays without unpacking.
+
+def pack_edges(a):
+    """[Ep, d] slot order -> packed [Ep/2, 2d] (bitwise row-major reshape)."""
+    return a.reshape(a.shape[0] // 2, 2 * a.shape[1])
+
+
+def unpack_edges(a):
+    """Packed [Ep/2, 2d] -> [Ep, d] slot order."""
+    return a.reshape(a.shape[0] * 2, a.shape[1] // 2)
+
+
+def _ovf_take(plan, packed, d):
+    """[n_ovf_pad, d] per-overflow-slot values from a packed edge array:
+    one row gather + a parity lane select."""
+    vals = jnp.take(packed, plan.ovf_slots // 2, axis=0)
+    par = (plan.ovf_slots % 2)[:, None]
+    return jnp.where(par == 0, vals[:, :d], vals[:, d:])
+
+
+def _ovf_apply(plan, packed, new, mask, mode: str = "set"):
+    """Masked per-overflow-slot write of [n_ovf_pad, d] values into the
+    parity lane half of a packed edge array.  Lowered as ONE scatter-add of
+    deltas: duplicate target rows (an even and an odd overflow slot sharing a
+    packed row) accumulate correctly, and masked pad entries contribute
+    zero.  ``set`` writes new - old (one extra rounding step in the array
+    dtype for overflow rows only); ``add`` accumulates ``new``."""
+    d = new.shape[1]
+    rows = plan.ovf_slots // 2
+    par = (plan.ovf_slots % 2)[:, None]
+    if mode == "set":
+        old = _ovf_take(plan, packed, d)
+        delta = (new.astype(jnp.float32) - old.astype(jnp.float32)) * mask
+    else:
+        delta = new.astype(jnp.float32) * mask
+    zero = jnp.zeros_like(delta)
+    full = jnp.where(par == 0,
+                     jnp.concatenate([delta, zero], axis=1),
+                     jnp.concatenate([zero, delta], axis=1))
+    return packed.at[rows].add(full.astype(packed.dtype))
+
+
+def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e_p, e_in_p,
                           bn_scale, bn_bias, flip: bool = False):
-    """EVAL-mode fused edge stage (Pallas K3): returns
-    (e_out [Ep, d], sum_into_v [Np, d+1], sum_into_u [Np, d+1]) where u/v are
-    the flip-resolved endpoint roles.  Requires a windowed plan; caller must
-    check.  Not differentiable (inference path; the training path wraps the
-    same kernel in ``fused_train_layer``'s custom VJP)."""
+    """EVAL-mode fused edge stage (Pallas K3) over PACKED edge arrays:
+    returns (e_out_p [Ep/2, 2d], sum_into_v [Np, 2d], sum_into_u [Np, 2d])
+    where u/v are the flip-resolved endpoint roles.  Requires a windowed
+    plan; caller must check.  Not differentiable (inference path; the
+    training path wraps the same kernel in ``fused_train_layer``'s custom
+    VJP)."""
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    return _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e, e_in,
-                            bn_scale, bn_bias)
+    return _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e_p,
+                            e_in_p, bn_scale, bn_bias)
 
 
-def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e, e_in,
+def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p,
                      bn_scale, bn_bias):
-    from .pallas_kernels import k3_fused_eval_layer
+    from .pallas_kernels import k3_fused_edge_stage
 
-    d = b3e.shape[1]
+    d = b3e_p.shape[1] // 2
     n_pad = plan.n_pad
+    dt = b3e_p.dtype
 
-    e_out, pu_lo, pu_hi, pv_lo, pv_hi = k3_fused_eval_layer(
-        plan, proj_u, proj_v, b3e, e_in, bn_scale, bn_bias)
+    e_out_p, pu_lo, pu_hi, pv_lo, pv_hi = k3_fused_edge_stage(
+        plan, proj_u, proj_v, b3e_p, e_in_p, bn_scale, bn_bias)
     sum_u = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
                                    plan.window, plan.u_all)
     sum_v = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
                                    plan.window, plan.v_all)
 
-    # overflow edges: recompute the full edge stage with direct gathers
-    sl = plan.ovf_slots
-    m = plan.ovf_mask.astype(e_out.dtype)
+    # overflow edges: recompute the full edge stage with direct gathers,
+    # matching the kernel's dtype discipline
+    sl, m = plan.ovf_slots, plan.ovf_mask
     gu = jnp.take(proj_u, jnp.take(u_idx, sl), axis=0)
     gv = jnp.take(proj_v, jnp.take(v_idx, sl), axis=0)
-    gate = (gu[:, :d] + gv[:, :d] + jnp.take(b3e, sl, axis=0))
-    gate = gate * bn_scale + bn_bias
+    gate = (gu[:, :d] + gv[:, :d]).astype(dt) + _ovf_take(plan, b3e_p, d)
+    gate = gate * bn_scale.astype(dt) + bn_bias.astype(dt)
     gate = jax.nn.relu(gate)
-    eo_ovf = gate + jnp.take(e_in, sl, axis=0)
-    old = jnp.take(e_out, sl, axis=0)
-    e_out = e_out.at[sl].set(m * eo_ovf + (1.0 - m) * old)
-    sigma = (jax.nn.sigmoid(eo_ovf.astype(jnp.float32)) *
-             plan.ovf_mask).astype(jnp.float32)
+    eo_ovf = gate + _ovf_take(plan, e_in_p, d)
+    e_out_p = _ovf_apply(plan, e_out_p, eo_ovf, m, "set")
+    sigma = jax.nn.sigmoid(eo_ovf.astype(jnp.float32)) * m
     sum_v = sum_v + jax.ops.segment_sum(
         jnp.concatenate([sigma * gu[:, d:], sigma], axis=1),
         jnp.take(v_idx, sl), num_segments=n_pad)
     sum_u = sum_u + jax.ops.segment_sum(
         jnp.concatenate([sigma * gv[:, d:], sigma], axis=1),
         jnp.take(u_idx, sl), num_segments=n_pad)
-    return e_out, sum_v, sum_u
+    return e_out_p, sum_v, sum_u
 
 
 
-def fused_train_layer(gt: GraphTensors, proj_u, proj_v, b3e, e_in,
+def fused_train_layer(gt: GraphTensors, proj_u, proj_v, b3e_p, e_in_p,
                       gamma, beta, flip: bool = False):
     """The WHOLE training-mode edge stage — batch statistics, BatchNorm,
     relu, residual, sigmoid, both gated aggregations — as one differentiable
-    primitive with no [Ep, 3d] intermediates in HBM (reference hot path
-    gated_gcn_full.py:104-127 + the torch BN batch-stat backward).
+    primitive over PACKED edge arrays, with no [Ep, 3d] intermediates and no
+    128-lane padding in HBM (reference hot path gated_gcn_full.py:104-127 +
+    the torch BN batch-stat backward).
 
     Forward: K7 computes the gate statistics windowed (gate_raw never
     materialises), the statistics fold into one affine, and the K3 kernel
     runs the fused edge stage.  Backward: K8 re-selects everything from the
-    node windows and emits d_proj window partials + [x | d_y] directly; the
-    batch-statistics chain closes in node space because its per-edge term
-    ``m*(c1 + c2*x)`` is linear in x (K7's [xsum | deg] partials supply the
-    scatter).  Returns (e_out [Ep, d], sum_v [Np, 2d], sum_u [Np, 2d],
-    mean [d], unbiased_var [d]); the mean/var outputs carry NO gradient
-    (torch updates running stats under no_grad)."""
+    node windows and emits d_proj window partials + the recomputed gate and
+    residual cotangent directly; the batch-statistics chain closes in node
+    space because its per-edge term ``m*(c1 + c2*x)`` is linear in x (K7's
+    [xsum | deg] partials supply the scatter).  Returns (e_out_p [Ep/2, 2d],
+    sum_v [Np, 2d], sum_u [Np, 2d], mean [d], unbiased_var [d]); the
+    mean/var outputs carry NO gradient (torch updates running stats under
+    no_grad)."""
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    return _train_layer(gt.n_edges, plan, u_idx, v_idx, gt.edge_mask,
-                        proj_u, proj_v, b3e, e_in, gamma, beta)
+    return _train_layer(gt.n_edges, plan, u_idx, v_idx,
+                        proj_u, proj_v, b3e_p, e_in_p, gamma, beta)
 
 
-def _train_layer_impl(n_edges, plan, u_idx, v_idx, emask, proj_u, proj_v,
-                      b3e, e_in, gamma, beta):
+def _train_layer_impl(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
+                      b3e_p, e_in_p, gamma, beta):
     from .pallas_kernels import k7_gate_stats
 
-    d = b3e.shape[1]
+    d = b3e_p.shape[1] // 2
     n_pad = plan.n_pad
+    dt = b3e_p.dtype
     stats, xu_lo, xu_hi, xv_lo, xv_hi = k7_gate_stats(plan, proj_u, proj_v,
-                                                      b3e)
-    stats = stats.reshape(plan.n_tiles, 8, d)
-    s1 = stats[:, 0].sum(axis=0)
-    s2 = stats[:, 1].sum(axis=0)
+                                                      b3e_p)
+    stats = stats.reshape(plan.n_tiles, 8, 2 * d).sum(axis=0)
+    s1 = stats[0, :d] + stats[0, d:]
+    s2 = stats[1, :d] + stats[1, d:]
     xsum_u = combine_block_partials(xu_lo, xu_hi, plan.u_visited, n_pad,
                                     plan.window, plan.u_all)
     xsum_v = combine_block_partials(xv_lo, xv_hi, plan.v_visited, n_pad,
@@ -308,14 +360,15 @@ def _train_layer_impl(n_edges, plan, u_idx, v_idx, emask, proj_u, proj_v,
     uo, vo = jnp.take(u_idx, sl), jnp.take(v_idx, sl)
     gu = jnp.take(proj_u, uo, axis=0)
     gv = jnp.take(proj_v, vo, axis=0)
-    x_o = (gu[:, :d] + gv[:, :d]).astype(b3e.dtype) + jnp.take(b3e, sl,
-                                                               axis=0)
+    x_o = (gu[:, :d] + gv[:, :d]).astype(dt) + _ovf_take(plan, b3e_p, d)
     xf_o = x_o.astype(jnp.float32) * m
     s1 = s1 + xf_o.sum(axis=0)
     s2 = s2 + (xf_o * x_o.astype(jnp.float32)).sum(axis=0)
     pay_o = jnp.concatenate([xf_o, m * jnp.ones_like(xf_o)], axis=1)
-    xsum_u = xsum_u + jax.ops.segment_sum(pay_o, uo, num_segments=n_pad)
-    xsum_v = xsum_v + jax.ops.segment_sum(pay_o, vo, num_segments=n_pad)
+    xsum_u = (xsum_u.astype(jnp.float32)
+              + jax.ops.segment_sum(pay_o, uo, num_segments=n_pad)).astype(dt)
+    xsum_v = (xsum_v.astype(jnp.float32)
+              + jax.ops.segment_sum(pay_o, vo, num_segments=n_pad)).astype(dt)
 
     n = n_edges
     mean = s1 / n
@@ -325,87 +378,101 @@ def _train_layer_impl(n_edges, plan, u_idx, v_idx, emask, proj_u, proj_v,
     bias_eff = beta - mean * scale_eff
     unbiased = var * (n / (n - 1)) if n > 1 else var
 
-    e_out, sum_v, sum_u = _eval_edge_stage(plan, u_idx, v_idx, proj_u,
-                                           proj_v, b3e, e_in, scale_eff,
-                                           bias_eff)
-    out = (e_out, sum_v, sum_u, mean, unbiased)
-    res = (plan, u_idx, v_idx, emask, proj_u, proj_v, b3e, e_in, gamma,
+    e_out_p, sum_v, sum_u = _eval_edge_stage(plan, u_idx, v_idx, proj_u,
+                                             proj_v, b3e_p, e_in_p,
+                                             scale_eff, bias_eff)
+    out = (e_out_p, sum_v, sum_u, mean, unbiased)
+    res = (plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p, gamma,
            xsum_u, xsum_v, mean, inv, scale_eff, bias_eff)
     return out, res
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _train_layer(n_edges, plan, u_idx, v_idx, emask, proj_u, proj_v,
-                 b3e, e_in, gamma, beta):
-    out, _ = _train_layer_impl(n_edges, plan, u_idx, v_idx, emask,
-                               proj_u, proj_v, b3e, e_in, gamma, beta)
+def _train_layer(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
+                 b3e_p, e_in_p, gamma, beta):
+    out, _ = _train_layer_impl(n_edges, plan, u_idx, v_idx,
+                               proj_u, proj_v, b3e_p, e_in_p, gamma, beta)
     return out
 
 
-def _train_layer_fwd(n_edges, plan, u_idx, v_idx, emask, proj_u, proj_v,
-                     b3e, e_in, gamma, beta):
-    return _train_layer_impl(n_edges, plan, u_idx, v_idx, emask,
-                             proj_u, proj_v, b3e, e_in, gamma, beta)
+def _train_layer_fwd(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
+                     b3e_p, e_in_p, gamma, beta):
+    return _train_layer_impl(n_edges, plan, u_idx, v_idx,
+                             proj_u, proj_v, b3e_p, e_in_p, gamma, beta)
 
 
 def _train_layer_bwd(n_edges, res, cots):
     from .pallas_kernels import k8_train_layer_bwd
 
-    (plan, u_idx, v_idx, emask, proj_u, proj_v, b3e, e_in, gamma,
+    (plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p, gamma,
      xsum_u, xsum_v, mean, inv, scale_eff, bias_eff) = res
     # mean/unbiased-var cotangents are dropped: running-stat updates carry no
     # gradient (torch semantics — they happen under no_grad)
-    d_e_out, d_sum_v, d_sum_u, _dm, _dv = cots
-    dt = b3e.dtype
-    d = b3e.shape[1]
+    d_e_out_p, d_sum_v, d_sum_u, _dm, _dv = cots
+    dt = b3e_p.dtype
+    d = b3e_p.shape[1] // 2
+    Eh = b3e_p.shape[0]
     n_pad = plan.n_pad
 
     # cast BEFORE the kernel: bf16 node-window DMAs are ~2x cheaper (no-op in
     # f32 mode); padded slots carry sentinel one-hots -> zero selects
-    xdy, d_e_in, pu_lo, pu_hi, pv_lo, pv_hi = k8_train_layer_bwd(
+    x_p, deo_p, pu_lo, pu_hi, pv_lo, pv_hi = k8_train_layer_bwd(
         plan, d_sum_u.astype(dt), d_sum_v.astype(dt), proj_u, proj_v,
-        b3e, e_in, d_e_out, scale_eff, bias_eff)
+        b3e_p, e_in_p, d_e_out_p.astype(dt), scale_eff, bias_eff)
     d_pu = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
                                   plan.window, plan.u_all)
     d_pv = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
                                   plan.window, plan.v_all)
 
-    # ---- overflow patch: recompute forward + adjoint with direct gathers
+    # ---- overflow patch: recompute forward + adjoint with direct gathers.
+    # K8 destroyed b3e_p / d_e_out_p in place (aliased outputs), but at
+    # overflow rows it wrote x = b3e and deo = d_e_out verbatim (sentinel
+    # selects contribute zero), so the PRE-patch outputs serve as the inputs.
     sl, m = plan.ovf_slots, plan.ovf_mask
     uo, vo = jnp.take(u_idx, sl), jnp.take(v_idx, sl)
     gu = jnp.take(proj_u, uo, axis=0)
     gv = jnp.take(proj_v, vo, axis=0)
-    x_o = (gu[:, :d] + gv[:, :d]).astype(dt) + jnp.take(b3e, sl, axis=0)
+    x_o = (gu[:, :d] + gv[:, :d]).astype(dt) + _ovf_take(plan, x_p, d)
     gaff = x_o * scale_eff.astype(dt) + bias_eff.astype(dt)
-    relu_m = (gaff > 0).astype(jnp.float32)
-    eo = jax.nn.relu(gaff) + jnp.take(e_in, sl, axis=0)
+    relu_m = (gaff.astype(jnp.float32) > 0).astype(jnp.float32)
+    eo = jax.nn.relu(gaff) + _ovf_take(plan, e_in_p, d)
     sigma = jax.nn.sigmoid(eo.astype(jnp.float32))
     du_o = jnp.take(d_sum_u.astype(dt), uo, axis=0).astype(jnp.float32) * m
     dv_o = jnp.take(d_sum_v.astype(dt), vo, axis=0).astype(jnp.float32) * m
-    a2u = gu[:, d:].astype(jnp.float32)
-    a3v = gv[:, d:].astype(jnp.float32)
+    a2u = gu[:, d:].astype(dt).astype(jnp.float32)
+    a3v = gv[:, d:].astype(dt).astype(jnp.float32)
     d_sigma = (dv_o[:, :d] * a2u + dv_o[:, d:]
                + du_o[:, :d] * a3v + du_o[:, d:])
     d_eo_x = d_sigma * sigma * (1.0 - sigma)
-    d_y_o = ((jnp.take(d_e_out, sl, axis=0).astype(jnp.float32) + d_eo_x)
-             * relu_m * m)
-    new_row = jnp.concatenate([x_o.astype(jnp.float32), d_y_o], axis=1)
-    old_row = jnp.take(xdy, sl, axis=0).astype(jnp.float32)
-    xdy = xdy.at[sl].set(jnp.where(m > 0, new_row, old_row).astype(dt))
-    d_e_in = d_e_in.at[sl].add((m * d_eo_x).astype(dt))
+    d_eo_full = (_ovf_take(plan, deo_p, d).astype(jnp.float32) + d_eo_x)
+    d_y_o = d_eo_full * relu_m * m
+    x_p = _ovf_apply(plan, x_p, x_o, m, "set")
+    deo_p = _ovf_apply(plan, deo_p, d_eo_x, m, "add")
     d_pu = d_pu + jax.ops.segment_sum(
-        jnp.concatenate([d_y_o * scale_eff, sigma * dv_o[:, :d]], axis=1),
-        uo, num_segments=n_pad)
+        jnp.concatenate([d_y_o * scale_eff, m * sigma * dv_o[:, :d]],
+                        axis=1), uo, num_segments=n_pad)
     d_pv = d_pv + jax.ops.segment_sum(
-        jnp.concatenate([d_y_o * scale_eff, sigma * du_o[:, :d]], axis=1),
-        vo, num_segments=n_pad)
+        jnp.concatenate([d_y_o * scale_eff, m * sigma * du_o[:, :d]],
+                        axis=1), vo, num_segments=n_pad)
 
-    # ---- batch-statistics chain, closed from [x | d_y] + the K7 partials
-    x = xdy[:, :d].astype(jnp.float32)
-    dy = xdy[:, d:].astype(jnp.float32)
-    dym = dy * emask
-    A = dym.sum(axis=0)                             # d_bias_eff
-    B = (dym * x).sum(axis=0)                       # d_scale_eff (pre-chain)
+    # ---- batch-statistics chain, closed from the PATCHED packed x / d_eo
+    # (the relu mask is recomputed from x exactly as the kernel did; slot
+    # validity comes from iotas — padded slots sort last, so slot < n_edges)
+    scale2_dt = jnp.concatenate([scale_eff, scale_eff]).astype(dt)
+    bias2_dt = jnp.concatenate([bias_eff, bias_eff]).astype(dt)
+    gaff_p = x_p * scale2_dt + bias2_dt
+    relu_p = (gaff_p.astype(jnp.float32) > 0).astype(jnp.float32)
+    dy_p = deo_p.astype(jnp.float32) * relu_p
+    rows_io = jax.lax.broadcasted_iota(jnp.int32, (Eh, 2 * d), 0)
+    lane_io = jax.lax.broadcasted_iota(jnp.int32, (Eh, 2 * d), 1)
+    mvalid = ((2 * rows_io + (lane_io >= d).astype(jnp.int32))
+              < n_edges).astype(jnp.float32)
+    xf_p = x_p.astype(jnp.float32)
+    dym = dy_p * mvalid
+    a128 = dym.sum(axis=0)
+    b128 = (dym * xf_p).sum(axis=0)
+    A = a128[:d] + a128[d:]                         # d_bias_eff
+    B = b128[:d] + b128[d:]                         # d_scale_eff (pre-chain)
     g_term = B - mean * A
     d_gamma = inv * g_term
     d_beta = A
@@ -413,16 +480,21 @@ def _train_layer_bwd(n_edges, res, cots):
     d_mean = -A * scale_eff - 2.0 * mean * d_var
     c1 = d_mean / n_edges
     c2 = 2.0 * d_var / n_edges
-    d_b3e = (dy * scale_eff + emask * (c1 + c2 * x)).astype(dt)
+    c12 = jnp.concatenate([c1, c1])
+    c22 = jnp.concatenate([c2, c2])
+    scale2_f = jnp.concatenate([scale_eff, scale_eff])
+    d_b3e_p = (dy_p * scale2_f + mvalid * (c12 + c22 * xf_p)).astype(dt)
     # node-space stats term: sum_e m*(c1 + c2*x) into each endpoint =
-    # c1*deg + c2*xsum (K7's [xsum | deg] partials)
-    zu = c2 * xsum_u[:, :d] + c1 * xsum_u[:, d:]
-    zv = c2 * xsum_v[:, :d] + c1 * xsum_v[:, d:]
+    # c1*deg + c2*xsum (K7's x-sums; deg comes exact from the host plan)
+    zu = (c2 * xsum_u[:, :d].astype(jnp.float32)
+          + c1 * plan.deg_u[:, None])
+    zv = (c2 * xsum_v[:, :d].astype(jnp.float32)
+          + c1 * plan.deg_v[:, None])
     d_pu = d_pu + jnp.concatenate([zu, jnp.zeros_like(zu)], axis=1)
     d_pv = d_pv + jnp.concatenate([zv, jnp.zeros_like(zv)], axis=1)
 
-    return (None, None, None, None, d_pu.astype(dt), d_pv.astype(dt),
-            d_b3e, d_e_in.astype(e_in.dtype),
+    return (None, None, None, d_pu.astype(dt), d_pv.astype(dt),
+            d_b3e_p, deo_p,
             d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype))
 
 
@@ -472,44 +544,59 @@ def _aggregate_bwd(res, g):
 _aggregate_pallas.defvjp(_aggregate_fwd, _aggregate_bwd)
 
 
-def fused_score_gate(gt: GraphTensors, flip: bool, pu, pv, be):
+def fused_score_gate(gt: GraphTensors, flip: bool, puv, be_p):
     """``relu(pu[u] + pv[v] + be)`` for the score predictor's first layer
     (Pallas K6): endpoint gathers, the three-way add and the relu in one
-    windowed pass.  ``pu``/``pv`` are the [Np, H] node pre-projections
-    ``h @ W1u`` / ``h @ W1v``; ``be`` = ``e @ W1e + b1`` in slot order.
-    Requires a windowed plan; the caller checks."""
+    windowed pass over PACKED edge arrays.  ``puv`` is the [Np, 2H] packed
+    node pre-projection [h @ W1u | h @ W1v]; ``be_p`` = packed
+    ``e @ W1e + b1`` in slot order ([Ep/2, 2H]).  Requires a windowed plan;
+    the caller checks."""
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    return _score_gate_pallas(plan, u_idx, v_idx, pu, pv, be)
+    return _score_gate_pallas(plan, u_idx, v_idx, puv, be_p)
 
 
 @jax.custom_vjp
-def _score_gate_pallas(plan, u_idx, v_idx, pu, pv, be):
+def _score_gate_pallas(plan, u_idx, v_idx, puv, be_p):
     from .pallas_kernels import k6_score_gate
 
-    z = k6_score_gate(plan, pu, pv, be)
+    H = be_p.shape[1] // 2
+    z_p = k6_score_gate(plan, puv, be_p)
     # overflow slots: recompute with direct gathers
-    sl = plan.ovf_slots
-    m = plan.ovf_mask.astype(z.dtype)
-    zo = jax.nn.relu(jnp.take(pu, jnp.take(u_idx, sl), axis=0)
-                     + jnp.take(pv, jnp.take(v_idx, sl), axis=0)
-                     + jnp.take(be, sl, axis=0))
-    old = jnp.take(z, sl, axis=0)
-    return z.at[sl].set(m * zo + (1.0 - m) * old)
+    sl, m = plan.ovf_slots, plan.ovf_mask
+    zo = jax.nn.relu(jnp.take(puv, jnp.take(u_idx, sl), axis=0)[:, :H]
+                     + jnp.take(puv, jnp.take(v_idx, sl), axis=0)[:, H:]
+                     + _ovf_take(plan, be_p, H))
+    return _ovf_apply(plan, z_p, zo, m, "set")
 
 
-def _score_gate_fwd(plan, u_idx, v_idx, pu, pv, be):
-    z = _score_gate_pallas(plan, u_idx, v_idx, pu, pv, be)
-    return z, (plan, u_idx, v_idx, z)
+def _score_gate_fwd(plan, u_idx, v_idx, puv, be_p):
+    z_p = _score_gate_pallas(plan, u_idx, v_idx, puv, be_p)
+    return z_p, (plan, u_idx, v_idx, z_p)
 
 
-def _score_gate_bwd(res, dz):
-    plan, u_idx, v_idx, z = res
-    dz = dz * (z > 0).astype(dz.dtype)
-    # adjoint of the two windowed selects = the K2 dual scatter
-    d_pu, d_pv = _aggregate_pallas(plan, u_idx, v_idx, dz, dz)
-    return (None, None, None, d_pu.astype(dz.dtype), d_pv.astype(dz.dtype),
-            dz)
+def _score_gate_bwd(res, dz_p):
+    from .pallas_kernels import k9_aggregate_packed
+
+    plan, u_idx, v_idx, z_p = res
+    H = z_p.shape[1] // 2
+    n_pad = plan.n_pad
+    dz_p = dz_p * (z_p > 0).astype(dz_p.dtype)
+    # adjoint of the two windowed selects = the packed dual scatter (K9);
+    # overflow slots scatter nothing in-kernel (sentinel) — patched below
+    pu_lo, pu_hi, pv_lo, pv_hi = k9_aggregate_packed(plan, dz_p)
+    d_pu = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
+                                  plan.window, plan.u_all)
+    d_pv = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
+                                  plan.window, plan.v_all)
+    sl, m = plan.ovf_slots, plan.ovf_mask
+    dzo = _ovf_take(plan, dz_p, H).astype(jnp.float32) * m
+    d_puv = jnp.concatenate(
+        [d_pu + jax.ops.segment_sum(dzo, jnp.take(u_idx, sl),
+                                    num_segments=n_pad),
+         d_pv + jax.ops.segment_sum(dzo, jnp.take(v_idx, sl),
+                                    num_segments=n_pad)], axis=1)
+    return (None, None, None, d_puv.astype(dz_p.dtype), dz_p)
 
 
 _score_gate_pallas.defvjp(_score_gate_fwd, _score_gate_bwd)

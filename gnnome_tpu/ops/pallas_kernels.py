@@ -213,18 +213,20 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
     )(plan.u_blk, plan.v_blk, plan.u_local, plan.v_local, pay_u, pay_v)
 
 
-# ----------------------------------------------------- K3: fused eval layer
-def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e, e_in,
-               affine, e_out, pu_lo, pu_hi, pv_lo, pv_hi,
+# ----------------------------------------------------- K3: fused edge stage
+def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
+               b3e, e_in, affine, e_out, pu_lo, pu_hi, pv_lo, pv_hi,
                *, tile_e, window, d, chunk):
-    """Whole SymGatedGCN edge stage for EVAL mode in one pass: windowed
-    endpoint selects -> gate -> BatchNorm affine -> relu -> residual ->
-    sigmoid -> both aggregation partials.  No HBM round-trips between steps
-    (the split K1/K2 path pays ~8 extra E x d passes per layer).  Each
-    endpoint's one-hot is built once and reused by select AND scatter."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
-    scale = affine[0:1, :]
-    bias = affine[1:2, :]
+    """Whole SymGatedGCN edge stage (affine-BN form — eval stats, or training
+    stats folded by the caller) in one pass: windowed endpoint selects ->
+    gate -> affine -> relu -> residual -> sigmoid -> both aggregation
+    partials.  No HBM round-trips between steps.  Edge arrays are PACKED
+    [Ep/2, 2d] (edge 2r in lanes :d of row r, edge 2r+1 in lanes d:) — no
+    128-lane padding in HBM; per chunk, one one-hot per endpoint per parity
+    serves both the selects and the scatters against the same node windows."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
+    scale2 = affine[0:1, :]                   # [1, 2d] = [scale | scale]
+    bias2 = affine[1:2, :]
     # block-keyed accumulation (see _k2_kernel)
     t = pl.program_id(0)
 
@@ -238,54 +240,60 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e, e_in,
         pv_lo[:] = jnp.zeros_like(pv_lo)
         pv_hi[:] = jnp.zeros_like(pv_hi)
 
-    def body(c, _):
-        sl = pl.ds(c * chunk, chunk)
+    hc = chunk // 2
+    for c in range(tile_e // chunk):
+        psl = pl.ds(c * hc, hc)
         pr = _prec(u0.dtype)
-        ohT_u = _ohT(io2, ul, c, chunk, u0.dtype)
-        ohT_v = _ohT(io2, vl, c, chunk, u0.dtype)
-        g_u = _selT(ohT_u, u0, u1, pr)
-        g_v = _selT(ohT_v, v0, v1, pr)
+        ohT_ue = _ohT(io2, ule, c, hc, u0.dtype)
+        ohT_uo = _ohT(io2, ulo, c, hc, u0.dtype)
+        ohT_ve = _ohT(io2, vle, c, hc, u0.dtype)
+        ohT_vo = _ohT(io2, vlo, c, hc, u0.dtype)
+        gue = _selT(ohT_ue, u0, u1, pr)
+        guo = _selT(ohT_uo, u0, u1, pr)
+        gve = _selT(ohT_ve, v0, v1, pr)
+        gvo = _selT(ohT_vo, v0, v1, pr)
         dt = e_out.dtype
-        gate = (g_u[:, :d] + g_v[:, :d]).astype(dt) + b3e[sl, :]
-        gate = gate * scale + bias            # eval BatchNorm affine
+        gate = jnp.concatenate(
+            [gue[:, :d] + gve[:, :d], guo[:, :d] + gvo[:, :d]],
+            axis=1).astype(dt) + b3e[psl, :]
+        gate = gate * scale2 + bias2
         gate = jax.nn.relu(gate)
-        eo = gate + e_in[sl, :]
-        e_out[sl, :] = eo
+        eo = gate + e_in[psl, :]
+        e_out[psl, :] = eo
         # sigmoid in f32: Mosaic's bf16 logistic lowering miscompiles
         # (f32 constant broadcast into a bf16 vector); padded/overflow edges
         # need no masking — their one-hot columns are all-zero (sentinel)
         sigma = jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
-
-        pay_v = jnp.concatenate(
-            [sigma * g_u[:, d:].astype(dt), sigma], axis=1)   # into dst
-        pay_u = jnp.concatenate(
-            [sigma * g_v[:, d:].astype(dt), sigma], axis=1)   # into src
-
-        _scatT(ohT_u, pay_u, pu_lo, pu_hi)
-        _scatT(ohT_v, pay_v, pv_lo, pv_hi)
-        return 0
-
-    # static unroll: lets Mosaic interleave one-hot builds (VPU) with the
-    # select/scatter dots (MXU) across chunks; fori_loop serialises them
-    for c in range(tile_e // chunk):
-        body(c, 0)
+        se, so = sigma[:, :d], sigma[:, d:]
+        _scatT(ohT_ue, jnp.concatenate([se * gve[:, d:].astype(dt), se], 1),
+               pu_lo, pu_hi)                                     # into src
+        _scatT(ohT_uo, jnp.concatenate([so * gvo[:, d:].astype(dt), so], 1),
+               pu_lo, pu_hi)
+        _scatT(ohT_ve, jnp.concatenate([se * gue[:, d:].astype(dt), se], 1),
+               pv_lo, pv_hi)                                     # into dst
+        _scatT(ohT_vo, jnp.concatenate([so * guo[:, d:].astype(dt), so], 1),
+               pv_lo, pv_hi)
 
 
-def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
+def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
                         bn_scale, bn_bias):
-    """Fused eval edge stage.  Returns (e_out [Ep, d], pu_lo, pu_hi, pv_lo,
-    pv_hi [NB*W, 2d] per-block partials, see k2_aggregate); overflow slots
-    carry gate = affine(b3e) + residual only and contribute nothing to the
-    partials (caller patches e_out and adds overflow payloads)."""
-    Ep, d = b3e.shape
+    """Fused edge stage over PACKED edge arrays ([Ep/2, 2d], see _k3_kernel).
+    Returns (e_out_p [Ep/2, 2d], pu_lo, pu_hi, pv_lo, pv_hi [NB*W, 2d]
+    per-block partials, see k2_aggregate); overflow slots carry
+    gate = affine(b3e) + residual only and contribute nothing to the partials
+    (caller patches e_out and adds overflow payloads)."""
+    Eh, d2 = b3e_p.shape
+    d = d2 // 2
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
-    dtype = b3e.dtype
+    dtype = b3e_p.dtype
     rows = plan.rows_p
-    # [8, d]: min sublane tile is 8; rows 0/1 hold scale/bias
+    # [8, 2d]: min sublane tile is 8; rows 0/1 hold [scale|scale]/[bias|bias]
     affine = jnp.concatenate(
-        [jnp.stack([bn_scale, bn_bias]),
-         jnp.zeros((6, d), bn_scale.dtype)]).astype(dtype)
+        [jnp.stack([jnp.concatenate([bn_scale, bn_scale]),
+                    jnp.concatenate([bn_bias, bn_bias])]),
+         jnp.zeros((6, 2 * d), bn_scale.dtype)]).astype(dtype)
 
+    ETh, Ch = ET // 2, C // 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -294,14 +302,16 @@ def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((8, d), lambda t, ub, vb: (0, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
@@ -310,7 +320,7 @@ def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
     )
     NB = plan.n_blocks
     out_shape = (
-        [jax.ShapeDtypeStruct((Ep, d), dtype)]
+        [jax.ShapeDtypeStruct((Eh, 2 * d), dtype)]
         + [jax.ShapeDtypeStruct((NB * W, 2 * d), jnp.float32)] * 4
     )
     kern = functools.partial(_k3_kernel, tile_e=ET, window=W, d=d, chunk=C)
@@ -318,12 +328,13 @@ def k3_fused_eval_layer(plan: WindowedPlan, proj_u, proj_v, b3e, e_in,
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
     )(plan.u_blk, plan.v_blk, proj_u, proj_u, proj_v, proj_v,
-      plan.u_local, plan.v_local, b3e, e_in, affine)
+      plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
+      b3e_p, e_in_p, affine)
 
 
 # ---------------------------------------------- K7: training gate statistics
-def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
-               stats_out, xu_lo, xu_hi, xv_lo, xv_hi,
+def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
+               b3e, stats_out, xu_lo, xu_hi, xv_lo, xv_hi,
                *, tile_e, window, d, chunk):
     """Training BatchNorm is two-pass: this is the FIRST pass, fused.  Per
     chunk: windowed gate-half selects -> gate_raw x -> per-tile [sum(x),
@@ -332,8 +343,9 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
     correction term is linear in x, so its node-space scatter is
     ``c1*deg + c2*xsum`` — see message._train_layer_bwd).  gate_raw never
     touches HBM: the [Ep, 3d] K1 payload this pass replaces was the largest
-    allocation of the 1M-node training step (3 GB padded, twice)."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
+    allocation of the 1M-node training step (3 GB padded, twice).  Edge
+    arrays are PACKED [Ep/2, 2d] (see _k3_kernel)."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
     t = pl.program_id(0)
 
     @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
@@ -346,44 +358,63 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
         xv_lo[:] = jnp.zeros_like(xv_lo)
         xv_hi[:] = jnp.zeros_like(xv_hi)
 
-    acc1 = jnp.zeros((1, d), jnp.float32)
-    acc2 = jnp.zeros((1, d), jnp.float32)
+    acc1 = jnp.zeros((1, 2 * d), jnp.float32)
+    acc2 = jnp.zeros((1, 2 * d), jnp.float32)
     dt = b3e.dtype
-    ones = jnp.ones((chunk, d), dt)
+    hc = chunk // 2
+    ones = jnp.ones((hc, d), dt)
+    hp = jax.lax.Precision.HIGHEST
     for c in range(tile_e // chunk):
-        sl = pl.ds(c * chunk, chunk)
+        psl = pl.ds(c * hc, hc)
         pr = _prec(u0.dtype)
-        ohT_u = _ohT(io2, ul, c, chunk, u0.dtype)
-        ohT_v = _ohT(io2, vl, c, chunk, u0.dtype)
-        xu = _selT(ohT_u, u0, u1, pr)
-        xv = _selT(ohT_v, v0, v1, pr)
-        x = (xu[:, :d] + xv[:, :d]).astype(dt) + b3e[sl, :]
+        ohT_ue = _ohT(io2, ule, c, hc, u0.dtype)
+        ohT_uo = _ohT(io2, ulo, c, hc, u0.dtype)
+        ohT_ve = _ohT(io2, vle, c, hc, u0.dtype)
+        ohT_vo = _ohT(io2, vlo, c, hc, u0.dtype)
+        xue = _selT(ohT_ue, u0, u1, pr)
+        xuo = _selT(ohT_uo, u0, u1, pr)
+        xve = _selT(ohT_ve, v0, v1, pr)
+        xvo = _selT(ohT_vo, v0, v1, pr)
+        x = jnp.concatenate(
+            [xue[:, :d] + xve[:, :d], xuo[:, :d] + xvo[:, :d]],
+            axis=1).astype(dt) + b3e[psl, :]
         xf = x.astype(jnp.float32)
         # padded AND overflow slots carry the sentinel -> excluded here and
         # inert in the scatters; the caller adds overflow edges' contributions
-        mrow = (ul[c, :] != 2 * window).astype(jnp.float32)[None, :]
-        acc1 = acc1 + jnp.dot(mrow, xf, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-        acc2 = acc2 + jnp.dot(mrow, xf * xf,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-        pay = jnp.concatenate([x, ones], axis=1)
-        _scatT(ohT_u, pay, xu_lo, xu_hi)
-        _scatT(ohT_v, pay, xv_lo, xv_hi)
+        me = (ule[c, :] != 2 * window).astype(jnp.float32)[None, :]
+        mo = (ulo[c, :] != 2 * window).astype(jnp.float32)[None, :]
+        acc1 = acc1 + jnp.concatenate(
+            [jnp.dot(me, xf[:, :d], preferred_element_type=jnp.float32,
+                     precision=hp),
+             jnp.dot(mo, xf[:, d:], preferred_element_type=jnp.float32,
+                     precision=hp)], axis=1)
+        acc2 = acc2 + jnp.concatenate(
+            [jnp.dot(me, xf[:, :d] * xf[:, :d],
+                     preferred_element_type=jnp.float32, precision=hp),
+             jnp.dot(mo, xf[:, d:] * xf[:, d:],
+                     preferred_element_type=jnp.float32, precision=hp)],
+            axis=1)
+        _scatT(ohT_ue, jnp.concatenate([x[:, :d], ones], 1), xu_lo, xu_hi)
+        _scatT(ohT_uo, jnp.concatenate([x[:, d:], ones], 1), xu_lo, xu_hi)
+        _scatT(ohT_ve, jnp.concatenate([x[:, :d], ones], 1), xv_lo, xv_hi)
+        _scatT(ohT_vo, jnp.concatenate([x[:, d:], ones], 1), xv_lo, xv_hi)
 
     stats_out[:] = jnp.concatenate(
-        [acc1, acc2, jnp.zeros((6, d), jnp.float32)], axis=0)
+        [acc1, acc2, jnp.zeros((6, 2 * d), jnp.float32)], axis=0)
 
 
-def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e):
-    """First (statistics) pass of the training edge stage.  Returns
-    (stats [T*8, d] f32 — rows 0/1 of each tile hold sum(x)/sum(x^2) over
-    kernel-covered valid edges, xu_lo, xu_hi, xv_lo, xv_hi [NB*W, 2d] f32 —
+def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
+    """First (statistics) pass of the training edge stage (packed edge
+    layout).  Returns (stats [T*8, 2d] f32 — per tile, row 0 holds
+    [sum(x)_even | sum(x)_odd] and row 1 the same for sum(x^2) (caller adds
+    the parity halves), xu_lo, xu_hi, xv_lo, xv_hi [NB*W, 2d] f32 —
     per-block partials of [sum(x) | count] keyed by u / v, see k2_aggregate
     for the low/high split)."""
-    Ep, d = b3e.shape
+    Eh, d2 = b3e_p.shape
+    d = d2 // 2
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
     rows = plan.rows_p
+    ETh, Ch = ET // 2, C // 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -396,12 +427,14 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e):
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((8, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
@@ -409,22 +442,26 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e):
         ],
     )
     NB = plan.n_blocks
+    # xsum partials ride the payload dtype: accumulation depth per block is
+    # tiny (a window block covers ~W*deg edges = 1-3 tiles) and the c1*deg
+    # term uses the plan's exact host-side degrees, so bf16 costs ~1 ulp on
+    # the small batch-stat correction while halving 2 GB of partials
     out_shape = (
-        [jax.ShapeDtypeStruct((T * 8, d), jnp.float32)]
-        + [jax.ShapeDtypeStruct((NB * W, 2 * d), jnp.float32)] * 4
+        [jax.ShapeDtypeStruct((T * 8, 2 * d), jnp.float32)]
+        + [jax.ShapeDtypeStruct((NB * W, 2 * d), b3e_p.dtype)] * 4
     )
     kern = functools.partial(_k7_kernel, tile_e=ET, window=W, d=d, chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
     )(plan.u_blk, plan.v_blk, proj_u, proj_u, proj_v, proj_v,
-      plan.u_local, plan.v_local, b3e)
+      plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o, b3e_p)
 
 
 # ------------------------------------- K8: fused training layer backward
 def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
-               ul, vl, b3e, e_in, d_e_out, affine,
-               xdy_out, dein_out, pu_lo, pu_hi, pv_lo, pv_hi,
+               ule, ulo, vle, vlo, b3e, e_in, d_e_out, affine,
+               x_out, deo_out, pu_lo, pu_hi, pv_lo, pv_hi,
                *, tile_e, window, d, chunk):
     """Adjoint of the whole training edge stage in one pass, with NO [Ep, 3d]
     HBM arrays: the forward gate/messages are RE-SELECTED from the node
@@ -432,15 +469,16 @@ def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
     kernels are HBM-bound), the elementwise forward is recomputed, the full
     adjoint chain runs in registers, and the d_proj payloads
     [d_gate_local | d_msg] are scattered straight into per-block window
-    partials (one-hots built once per chunk serve 4 selects + 2 scatters).
-    Outputs additionally [x | d_y] per edge (``xdy`` — one unpadded [Ep, 2d]
-    row instead of two lane-padded [Ep, d] arrays): the caller closes the
-    batch-statistics chain from it (d_gamma/d_beta/d_b3e and the c1+c2*x
-    node-space correction via K7's deg/xsum partials)."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
-    scale = affine[0:1, :]
-    bias = affine[1:2, :]
-    scale_f = scale.astype(jnp.float32)
+    partials (the parity one-hots serve 8 selects + 4 scatters).  Outputs
+    additionally the recomputed gate_raw ``x`` and the residual cotangent
+    ``d_eo`` (both packed, no padding): the caller derives d_e_in = d_eo,
+    d_y = d_eo * relu_mask, and closes the batch-statistics chain
+    (d_gamma/d_beta/d_b3e and the c1+c2*x node-space correction via K7's
+    deg/xsum partials).  Edge arrays are PACKED [Ep/2, 2d] (_k3_kernel)."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
+    scale2 = affine[0:1, :]
+    bias2 = affine[1:2, :]
+    scale2_f = scale2.astype(jnp.float32)
     t = pl.program_id(0)
 
     @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
@@ -453,57 +491,80 @@ def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
         pv_lo[:] = jnp.zeros_like(pv_lo)
         pv_hi[:] = jnp.zeros_like(pv_hi)
 
+    hc = chunk // 2
     for c in range(tile_e // chunk):
-        sl = pl.ds(c * chunk, chunk)
-        dt = xdy_out.dtype
+        psl = pl.ds(c * hc, hc)
+        dt = x_out.dtype
         pr = _prec(u0.dtype)
-        ohT_u = _ohT(io2, ul, c, chunk, u0.dtype)
-        ohT_v = _ohT(io2, vl, c, chunk, u0.dtype)
-        gu = _selT(ohT_u, u0, u1, pr)
-        gv = _selT(ohT_v, v0, v1, pr)
-        du = _selT(ohT_u, du0, du1, pr)
-        dv = _selT(ohT_v, dv0, dv1, pr)
+        ohT_ue = _ohT(io2, ule, c, hc, u0.dtype)
+        ohT_uo = _ohT(io2, ulo, c, hc, u0.dtype)
+        ohT_ve = _ohT(io2, vle, c, hc, u0.dtype)
+        ohT_vo = _ohT(io2, vlo, c, hc, u0.dtype)
+        gue = _selT(ohT_ue, u0, u1, pr)
+        guo = _selT(ohT_uo, u0, u1, pr)
+        gve = _selT(ohT_ve, v0, v1, pr)
+        gvo = _selT(ohT_vo, v0, v1, pr)
+        due = _selT(ohT_ue, du0, du1, pr)
+        duo = _selT(ohT_uo, du0, du1, pr)
+        dve = _selT(ohT_ve, dv0, dv1, pr)
+        dvo = _selT(ohT_vo, dv0, dv1, pr)
         # recomputed forward, bit-matching the K3/K7 dtype discipline
-        x = (gu[:, :d] + gv[:, :d]).astype(dt) + b3e[sl, :]
-        gaff = x * scale + bias
+        x = jnp.concatenate(
+            [gue[:, :d] + gve[:, :d], guo[:, :d] + gvo[:, :d]],
+            axis=1).astype(dt) + b3e[psl, :]
+        gaff = x * scale2 + bias2
         # compare in f32: Mosaic has no bf16 vector cmpf (conversion is exact)
         relu_m = (gaff.astype(jnp.float32) > 0).astype(jnp.float32)
-        eo = jax.nn.relu(gaff) + e_in[sl, :]
+        eo = jax.nn.relu(gaff) + e_in[psl, :]
         # f32 sigmoid: Mosaic's bf16 logistic lowering miscompiles
         sigma = jax.nn.sigmoid(eo.astype(jnp.float32))
-        a2u = gu[:, d:].astype(dt).astype(jnp.float32)
-        a3v = gv[:, d:].astype(dt).astype(jnp.float32)
-        d_sigma = (dv[:, :d] * a2u + dv[:, d:]
-                   + du[:, :d] * a3v + du[:, d:])
-        d_eo = (d_e_out[sl, :].astype(jnp.float32)
+        a2u = jnp.concatenate([gue[:, d:], guo[:, d:]],
+                              axis=1).astype(dt).astype(jnp.float32)
+        a3v = jnp.concatenate([gve[:, d:], gvo[:, d:]],
+                              axis=1).astype(dt).astype(jnp.float32)
+        dv_m = jnp.concatenate([dve[:, :d], dvo[:, :d]], axis=1)
+        dv_s = jnp.concatenate([dve[:, d:], dvo[:, d:]], axis=1)
+        du_m = jnp.concatenate([due[:, :d], duo[:, :d]], axis=1)
+        du_s = jnp.concatenate([due[:, d:], duo[:, d:]], axis=1)
+        d_sigma = dv_m * a2u + dv_s + du_m * a3v + du_s
+        d_eo = (d_e_out[psl, :].astype(jnp.float32)
                 + d_sigma * sigma * (1.0 - sigma))
         d_y = d_eo * relu_m
-        xdy_out[sl, :] = jnp.concatenate([x, d_y.astype(dt)], axis=1)
-        dein_out[sl, :] = d_eo.astype(dt)
-        pay_u = jnp.concatenate(
-            [d_y * scale_f, sigma * dv[:, :d]], axis=1).astype(dt)
-        pay_v = jnp.concatenate(
-            [d_y * scale_f, sigma * du[:, :d]], axis=1).astype(dt)
-        _scatT(ohT_u, pay_u, pu_lo, pu_hi)
-        _scatT(ohT_v, pay_v, pv_lo, pv_hi)
+        x_out[psl, :] = x
+        deo_out[psl, :] = d_eo.astype(dt)
+        dys = d_y * scale2_f
+        sdv = sigma * dv_m
+        sdu = sigma * du_m
+        _scatT(ohT_ue, jnp.concatenate(
+            [dys[:, :d], sdv[:, :d]], axis=1).astype(dt), pu_lo, pu_hi)
+        _scatT(ohT_uo, jnp.concatenate(
+            [dys[:, d:], sdv[:, d:]], axis=1).astype(dt), pu_lo, pu_hi)
+        _scatT(ohT_ve, jnp.concatenate(
+            [dys[:, :d], sdu[:, :d]], axis=1).astype(dt), pv_lo, pv_hi)
+        _scatT(ohT_vo, jnp.concatenate(
+            [dys[:, d:], sdu[:, d:]], axis=1).astype(dt), pv_lo, pv_hi)
 
 
 def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
-                       b3e, e_in, d_e_out, scale_eff, bias_eff):
-    """Fused training-layer backward.  ``d_sum_u``/``d_sum_v`` are the node
-    cotangent arrays [Np, 2d] (caller casts to the compute dtype); returns
-    (xdy [Ep, 2d] = [gate_raw | d_gate_affine], d_e_in [Ep, d],
-    pu_lo, pu_hi, pv_lo, pv_hi [NB*W, 2d] d_proj window partials).  Overflow
-    edges select zero everywhere (sentinel one-hots) and their xdy/partial
-    contributions are patched by the caller."""
-    Ep, d = b3e.shape
+                       b3e_p, e_in_p, d_e_out_p, scale_eff, bias_eff):
+    """Fused training-layer backward (packed edge layout).  ``d_sum_u``/
+    ``d_sum_v`` are the node cotangent arrays [Np, 2d] (caller casts to the
+    compute dtype); returns (x_p [Ep/2, 2d] recomputed gate_raw,
+    deo_p [Ep/2, 2d] residual cotangent (= d_e_in), pu_lo, pu_hi, pv_lo,
+    pv_hi [NB*W, 2d] d_proj window partials).  Overflow edges select zero
+    everywhere (sentinel one-hots) and their x/deo/partial contributions are
+    patched by the caller."""
+    Eh, d2 = b3e_p.shape
+    d = d2 // 2
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
-    dtype = b3e.dtype
+    dtype = b3e_p.dtype
     rows = plan.rows_p
     affine = jnp.concatenate(
-        [jnp.stack([scale_eff, bias_eff]),
-         jnp.zeros((6, d), jnp.float32)]).astype(dtype)
+        [jnp.stack([jnp.concatenate([scale_eff, scale_eff]),
+                    jnp.concatenate([bias_eff, bias_eff])]),
+         jnp.zeros((6, 2 * d), jnp.float32)]).astype(dtype)
 
+    ETh, Ch = ET // 2, C // 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -516,16 +577,18 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((8, d), lambda t, ub, vb: (0, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((ET, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
             pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
@@ -533,68 +596,162 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
         ],
     )
     NB = plan.n_blocks
+    # d_proj partials ride the payload dtype (see k7_gate_stats: block
+    # accumulation depth is 1-3 tiles; the combined sums are cast to the
+    # compute dtype anyway) — halves another 2 GB at 6.3M edges
     out_shape = [
-        jax.ShapeDtypeStruct((Ep, 2 * d), dtype),
-        jax.ShapeDtypeStruct((Ep, d), dtype),
-    ] + [jax.ShapeDtypeStruct((NB * W, 2 * d), jnp.float32)] * 4
+        jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
+        jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
+    ] + [jax.ShapeDtypeStruct((NB * W, 2 * d), dtype)] * 4
     kern = functools.partial(_k8_kernel, tile_e=ET, window=W, d=d, chunk=C)
+    # in-place: x_out overwrites b3e_p and deo_out overwrites d_e_out_p
+    # (0.75 GB each at 6.3M edges).  Exact: at overflow rows the kernel
+    # writes x = b3e and deo = d_e_out verbatim (sentinel selects are zero),
+    # so the caller's overflow patches read the outputs in place of the
+    # destroyed inputs.  Alias indices count scalar-prefetch args too.
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
+        input_output_aliases={14: 0, 16: 1},
         interpret=_interpret(),
     )(plan.u_blk, plan.v_blk, d_sum_u, d_sum_u, d_sum_v, d_sum_v,
       proj_u, proj_u, proj_v, proj_v,
-      plan.u_local, plan.v_local, b3e, e_in, d_e_out, affine)
+      plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
+      b3e_p, e_in_p, d_e_out_p, affine)
 
 
 # ------------------------------------------- K6: score-predictor first layer
-def _k6_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, be,
-               z_out, *, tile_e, window, d, chunk):
+def _k6_kernel(u_blk_ref, v_blk_ref, puv0, puv1, pvv0, pvv1,
+               ule, ulo, vle, vlo, be, z_out, *, tile_e, window, d, chunk):
     """Fused ``relu(pu[u] + pv[v] + be)`` — the score predictor's endpoint
     gathers AND first-layer matmul in one windowed pass (``pu = h @ W1u`` etc.
     are computed in NODE space by the caller, so the [Ep, 3d] concat and the
     edge-space [Ep,3d]x[3d,H] matmul never materialise; reference
-    score_predictor.py:13-23).  Overflow slots carry relu(be) (caller
-    patches)."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
+    score_predictor.py:13-23).  ``puv`` packs [pu | pv] side by side ([Np,
+    2H], no 128-lane padding); edge arrays are PACKED [Ep/2, 2H]
+    (_k3_kernel).  Overflow slots carry relu(be) (caller patches)."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
+    hc = chunk // 2
     for c in range(tile_e // chunk):
-        sl = pl.ds(c * chunk, chunk)
-        pr = _prec(u0.dtype)
-        gu = _selT(_ohT(io2, ul, c, chunk, u0.dtype), u0, u1, pr)
-        gv = _selT(_ohT(io2, vl, c, chunk, u0.dtype), v0, v1, pr)
-        z_out[sl, :] = jax.nn.relu(
-            (gu + gv).astype(z_out.dtype) + be[sl, :])
+        psl = pl.ds(c * hc, hc)
+        pr = _prec(puv0.dtype)
+        gue = _selT(_ohT(io2, ule, c, hc, puv0.dtype), puv0, puv1, pr)
+        guo = _selT(_ohT(io2, ulo, c, hc, puv0.dtype), puv0, puv1, pr)
+        gve = _selT(_ohT(io2, vle, c, hc, puv0.dtype), pvv0, pvv1, pr)
+        gvo = _selT(_ohT(io2, vlo, c, hc, puv0.dtype), pvv0, pvv1, pr)
+        s = jnp.concatenate(
+            [gue[:, :d] + gve[:, d:], guo[:, :d] + gvo[:, d:]], axis=1)
+        z_out[psl, :] = jax.nn.relu(s.astype(z_out.dtype) + be[psl, :])
 
 
-def k6_score_gate(plan: WindowedPlan, pu, pv, be):
-    """pu/pv: [Np, H] node pre-projections; be: [Ep, H] slot order.
-    Returns z [Ep, H] = relu(pu[u] + pv[v] + be)."""
-    Ep, H = be.shape
+def k6_score_gate(plan: WindowedPlan, puv, be_p):
+    """puv: [Np, 2H] packed node pre-projections [pu | pv]; be_p: [Ep/2, 2H]
+    packed slot order.  Returns packed z [Ep/2, 2H] =
+    relu(pu[u] + pv[v] + be)."""
+    Eh, H2 = be_p.shape
+    H = H2 // 2
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
     rows = plan.rows_p
+    ETh, Ch = ET // 2, C // 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((W, H), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, H), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((W, H), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, H), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, H), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((W, 2 * H), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, 2 * H), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((W, 2 * H), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, 2 * H), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * H), lambda t, ub, vb: (t, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((ET, H), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * H), lambda t, ub, vb: (t, 0)),
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((Ep, H), be.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((Eh, 2 * H), be_p.dtype)]
     kern = functools.partial(_k6_kernel, tile_e=ET, window=W, d=H, chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
-    )(plan.u_blk, plan.v_blk, pu, pu, pv, pv,
-      plan.u_local, plan.v_local, be)[0]
+    )(plan.u_blk, plan.v_blk, puv, puv, puv, puv,
+      plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
+      be_p)[0]
+
+
+# --------------------------------------- K9: packed shared-payload aggregate
+def _k9_kernel(u_blk_ref, v_blk_ref, ule, ulo, vle, vlo, pay,
+               pu_lo, pu_hi, pv_lo, pv_hi, *, tile_e, window, d, chunk):
+    """Dual-direction scatter of ONE packed payload [Ep/2, 2D] into per-block
+    window partials keyed by u AND v — the adjoint of K6's two selects (the
+    score-gate backward scatters the same masked cotangent by both
+    endpoints).  The packed analog of _k2_kernel."""
+    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
+    t = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
+    def _():
+        pu_lo[:] = jnp.zeros_like(pu_lo)
+        pu_hi[:] = jnp.zeros_like(pu_hi)
+
+    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
+    def _():
+        pv_lo[:] = jnp.zeros_like(pv_lo)
+        pv_hi[:] = jnp.zeros_like(pv_hi)
+
+    hc = chunk // 2
+    for c in range(tile_e // chunk):
+        psl = pl.ds(c * hc, hc)
+        dt = pay.dtype
+        pc = pay[psl, :]
+        pe, po = pc[:, :d], pc[:, d:]
+        ohT_ue = _ohT(io2, ule, c, hc, dt)
+        ohT_uo = _ohT(io2, ulo, c, hc, dt)
+        ohT_ve = _ohT(io2, vle, c, hc, dt)
+        ohT_vo = _ohT(io2, vlo, c, hc, dt)
+        _scatT(ohT_ue, pe, pu_lo, pu_hi)
+        _scatT(ohT_uo, po, pu_lo, pu_hi)
+        _scatT(ohT_ve, pe, pv_lo, pv_hi)
+        _scatT(ohT_vo, po, pv_lo, pv_hi)
+
+
+def k9_aggregate_packed(plan: WindowedPlan, pay_p):
+    """pay_p: [Ep/2, 2D] packed per-edge payload.  Returns (pu_lo, pu_hi,
+    pv_lo, pv_hi): [NB*W, D] per-block partial sums of the payload keyed by
+    u / v (combine with ``message.combine_block_partials``)."""
+    Eh, D2 = pay_p.shape
+    D = D2 // 2
+    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    rows = plan.rows_p
+    ETh, Ch = ET // 2, C // 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+            pl.BlockSpec((ETh, 2 * D), lambda t, ub, vb: (t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, D), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, D), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, D), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, D), lambda t, ub, vb: (vb[t], 0)),
+        ],
+    )
+    NB = plan.n_blocks
+    out_shape = [jax.ShapeDtypeStruct((NB * W, D), jnp.float32)] * 4
+    kern = functools.partial(_k9_kernel, tile_e=ET, window=W, d=D, chunk=C)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=_interpret(),
+    )(plan.u_blk, plan.v_blk,
+      plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o, pay_p)
 
 
 # ----------------------------------------------------------------- utilities

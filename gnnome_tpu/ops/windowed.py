@@ -48,10 +48,24 @@ class WindowedPlan:
                             #   value = src - u_blk*W, sentinel 2W if
                             #   overflow/padded
     v_local: jax.Array      # int32 [T*rows_p, chunk]
+    # parity-split locals for the PACKED edge layout (edge 2r in lanes 0:d of
+    # packed row r, edge 2r+1 in lanes d:2d — [Ep/2, 2d] arrays have no
+    # 128-lane padding): column j of the even/odd array is edge 2j / 2j+1 of
+    # the chunk, so the packed kernels build one one-hot per parity against
+    # the SAME node windows (adjacent slots share windows)
+    u_local_e: jax.Array    # int32 [T*rows_p, chunk//2]
+    u_local_o: jax.Array    # int32 [T*rows_p, chunk//2]
+    v_local_e: jax.Array    # int32 [T*rows_p, chunk//2]
+    v_local_o: jax.Array    # int32 [T*rows_p, chunk//2]
     u_visited: jax.Array    # float32 [NB] 1 where some tile wrote block b
     v_visited: jax.Array    # float32 [NB]
     ovf_slots: jax.Array    # int32 [n_ovf_pad] overflow edge slots (pad: Ep-1*)
     ovf_mask: jax.Array     # float32 [n_ovf_pad, 1] 1 for real overflow rows
+    # exact valid-edge degree per node by endpoint role (host bincount; the
+    # batch-stat backward's c1*deg term needs it exactly — the kernel's
+    # summed counts may ride bf16 partials)
+    deg_u: jax.Array = None  # float32 [n_pad]
+    deg_v: jax.Array = None  # float32 [n_pad]
     # --- static ---
     tile_e: int = TILE_E
     window: int = WINDOW
@@ -81,8 +95,10 @@ class WindowedPlan:
 
 jax.tree_util.register_dataclass(
     WindowedPlan,
-    data_fields=["u_blk", "v_blk", "u_local", "v_local", "u_visited",
-                 "v_visited", "ovf_slots", "ovf_mask"],
+    data_fields=["u_blk", "v_blk", "u_local", "v_local",
+                 "u_local_e", "u_local_o", "v_local_e", "v_local_o",
+                 "u_visited", "v_visited", "ovf_slots", "ovf_mask",
+                 "deg_u", "deg_v"],
     meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_ovf", "n_pad",
                  "u_all", "v_all"],
 )
@@ -120,7 +136,7 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
     Ep, Np = gt.n_edges_pad, gt.n_nodes_pad
     chunk = min(chunk or CHUNK, tile_e)
     if Ep % tile_e != 0 or Np < 2 * window or Np % window != 0 \
-            or tile_e % chunk != 0:
+            or tile_e % chunk != 0 or chunk % 2 != 0:
         return None
     src = np.asarray(gt.src)
     dst = np.asarray(gt.dst)
@@ -158,23 +174,39 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
     u_visited[u_blk] = 1.0     # unvisited partial blocks hold uninitialised
     v_visited[v_blk] = 1.0     # HBM; the combine masks them out
 
-    def _lane_major(local: np.ndarray) -> np.ndarray:
-        """[Ep] slot order -> [T*rows_p, chunk] with sentinel pad rows."""
+    def _lane_major(local: np.ndarray, parity: int | None = None
+                    ) -> np.ndarray:
+        """[Ep] slot order -> [T*rows_p, chunk(/2)] with sentinel pad rows;
+        ``parity`` selects every other slot (the packed-layout index split)."""
         rows = tile_e // chunk
         rows_p = ((rows + 7) // 8) * 8
+        c = chunk
         a = local.reshape(n_tiles, rows, chunk)
+        if parity is not None:
+            a = a[:, :, parity::2]
+            c = chunk // 2
         if rows_p != rows:
-            pad = np.full((n_tiles, rows_p - rows, chunk), 2 * window,
+            pad = np.full((n_tiles, rows_p - rows, c), 2 * window,
                           dtype=np.int32)
             a = np.concatenate([a, pad], axis=1)
-        return a.reshape(n_tiles * rows_p, chunk)
+        return a.reshape(n_tiles * rows_p, c)
 
     return WindowedPlan(
         u_blk=jnp.asarray(u_blk), v_blk=jnp.asarray(v_blk),
         u_local=jnp.asarray(_lane_major(u_local)),
         v_local=jnp.asarray(_lane_major(v_local)),
+        u_local_e=jnp.asarray(_lane_major(u_local, 0)),
+        u_local_o=jnp.asarray(_lane_major(u_local, 1)),
+        v_local_e=jnp.asarray(_lane_major(v_local, 0)),
+        v_local_o=jnp.asarray(_lane_major(v_local, 1)),
         u_visited=jnp.asarray(u_visited), v_visited=jnp.asarray(v_visited),
         ovf_slots=jnp.asarray(ovf_slots), ovf_mask=jnp.asarray(ovf_mask),
+        deg_u=jnp.asarray(np.bincount(
+            u[np.asarray(gt.edge_mask)[:, 0] > 0],
+            minlength=Np).astype(np.float32)),
+        deg_v=jnp.asarray(np.bincount(
+            v[np.asarray(gt.edge_mask)[:, 0] > 0],
+            minlength=Np).astype(np.float32)),
         tile_e=tile_e, window=window, chunk=chunk, n_tiles=n_tiles,
         n_ovf=n_ovf, n_pad=Np,
         u_all=bool(u_visited.all()), v_all=bool(v_visited.all()),

@@ -241,7 +241,17 @@ def make_steps(cfg: Config):
             loss = bce_with_logits(logits_org, labels, pos_weight, mask=mask)
         return loss, (logits_org, state)
 
-    @partial(jax.jit, static_argnames=())
+    # "memory" drops XLA's latency-hiding scheduler: it extends buffer live
+    # ranges for overlap, which costs ~45% HBM fragmentation on the
+    # full-remat multi-million-edge step (measured; the step is HBM-capacity
+    # bound there, not latency bound)
+    sched = cfg.compute.scheduler
+    if sched == "auto":
+        sched = "memory" if remat == "full" else "latency"
+    copts = ({"xla_tpu_enable_latency_hiding_scheduler": "false"}
+             if sched == "memory" else None)
+
+    @partial(jax.jit, static_argnames=(), compiler_options=copts)
     def train_step(params, state, opt_state, gt, x, x_rev, e, labels, mask,
                    pos_weight, rng, gt_proc=None):
         (loss, (logits, new_state)), grads = jax.value_and_grad(
