@@ -339,21 +339,17 @@ def fused_train_layer(gt: GraphTensors, proj_u, proj_v, b3e_p, e_in_p,
 
 
 def _train_layer_impl(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
-                      b3e_p, e_in_p, gamma, beta):
+                      b3e_p, e_in_p, gamma, beta, with_xsum=True):
     from .pallas_kernels import k7_gate_stats
 
     d = b3e_p.shape[1] // 2
     n_pad = plan.n_pad
     dt = b3e_p.dtype
-    stats, xu_lo, xu_hi, xv_lo, xv_hi = k7_gate_stats(plan, proj_u, proj_v,
-                                                      b3e_p)
+    stats, *xparts = k7_gate_stats(plan, proj_u, proj_v, b3e_p,
+                                   with_xsum=with_xsum)
     stats = stats.reshape(plan.n_tiles, 8, 2 * d).sum(axis=0)
-    s1 = stats[0, :d] + stats[0, d:]
-    s2 = stats[1, :d] + stats[1, d:]
-    xsum_u = combine_block_partials(xu_lo, xu_hi, plan.u_visited, n_pad,
-                                    plan.window, plan.u_all)
-    xsum_v = combine_block_partials(xv_lo, xv_hi, plan.v_visited, n_pad,
-                                    plan.window, plan.v_all)
+    s1 = stats[0, :d]
+    s2 = stats[0, d:]
     # overflow edges: the kernel excluded them (sentinel); add their exact
     # contributions from direct gathers
     sl, m = plan.ovf_slots, plan.ovf_mask
@@ -364,11 +360,17 @@ def _train_layer_impl(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
     xf_o = x_o.astype(jnp.float32) * m
     s1 = s1 + xf_o.sum(axis=0)
     s2 = s2 + (xf_o * x_o.astype(jnp.float32)).sum(axis=0)
-    pay_o = jnp.concatenate([xf_o, m * jnp.ones_like(xf_o)], axis=1)
-    xsum_u = (xsum_u.astype(jnp.float32)
-              + jax.ops.segment_sum(pay_o, uo, num_segments=n_pad)).astype(dt)
-    xsum_v = (xsum_v.astype(jnp.float32)
-              + jax.ops.segment_sum(pay_o, vo, num_segments=n_pad)).astype(dt)
+    xsum_u = xsum_v = None
+    if with_xsum:   # the backward's batch-stat scatter term (c2*xsum)
+        xu_lo, xu_hi, xv_lo, xv_hi = xparts
+        xsum_u = combine_block_partials(xu_lo, xu_hi, plan.u_visited, n_pad,
+                                        plan.window, plan.u_all)
+        xsum_v = combine_block_partials(xv_lo, xv_hi, plan.v_visited, n_pad,
+                                        plan.window, plan.v_all)
+        xsum_u = (xsum_u.astype(jnp.float32) + jax.ops.segment_sum(
+            xf_o, uo, num_segments=n_pad)).astype(dt)
+        xsum_v = (xsum_v.astype(jnp.float32) + jax.ops.segment_sum(
+            xf_o, vo, num_segments=n_pad)).astype(dt)
 
     n = n_edges
     mean = s1 / n
@@ -390,8 +392,11 @@ def _train_layer_impl(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _train_layer(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
                  b3e_p, e_in_p, gamma, beta):
+    # the undifferentiated primal (what jax.checkpoint runs in the forward
+    # pass) skips the xsum scatters — only the backward needs them
     out, _ = _train_layer_impl(n_edges, plan, u_idx, v_idx,
-                               proj_u, proj_v, b3e_p, e_in_p, gamma, beta)
+                               proj_u, proj_v, b3e_p, e_in_p, gamma, beta,
+                               with_xsum=False)
     return out
 
 
@@ -486,10 +491,8 @@ def _train_layer_bwd(n_edges, res, cots):
     d_b3e_p = (dy_p * scale2_f + mvalid * (c12 + c22 * xf_p)).astype(dt)
     # node-space stats term: sum_e m*(c1 + c2*x) into each endpoint =
     # c1*deg + c2*xsum (K7's x-sums; deg comes exact from the host plan)
-    zu = (c2 * xsum_u[:, :d].astype(jnp.float32)
-          + c1 * plan.deg_u[:, None])
-    zv = (c2 * xsum_v[:, :d].astype(jnp.float32)
-          + c1 * plan.deg_v[:, None])
+    zu = c2 * xsum_u.astype(jnp.float32) + c1 * plan.deg_u[:, None]
+    zv = c2 * xsum_v.astype(jnp.float32) + c1 * plan.deg_v[:, None]
     d_pu = d_pu + jnp.concatenate([zu, jnp.zeros_like(zu)], axis=1)
     d_pv = d_pv + jnp.concatenate([zv, jnp.zeros_like(zv)], axis=1)
 

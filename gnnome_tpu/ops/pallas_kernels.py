@@ -334,8 +334,7 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
 
 # ---------------------------------------------- K7: training gate statistics
 def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
-               b3e, stats_out, xu_lo, xu_hi, xv_lo, xv_hi,
-               *, tile_e, window, d, chunk):
+               b3e, stats_out, *xsum_refs, tile_e, window, d, chunk):
     """Training BatchNorm is two-pass: this is the FIRST pass, fused.  Per
     chunk: windowed gate-half selects -> gate_raw x -> per-tile [sum(x),
     sum(x^2)] partials (the batch statistics) AND per-block window partials of
@@ -347,22 +346,24 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
     arrays are PACKED [Ep/2, 2d] (see _k3_kernel)."""
     io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
     t = pl.program_id(0)
+    with_xsum = bool(xsum_refs)
+    if with_xsum:
+        xu_lo, xu_hi, xv_lo, xv_hi = xsum_refs
 
-    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
-    def _():
-        xu_lo[:] = jnp.zeros_like(xu_lo)
-        xu_hi[:] = jnp.zeros_like(xu_hi)
+        @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
+        def _():
+            xu_lo[:] = jnp.zeros_like(xu_lo)
+            xu_hi[:] = jnp.zeros_like(xu_hi)
 
-    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
-    def _():
-        xv_lo[:] = jnp.zeros_like(xv_lo)
-        xv_hi[:] = jnp.zeros_like(xv_hi)
+        @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
+        def _():
+            xv_lo[:] = jnp.zeros_like(xv_lo)
+            xv_hi[:] = jnp.zeros_like(xv_hi)
 
-    acc1 = jnp.zeros((1, 2 * d), jnp.float32)
-    acc2 = jnp.zeros((1, 2 * d), jnp.float32)
+    acc = jnp.zeros((1, 2 * d), jnp.float32)    # [s1_e|s2_e] / [s1_o|s2_o]
+    acc_o = jnp.zeros((1, 2 * d), jnp.float32)
     dt = b3e.dtype
     hc = chunk // 2
-    ones = jnp.ones((hc, d), dt)
     hp = jax.lax.Precision.HIGHEST
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
@@ -371,90 +372,91 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
         ohT_uo = _ohT(io2, ulo, c, hc, u0.dtype)
         ohT_ve = _ohT(io2, vle, c, hc, u0.dtype)
         ohT_vo = _ohT(io2, vlo, c, hc, u0.dtype)
+        # d-wide gate windows (pre-sliced by the caller): HALF the select
+        # MACs of the [W, 2d] message windows
         xue = _selT(ohT_ue, u0, u1, pr)
         xuo = _selT(ohT_uo, u0, u1, pr)
         xve = _selT(ohT_ve, v0, v1, pr)
         xvo = _selT(ohT_vo, v0, v1, pr)
         x = jnp.concatenate(
-            [xue[:, :d] + xve[:, :d], xuo[:, :d] + xvo[:, :d]],
-            axis=1).astype(dt) + b3e[psl, :]
+            [xue + xve, xuo + xvo], axis=1).astype(dt) + b3e[psl, :]
         xf = x.astype(jnp.float32)
         # padded AND overflow slots carry the sentinel -> excluded here and
         # inert in the scatters; the caller adds overflow edges' contributions
         me = (ule[c, :] != 2 * window).astype(jnp.float32)[None, :]
         mo = (ulo[c, :] != 2 * window).astype(jnp.float32)[None, :]
-        acc1 = acc1 + jnp.concatenate(
-            [jnp.dot(me, xf[:, :d], preferred_element_type=jnp.float32,
-                     precision=hp),
-             jnp.dot(mo, xf[:, d:], preferred_element_type=jnp.float32,
-                     precision=hp)], axis=1)
-        acc2 = acc2 + jnp.concatenate(
-            [jnp.dot(me, xf[:, :d] * xf[:, :d],
-                     preferred_element_type=jnp.float32, precision=hp),
-             jnp.dot(mo, xf[:, d:] * xf[:, d:],
-                     preferred_element_type=jnp.float32, precision=hp)],
-            axis=1)
-        _scatT(ohT_ue, jnp.concatenate([x[:, :d], ones], 1), xu_lo, xu_hi)
-        _scatT(ohT_uo, jnp.concatenate([x[:, d:], ones], 1), xu_lo, xu_hi)
-        _scatT(ohT_ve, jnp.concatenate([x[:, :d], ones], 1), xv_lo, xv_hi)
-        _scatT(ohT_vo, jnp.concatenate([x[:, d:], ones], 1), xv_lo, xv_hi)
+        xe, xo = xf[:, :d], xf[:, d:]
+        acc = acc + jnp.dot(
+            me, jnp.concatenate([xe, xe * xe], axis=1),
+            preferred_element_type=jnp.float32, precision=hp)
+        acc_o = acc_o + jnp.dot(
+            mo, jnp.concatenate([xo, xo * xo], axis=1),
+            preferred_element_type=jnp.float32, precision=hp)
+        if with_xsum:
+            _scatT(ohT_ue, x[:, :d], xu_lo, xu_hi)
+            _scatT(ohT_uo, x[:, d:], xu_lo, xu_hi)
+            _scatT(ohT_ve, x[:, :d], xv_lo, xv_hi)
+            _scatT(ohT_vo, x[:, d:], xv_lo, xv_hi)
 
     stats_out[:] = jnp.concatenate(
-        [acc1, acc2, jnp.zeros((6, 2 * d), jnp.float32)], axis=0)
+        [acc + acc_o, jnp.zeros((7, 2 * d), jnp.float32)], axis=0)
 
 
-def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
+def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p,
+                  with_xsum: bool = True):
     """First (statistics) pass of the training edge stage (packed edge
     layout).  Returns (stats [T*8, 2d] f32 — per tile, row 0 holds
-    [sum(x)_even | sum(x)_odd] and row 1 the same for sum(x^2) (caller adds
-    the parity halves), xu_lo, xu_hi, xv_lo, xv_hi [NB*W, 2d] f32 —
-    per-block partials of [sum(x) | count] keyed by u / v, see k2_aggregate
-    for the low/high split)."""
+    [sum(x) | sum(x^2)], xu_lo, xu_hi, xv_lo, xv_hi [NB*W, d] — per-block
+    partials of sum(x) keyed by u / v, see k2_aggregate for the low/high
+    split).  ``with_xsum=False`` (the primal forward, which never
+    differentiates) skips the four scatters and returns stats only."""
     Eh, d2 = b3e_p.shape
     d = d2 // 2
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
     rows = plan.rows_p
     ETh, Ch = ET // 2, C // 2
+    # the stats pass only needs the gate halves: pre-sliced [Np, d] windows
+    # are legal blocks (minor dim == array dim) and HALVE the select MACs
+    pu_g = proj_u[:, :d]
+    pv_g = proj_v[:, :d]
+
+    out_specs = [pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (t, 0))]
+    out_shape = [jax.ShapeDtypeStruct((T * 8, 2 * d), jnp.float32)]
+    if with_xsum:
+        out_specs += [
+            pl.BlockSpec((W, d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, d), lambda t, ub, vb: (vb[t], 0)),
+        ]
+        # xsum partials ride the payload dtype: accumulation depth per block
+        # is tiny (a window block covers ~W*deg edges = 1-3 tiles) and the
+        # c1*deg term uses the plan's exact host-side degrees, so bf16 costs
+        # ~1 ulp on the small batch-stat correction at half the bytes
+        NB = plan.n_blocks
+        out_shape += [jax.ShapeDtypeStruct((NB * W, d), b3e_p.dtype)] * 4
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            # full-width (W, 2d) windows: a (W, d) block of a [Np, 2d] array
-            # violates the 128-lane block rule; the gate halves are sliced
-            # from the select results instead
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((W, d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((W, d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((W, d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((W, d), lambda t, ub, vb: (vb[t] + 1, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-        ],
-    )
-    NB = plan.n_blocks
-    # xsum partials ride the payload dtype: accumulation depth per block is
-    # tiny (a window block covers ~W*deg edges = 1-3 tiles) and the c1*deg
-    # term uses the plan's exact host-side degrees, so bf16 costs ~1 ulp on
-    # the small batch-stat correction while halving 2 GB of partials
-    out_shape = (
-        [jax.ShapeDtypeStruct((T * 8, 2 * d), jnp.float32)]
-        + [jax.ShapeDtypeStruct((NB * W, 2 * d), b3e_p.dtype)] * 4
+        out_specs=out_specs,
     )
     kern = functools.partial(_k7_kernel, tile_e=ET, window=W, d=d, chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
-    )(plan.u_blk, plan.v_blk, proj_u, proj_u, proj_v, proj_v,
+    )(plan.u_blk, plan.v_blk, pu_g, pu_g, pv_g, pv_g,
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o, b3e_p)
 
 

@@ -103,8 +103,8 @@ def main():
           f"tiles={plan.n_tiles} ovf={plan.n_ovf}", flush=True)
 
     def k1_body(i, b3, pu, pv, pl, s_, d_):
-        g, a2, a3 = message._gate_gather_pallas(pl, s_, d_, pu, pv, b3)
-        return g + a2[:1, :] + a3[:1, :]
+        g3 = message._gate_gather_pallas(pl, s_, d_, pu, pv, b3)
+        return g3[:, :d] + g3[:1, d: 2 * d] + g3[:1, 2 * d:]
 
     timeit("K1 gather_gate (+ovf patch)", k1_body, b3e, proj_u, proj_v,
            plan, gt.src, gt.dst)
@@ -116,12 +116,44 @@ def main():
     timeit("K2 aggregate (+combine+ovf)", k2_body, pay_u, pay_v,
            plan, gt.src, gt.dst)
 
+    b3e_p = message.pack_edges(b3e)
+    e_in_p = message.pack_edges(e_in)
+    deo_p = message.pack_edges(e_in) * 0.01
+
     def k3_body(i, e, pu, pv, b3, g):
         eo, sv, su = message.fused_eval_edge_stage(g, pu, pv, b3, e,
                                                    scale, bias)
-        return eo + sv[:1, :d].astype(eo.dtype) + su[:1, :d].astype(eo.dtype)
+        return eo + sv[:1, :].astype(eo.dtype) + su[:1, :].astype(eo.dtype)
 
-    timeit("K3 fused eval stage", k3_body, e_in, proj_u, proj_v, b3e, gt)
+    timeit("K3 fused edge stage (packed)", k3_body, e_in_p, proj_u, proj_v,
+           b3e_p, gt)
+
+    def k7_body(i, b3, pu, pv, pl):
+        from gnnome_tpu.ops.pallas_kernels import k7_gate_stats
+        stats, xl, xh, yl, yh = k7_gate_stats(pl, pu, pv, b3)
+        return (b3 + stats[:1, :].astype(b3.dtype)
+                + xl[:1, :1].astype(b3.dtype))
+
+    timeit("K7 gate stats + xsum", k7_body, b3e_p, proj_u, proj_v, plan)
+
+    def k8_body(i, b3, ei, de, pu, pv, pl):
+        from gnnome_tpu.ops.pallas_kernels import k8_train_layer_bwd
+        xp, dp, a, b, c2_, d2_ = k8_train_layer_bwd(
+            pl, pu, pv, pu, pv, b3, ei, de,
+            scale.astype(jnp.float32), bias.astype(jnp.float32))
+        return xp + dp[:1, :] + a[:1, :].astype(xp.dtype)
+
+    timeit("K8 fused train backward", k8_body, b3e_p, e_in_p, deo_p,
+           proj_u, proj_v, plan)
+
+    def tl_body(i, b3, ei, pu, pv, g):
+        eo, sv, su, mn, uv = message.fused_train_layer(
+            g, pu, pv, b3, ei, scale.astype(jnp.float32),
+            bias.astype(jnp.float32))
+        return eo + sv[:1, :].astype(eo.dtype) + mn[None, :1].astype(eo.dtype)
+
+    timeit("K7+K3 full train-fwd stage", tl_body, b3e_p, e_in_p,
+           proj_u, proj_v, gt)
 
     def xg_body(i, b3, pu, pv, s_, d_):
         g, a2, a3 = message._gate_gather_xla(s_, d_, True, pu, pv, b3)
