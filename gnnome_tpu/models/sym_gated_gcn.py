@@ -88,35 +88,43 @@ def _stack(trees):
 def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
                         flip: bool, norm: str, drop_rate: float,
                         rng: Optional[jax.Array], backend: Optional[str],
-                        dtype=jnp.float32, packed: bool = False):
+                        dtype=jnp.float32, packed: bool = False,
+                        remat_node: bool = False):
     """One SymGatedGCN layer (reference gated_gcn_full.py:82-142).
     ``h`` node space; ``e`` edge SLOT space — PACKED [Ep/2, 2d] when
-    ``packed`` (the fused Pallas mode, see ops/message.py), else [Ep, d]."""
+    ``packed`` (the fused Pallas mode, see ops/message.py), else [Ep, d].
+
+    ``remat_node=True`` (the fused-training remat mode): only the NODE stage
+    is checkpointed.  The edge stage is a custom-VJP primitive whose saved
+    state is tiny (see message.fused_train_stage), so rematerialising it
+    would only re-run the expensive K7/K3 kernels for nothing."""
     h_in, e_in = h, e
     d = h.shape[1]
 
-    # fused projection; column groups: [B1|A2] (message-source endpoint),
-    # [B2|A3] (target endpoint), [A1] (self)
-    w = jnp.concatenate([p["B1"]["w"], p["A2"]["w"], p["B2"]["w"],
-                         p["A3"]["w"], p["A1"]["w"]], axis=1).astype(dtype)
-    b = jnp.concatenate([p["B1"]["b"], p["A2"]["b"], p["B2"]["b"],
-                         p["A3"]["b"], p["A1"]["b"]]).astype(dtype)
-    proj = h @ w + b
-    a1h = proj[:, 4 * d:]
+    a1h = None
+    if not (packed and training):
+        # fused projection; column groups: [B1|A2] (message-source endpoint),
+        # [B2|A3] (target endpoint), [A1] (self)
+        w = jnp.concatenate([p["B1"]["w"], p["A2"]["w"], p["B2"]["w"],
+                             p["A3"]["w"], p["A1"]["w"]], axis=1).astype(dtype)
+        b = jnp.concatenate([p["B1"]["b"], p["A2"]["b"], p["B2"]["b"],
+                             p["A3"]["b"], p["A1"]["b"]]).astype(dtype)
+        proj = h @ w + b
+        a1h = proj[:, 4 * d:]
 
-    w3 = p["B3"]["w"].astype(dtype)
-    b3 = p["B3"]["b"].astype(dtype)
-    if packed:
-        # packed edges stay packed: e_p @ blockdiag(W3, W3) is the exact
-        # per-edge e @ W3 (and HALF the [*, 128]-tile MXU passes of the
-        # unpacked [Ep, 64] matmul)
-        zero = jnp.zeros_like(w3)
-        wbd = jnp.concatenate(
-            [jnp.concatenate([w3, zero], axis=1),
-             jnp.concatenate([zero, w3], axis=1)], axis=0)
-        b3e = e @ wbd + jnp.concatenate([b3, b3])
-    else:
-        b3e = e @ w3 + b3
+        w3 = p["B3"]["w"].astype(dtype)
+        b3 = p["B3"]["b"].astype(dtype)
+        if packed:
+            # packed edges stay packed: e_p @ blockdiag(W3, W3) is the exact
+            # per-edge e @ W3 (and HALF the [*, 128]-tile MXU passes of the
+            # unpacked [Ep, 64] matmul)
+            zero = jnp.zeros_like(w3)
+            wbd = jnp.concatenate(
+                [jnp.concatenate([w3, zero], axis=1),
+                 jnp.concatenate([zero, w3], axis=1)], axis=0)
+            b3e = e @ wbd + jnp.concatenate([b3, b3])
+        else:
+            b3e = e @ w3 + b3
 
     if packed and not training:
         # whole edge stage in one fused Pallas pass (eval BN = affine)
@@ -128,29 +136,37 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
         e_out, sum_v, sum_u = fused_eval_edge_stage(
             gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d], b3e, e_in,
             bn_e_scale, bn_e_bias, flip=flip)
-        h_fwd = (sum_v[:, :d] / (sum_v[:, d:] + GATE_EPS)).astype(dtype)
-        h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
         s_bn_e = s["bn_e"]
     elif packed:
-        # training: the whole edge stage (windowed batch statistics -> affine
-        # -> relu -> residual -> sigmoid -> dual aggregation) is ONE custom-VJP
-        # primitive with fused Pallas forward (K7+K3) and backward (K8) — no
-        # [Ep, 3d] gate/message arrays ever reach HBM.  BN semantics match
-        # norm.batch_norm exactly: biased batch var normalises, unbiased
-        # updates the running stats TWICE (the reference's shared bn_e quirk,
-        # gated_gcn_full.py:106,119), momentum 0.1, gradients flow through
-        # the batch statistics (torch BN training semantics).
-        from ..ops.message import fused_train_layer
-        e_out, sum_v, sum_u, mean, unbiased = fused_train_layer(
-            gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d], b3e, e_in,
+        # training: the whole edge stage (endpoint projections -> windowed
+        # batch statistics -> affine -> relu -> residual -> sigmoid -> dual
+        # aggregation) is ONE custom-VJP primitive with fused Pallas forward
+        # (K7+K3) and backward (K8) — no [Ep, 3d] gate/message arrays ever
+        # reach HBM, and the backward never re-runs the forward kernels.  BN
+        # semantics match norm.batch_norm exactly: biased batch var
+        # normalises, unbiased updates the running stats TWICE (the
+        # reference's shared bn_e quirk, gated_gcn_full.py:106,119),
+        # momentum 0.1, gradients flow through the batch statistics (torch
+        # BN training semantics).
+        from ..ops.message import fused_train_stage
+        w_uv = jnp.concatenate([p["B1"]["w"], p["A2"]["w"], p["B2"]["w"],
+                                p["A3"]["w"]], axis=1).astype(dtype)
+        b_uv = jnp.concatenate([p["B1"]["b"], p["A2"]["b"], p["B2"]["b"],
+                                p["A3"]["b"]]).astype(dtype)
+        w3 = p["B3"]["w"].astype(dtype)
+        zero = jnp.zeros_like(w3)
+        wbd = jnp.concatenate(
+            [jnp.concatenate([w3, zero], axis=1),
+             jnp.concatenate([zero, w3], axis=1)], axis=0)
+        b3b = jnp.concatenate([p["B3"]["b"], p["B3"]["b"]]).astype(dtype)
+        e_out, sum_v, sum_u, mean, unbiased = fused_train_stage(
+            gt, h, w_uv, b_uv, wbd, b3b, e,
             p["bn_e"]["scale"], p["bn_e"]["bias"], flip=flip)
         rm, rv = s["bn_e"]["mean"], s["bn_e"]["var"]
         for _ in range(2):
             rm = 0.9 * rm + 0.1 * mean
             rv = 0.9 * rv + 0.1 * unbiased
         s_bn_e = {"mean": rm, "var": rv, "count": s["bn_e"]["count"] + 2}
-        h_fwd = (sum_v[:, :d] / (sum_v[:, d:] + GATE_EPS)).astype(dtype)
-        h_bwd = (sum_u[:, :d] / (sum_u[:, d:] + GATE_EPS)).astype(dtype)
     else:
         from ..ops.message import fused_gate_gather
         # fused endpoint gathers + gate (reference gated_gcn_full.py:104-105);
@@ -168,14 +184,32 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
         sigma = jax.nn.sigmoid(e_out) * gt.edge_mask.astype(dtype)
         h_fwd, h_bwd = gated_mean_pair(gt, sigma, a2h_u, a3h_v, flip=flip,
                                        eps=GATE_EPS, backend=backend)
+        sum_v = sum_u = None
 
-    h_new = a1h + h_fwd + h_bwd
-    h_new, s_bn_h = apply_norm(norm, p["bn_h"], s["bn_h"], h_new, gt.node_mask,
-                               gt.n_nodes, training, repeat_updates=1)
-    h_new = jax.nn.relu(h_new)
-    h_new = h_new + h_in
-    if training and drop_rate > 0.0 and rng is not None:
-        h_new = dropout(rng, h_new, drop_rate)
+    def node_stage(p_a1, p_bn_h, s_bn_h_in, h_res, sum_v_, sum_u_, key):
+        if sum_v_ is not None:      # fused paths: gated means from the sums
+            hf = (sum_v_[:, :d] / (sum_v_[:, d:] + GATE_EPS)).astype(dtype)
+            hb = (sum_u_[:, :d] / (sum_u_[:, d:] + GATE_EPS)).astype(dtype)
+        else:
+            hf, hb = h_fwd, h_bwd
+        if a1h is not None:
+            a1 = a1h
+        else:                       # fused training: A1h is its own matmul
+            a1 = h_res @ p_a1["w"].astype(dtype) + p_a1["b"].astype(dtype)
+        h_new = a1 + hf + hb
+        h_new, s_bn_h = apply_norm(norm, p_bn_h, s_bn_h_in, h_new,
+                                   gt.node_mask, gt.n_nodes, training,
+                                   repeat_updates=1)
+        h_new = jax.nn.relu(h_new)
+        h_new = h_new + h_res
+        if training and drop_rate > 0.0 and key is not None:
+            h_new = dropout(key, h_new, drop_rate)
+        return h_new, s_bn_h
+
+    if remat_node:
+        node_stage = jax.checkpoint(node_stage)
+    h_new, s_bn_h = node_stage(p["A1"], p["bn_h"], s["bn_h"], h_in,
+                               sum_v, sum_u, rng)
     return h_new, e_out, {"bn_h": s_bn_h, "bn_e": s_bn_e}
 
 
@@ -262,9 +296,16 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
         e = pack_edges(e)
 
     num_layers = jax.tree_util.tree_leaves(params["gnn"])[0].shape[0]
+    # fused-training remat: the edge stage's custom VJP already keeps only
+    # tiny residuals (message.fused_train_stage) and its backward never
+    # re-runs the forward kernels, so checkpointing the whole body would
+    # only add a useless K7+K3 replay.  Checkpoint JUST the node stage and
+    # let the scan save the edge stage's (cheap) residuals.
+    lean_edge_vjp = fused and training and remat is True
     layer_fn = partial(sym_gated_gcn_layer, training=training, flip=flip,
                        norm=cfg.normalization, drop_rate=cfg.dropout,
-                       backend=backend, dtype=dtype, packed=fused)
+                       backend=backend, dtype=dtype, packed=fused,
+                       remat_node=lean_edge_vjp)
 
     # "full" remat (the large-graph mode): carry (h, e) through the scan
     # packed two rows per 128-lane row.  The scan's per-layer carry stack is
@@ -291,7 +332,7 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
                                _unpk(e, pack_e), rng=key_l)
         return (_pk(h, pack_h), _pk(e, pack_e)), new_s
 
-    if remat:
+    if remat and not lean_edge_vjp:
         body = jax.checkpoint(body)
 
     keys = (jax.random.split(rng, num_layers) if rng is not None

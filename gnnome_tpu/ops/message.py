@@ -270,7 +270,7 @@ def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e_p, e_in_p,
     returns (e_out_p [Ep/2, 2d], sum_into_v [Np, 2d], sum_into_u [Np, 2d])
     where u/v are the flip-resolved endpoint roles.  Requires a windowed
     plan; caller must check.  Not differentiable (inference path; the
-    training path wraps the same kernel in ``fused_train_layer``'s custom
+    training path wraps the same kernel in ``fused_train_stage``'s custom
     VJP)."""
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
@@ -314,39 +314,49 @@ def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p,
 
 
 
-def fused_train_layer(gt: GraphTensors, proj_u, proj_v, b3e_p, e_in_p,
+def fused_train_stage(gt: GraphTensors, h, w_uv, b_uv, wbd3, b3b, e_p,
                       gamma, beta, flip: bool = False):
-    """The WHOLE training-mode edge stage — batch statistics, BatchNorm,
-    relu, residual, sigmoid, both gated aggregations — as one differentiable
-    primitive over PACKED edge arrays, with no [Ep, 3d] intermediates and no
-    128-lane padding in HBM (reference hot path gated_gcn_full.py:104-127 +
-    the torch BN batch-stat backward).
+    """The WHOLE training-mode edge stage — endpoint projections, batch
+    statistics, BatchNorm, relu, residual, sigmoid, both gated aggregations —
+    as one differentiable primitive over PACKED edge arrays, with no [Ep, 3d]
+    intermediates and no 128-lane padding in HBM (reference hot path
+    gated_gcn_full.py:104-127 + the torch BN batch-stat backward).
+
+    The projections ``proj = h @ w_uv + b_uv`` ([Np, 4d] = [B1h|A2h|B2h|A3h])
+    and ``b3e_p = e_p @ wbd3 + b3b`` (block-diagonal B3 over the packed
+    layout) happen INSIDE the primitive so they are never residuals: the
+    saved state is just (h, e_p — the layer carries the scan already keeps —
+    the weights, and four [d] statistics vectors).  That makes the un-remat'd
+    scan cheap enough in memory that the layer body needs NO rematerialised
+    replay: the backward recomputes the two projections (cheap MXU matmuls)
+    and runs K8 once — K7/K3 never run again.
 
     Forward: K7 computes the gate statistics windowed (gate_raw never
     materialises), the statistics fold into one affine, and the K3 kernel
     runs the fused edge stage.  Backward: K8 re-selects everything from the
-    node windows and emits d_proj window partials + the recomputed gate and
-    residual cotangent directly; the batch-statistics chain closes in node
-    space because its per-edge term ``m*(c1 + c2*x)`` is linear in x (K7's
-    [xsum | deg] partials supply the scatter).  Returns (e_out_p [Ep/2, 2d],
+    node windows and emits d_proj window partials, x-sum partials, the
+    recomputed gate and the residual cotangent directly; the
+    batch-statistics chain closes in node space because its per-edge term
+    ``m*(c1 + c2*x)`` is linear in x.  Returns (e_out_p [Ep/2, 2d],
     sum_v [Np, 2d], sum_u [Np, 2d], mean [d], unbiased_var [d]); the
     mean/var outputs carry NO gradient (torch updates running stats under
     no_grad)."""
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    return _train_layer(gt.n_edges, plan, u_idx, v_idx,
-                        proj_u, proj_v, b3e_p, e_in_p, gamma, beta)
+    return _train_stage(gt.n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
+                        wbd3, b3b, e_p, gamma, beta)
 
 
-def _train_layer_impl(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
-                      b3e_p, e_in_p, gamma, beta, with_xsum=True):
+def _train_stage_impl(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
+                      wbd3, b3b, e_p, gamma, beta):
     from .pallas_kernels import k7_gate_stats
 
-    d = b3e_p.shape[1] // 2
-    n_pad = plan.n_pad
-    dt = b3e_p.dtype
-    stats, *xparts = k7_gate_stats(plan, proj_u, proj_v, b3e_p,
-                                   with_xsum=with_xsum)
+    d = h.shape[1]
+    dt = e_p.dtype
+    proj = h @ w_uv + b_uv
+    proj_u, proj_v = proj[:, : 2 * d], proj[:, 2 * d:]
+    b3e_p = e_p @ wbd3 + b3b
+    stats = k7_gate_stats(plan, proj_u, proj_v, b3e_p)
     stats = stats.reshape(plan.n_tiles, 8, 2 * d).sum(axis=0)
     s1 = stats[0, :d]
     s2 = stats[0, d:]
@@ -360,17 +370,6 @@ def _train_layer_impl(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
     xf_o = x_o.astype(jnp.float32) * m
     s1 = s1 + xf_o.sum(axis=0)
     s2 = s2 + (xf_o * x_o.astype(jnp.float32)).sum(axis=0)
-    xsum_u = xsum_v = None
-    if with_xsum:   # the backward's batch-stat scatter term (c2*xsum)
-        xu_lo, xu_hi, xv_lo, xv_hi = xparts
-        xsum_u = combine_block_partials(xu_lo, xu_hi, plan.u_visited, n_pad,
-                                        plan.window, plan.u_all)
-        xsum_v = combine_block_partials(xv_lo, xv_hi, plan.v_visited, n_pad,
-                                        plan.window, plan.v_all)
-        xsum_u = (xsum_u.astype(jnp.float32) + jax.ops.segment_sum(
-            xf_o, uo, num_segments=n_pad)).astype(dt)
-        xsum_v = (xsum_v.astype(jnp.float32) + jax.ops.segment_sum(
-            xf_o, vo, num_segments=n_pad)).astype(dt)
 
     n = n_edges
     mean = s1 / n
@@ -381,53 +380,62 @@ def _train_layer_impl(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
     unbiased = var * (n / (n - 1)) if n > 1 else var
 
     e_out_p, sum_v, sum_u = _eval_edge_stage(plan, u_idx, v_idx, proj_u,
-                                             proj_v, b3e_p, e_in_p,
+                                             proj_v, b3e_p, e_p,
                                              scale_eff, bias_eff)
     out = (e_out_p, sum_v, sum_u, mean, unbiased)
-    res = (plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p, gamma,
-           xsum_u, xsum_v, mean, inv, scale_eff, bias_eff)
+    res = (plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b, e_p, gamma,
+           mean, inv, scale_eff, bias_eff)
     return out, res
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _train_layer(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
-                 b3e_p, e_in_p, gamma, beta):
-    # the undifferentiated primal (what jax.checkpoint runs in the forward
-    # pass) skips the xsum scatters — only the backward needs them
-    out, _ = _train_layer_impl(n_edges, plan, u_idx, v_idx,
-                               proj_u, proj_v, b3e_p, e_in_p, gamma, beta,
-                               with_xsum=False)
+def _train_stage(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b,
+                 e_p, gamma, beta):
+    out, _ = _train_stage_impl(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
+                               wbd3, b3b, e_p, gamma, beta)
     return out
 
 
-def _train_layer_fwd(n_edges, plan, u_idx, v_idx, proj_u, proj_v,
-                     b3e_p, e_in_p, gamma, beta):
-    return _train_layer_impl(n_edges, plan, u_idx, v_idx,
-                             proj_u, proj_v, b3e_p, e_in_p, gamma, beta)
+def _train_stage_fwd(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b,
+                     e_p, gamma, beta):
+    return _train_stage_impl(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
+                             wbd3, b3b, e_p, gamma, beta)
 
 
-def _train_layer_bwd(n_edges, res, cots):
+def _train_stage_bwd(n_edges, res, cots):
     from .pallas_kernels import k8_train_layer_bwd
 
-    (plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p, gamma,
-     xsum_u, xsum_v, mean, inv, scale_eff, bias_eff) = res
+    (plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b, e_p, gamma,
+     mean, inv, scale_eff, bias_eff) = res
     # mean/unbiased-var cotangents are dropped: running-stat updates carry no
     # gradient (torch semantics — they happen under no_grad)
     d_e_out_p, d_sum_v, d_sum_u, _dm, _dv = cots
-    dt = b3e_p.dtype
-    d = b3e_p.shape[1] // 2
-    Eh = b3e_p.shape[0]
+    dt = e_p.dtype
+    d = h.shape[1]
+    Eh = e_p.shape[0]
     n_pad = plan.n_pad
+
+    # recompute the projections (deterministic: same inputs, same precision
+    # -> bitwise-identical to the forward's, so K8's recomputed relu masks
+    # match K3's exactly)
+    proj = h @ w_uv + b_uv
+    proj_u, proj_v = proj[:, : 2 * d], proj[:, 2 * d:]
+    b3e_p = e_p @ wbd3 + b3b
 
     # cast BEFORE the kernel: bf16 node-window DMAs are ~2x cheaper (no-op in
     # f32 mode); padded slots carry sentinel one-hots -> zero selects
     x_p, deo_p, pu_lo, pu_hi, pv_lo, pv_hi = k8_train_layer_bwd(
         plan, d_sum_u.astype(dt), d_sum_v.astype(dt), proj_u, proj_v,
-        b3e_p, e_in_p, d_e_out_p.astype(dt), scale_eff, bias_eff)
-    d_pu = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
-                                  plan.window, plan.u_all)
-    d_pv = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
-                                  plan.window, plan.v_all)
+        b3e_p, e_p, d_e_out_p.astype(dt), scale_eff, bias_eff,
+        with_xsum=True)
+    # partials are [NB*W, 3d] = [d_gate | d_msg | x]: one combine per
+    # endpoint yields both the d_proj sums and the batch-stat x-sums
+    cu = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
+                                plan.window, plan.u_all)
+    cv = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
+                                plan.window, plan.v_all)
+    d_pu, xsum_u = cu[:, : 2 * d], cu[:, 2 * d:]
+    d_pv, xsum_v = cv[:, : 2 * d], cv[:, 2 * d:]
 
     # ---- overflow patch: recompute forward + adjoint with direct gathers.
     # K8 destroyed b3e_p / d_e_out_p in place (aliased outputs), but at
@@ -438,9 +446,14 @@ def _train_layer_bwd(n_edges, res, cots):
     gu = jnp.take(proj_u, uo, axis=0)
     gv = jnp.take(proj_v, vo, axis=0)
     x_o = (gu[:, :d] + gv[:, :d]).astype(dt) + _ovf_take(plan, x_p, d)
+    xf_o = x_o.astype(jnp.float32) * m
+    xsum_u = (xsum_u.astype(jnp.float32)
+              + jax.ops.segment_sum(xf_o, uo, num_segments=n_pad))
+    xsum_v = (xsum_v.astype(jnp.float32)
+              + jax.ops.segment_sum(xf_o, vo, num_segments=n_pad))
     gaff = x_o * scale_eff.astype(dt) + bias_eff.astype(dt)
     relu_m = (gaff.astype(jnp.float32) > 0).astype(jnp.float32)
-    eo = jax.nn.relu(gaff) + _ovf_take(plan, e_in_p, d)
+    eo = jax.nn.relu(gaff) + _ovf_take(plan, e_p, d)
     sigma = jax.nn.sigmoid(eo.astype(jnp.float32))
     du_o = jnp.take(d_sum_u.astype(dt), uo, axis=0).astype(jnp.float32) * m
     dv_o = jnp.take(d_sum_v.astype(dt), vo, axis=0).astype(jnp.float32) * m
@@ -490,18 +503,34 @@ def _train_layer_bwd(n_edges, res, cots):
     scale2_f = jnp.concatenate([scale_eff, scale_eff])
     d_b3e_p = (dy_p * scale2_f + mvalid * (c12 + c22 * xf_p)).astype(dt)
     # node-space stats term: sum_e m*(c1 + c2*x) into each endpoint =
-    # c1*deg + c2*xsum (K7's x-sums; deg comes exact from the host plan)
-    zu = c2 * xsum_u.astype(jnp.float32) + c1 * plan.deg_u[:, None]
-    zv = c2 * xsum_v.astype(jnp.float32) + c1 * plan.deg_v[:, None]
+    # c1*deg + c2*xsum (K8's x-sums; deg comes exact from the host plan)
+    zu = c2 * xsum_u + c1 * plan.deg_u[:, None]
+    zv = c2 * xsum_v + c1 * plan.deg_v[:, None]
     d_pu = d_pu + jnp.concatenate([zu, jnp.zeros_like(zu)], axis=1)
     d_pv = d_pv + jnp.concatenate([zv, jnp.zeros_like(zv)], axis=1)
 
-    return (None, None, None, d_pu.astype(dt), d_pv.astype(dt),
-            d_b3e_p, deo_p,
+    # ---- close the projection matmuls (f32 accumulation, grads cast back
+    # to the weights' dtype — same discipline as XLA's matmul adjoints)
+    d_proj = jnp.concatenate([d_pu, d_pv], axis=1).astype(dt)
+    d_h = jnp.matmul(d_proj, w_uv.T,
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    d_w_uv = jnp.matmul(h.T, d_proj,
+                        preferred_element_type=jnp.float32
+                        ).astype(w_uv.dtype)
+    d_b_uv = d_proj.astype(jnp.float32).sum(axis=0).astype(b_uv.dtype)
+    d_e_p = (deo_p.astype(jnp.float32)
+             + jnp.matmul(d_b3e_p, wbd3.T,
+                          preferred_element_type=jnp.float32)).astype(dt)
+    d_wbd3 = jnp.matmul(e_p.T, d_b3e_p,
+                        preferred_element_type=jnp.float32
+                        ).astype(wbd3.dtype)
+    d_b3b = d_b3e_p.astype(jnp.float32).sum(axis=0).astype(b3b.dtype)
+
+    return (None, None, None, d_h, d_w_uv, d_b_uv, d_wbd3, d_b3b, d_e_p,
             d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype))
 
 
-_train_layer.defvjp(_train_layer_fwd, _train_layer_bwd)
+_train_stage.defvjp(_train_stage_fwd, _train_stage_bwd)
 
 
 @jax.custom_vjp

@@ -334,32 +334,15 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
 
 # ---------------------------------------------- K7: training gate statistics
 def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
-               b3e, stats_out, *xsum_refs, tile_e, window, d, chunk):
+               b3e, stats_out, *, tile_e, window, d, chunk):
     """Training BatchNorm is two-pass: this is the FIRST pass, fused.  Per
     chunk: windowed gate-half selects -> gate_raw x -> per-tile [sum(x),
-    sum(x^2)] partials (the batch statistics) AND per-block window partials of
-    [sum(x) | count] keyed by BOTH endpoints (the backward's batch-stat
-    correction term is linear in x, so its node-space scatter is
-    ``c1*deg + c2*xsum`` — see message._train_layer_bwd).  gate_raw never
-    touches HBM: the [Ep, 3d] K1 payload this pass replaces was the largest
-    allocation of the 1M-node training step (3 GB padded, twice).  Edge
-    arrays are PACKED [Ep/2, 2d] (see _k3_kernel)."""
+    sum(x^2)] partials (the batch statistics).  gate_raw never touches HBM:
+    the [Ep, 3d] K1 payload this pass replaces was the largest allocation of
+    the 1M-node training step (3 GB padded, twice).  The backward's x-sum
+    node partials come from K8 (which re-selects x anyway).  Edge arrays are
+    PACKED [Ep/2, 2d] (see _k3_kernel)."""
     io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
-    t = pl.program_id(0)
-    with_xsum = bool(xsum_refs)
-    if with_xsum:
-        xu_lo, xu_hi, xv_lo, xv_hi = xsum_refs
-
-        @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
-        def _():
-            xu_lo[:] = jnp.zeros_like(xu_lo)
-            xu_hi[:] = jnp.zeros_like(xu_hi)
-
-        @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
-        def _():
-            xv_lo[:] = jnp.zeros_like(xv_lo)
-            xv_hi[:] = jnp.zeros_like(xv_hi)
-
     acc = jnp.zeros((1, 2 * d), jnp.float32)    # [s1_e|s2_e] / [s1_o|s2_o]
     acc_o = jnp.zeros((1, 2 * d), jnp.float32)
     dt = b3e.dtype
@@ -392,24 +375,15 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
         acc_o = acc_o + jnp.dot(
             mo, jnp.concatenate([xo, xo * xo], axis=1),
             preferred_element_type=jnp.float32, precision=hp)
-        if with_xsum:
-            _scatT(ohT_ue, x[:, :d], xu_lo, xu_hi)
-            _scatT(ohT_uo, x[:, d:], xu_lo, xu_hi)
-            _scatT(ohT_ve, x[:, :d], xv_lo, xv_hi)
-            _scatT(ohT_vo, x[:, d:], xv_lo, xv_hi)
 
     stats_out[:] = jnp.concatenate(
         [acc + acc_o, jnp.zeros((7, 2 * d), jnp.float32)], axis=0)
 
 
-def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p,
-                  with_xsum: bool = True):
+def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
     """First (statistics) pass of the training edge stage (packed edge
-    layout).  Returns (stats [T*8, 2d] f32 — per tile, row 0 holds
-    [sum(x) | sum(x^2)], xu_lo, xu_hi, xv_lo, xv_hi [NB*W, d] — per-block
-    partials of sum(x) keyed by u / v, see k2_aggregate for the low/high
-    split).  ``with_xsum=False`` (the primal forward, which never
-    differentiates) skips the four scatters and returns stats only."""
+    layout).  Returns stats [T*8, 2d] f32 — per tile, row 0 holds
+    [sum(x) | sum(x^2)].  The backward's x-sum node partials come from K8."""
     Eh, d2 = b3e_p.shape
     d = d2 // 2
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
@@ -422,19 +396,6 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p,
 
     out_specs = [pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (t, 0))]
     out_shape = [jax.ShapeDtypeStruct((T * 8, 2 * d), jnp.float32)]
-    if with_xsum:
-        out_specs += [
-            pl.BlockSpec((W, d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, d), lambda t, ub, vb: (vb[t], 0)),
-        ]
-        # xsum partials ride the payload dtype: accumulation depth per block
-        # is tiny (a window block covers ~W*deg edges = 1-3 tiles) and the
-        # c1*deg term uses the plan's exact host-side degrees, so bf16 costs
-        # ~1 ulp on the small batch-stat correction at half the bytes
-        NB = plan.n_blocks
-        out_shape += [jax.ShapeDtypeStruct((NB * W, d), b3e_p.dtype)] * 4
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -453,18 +414,19 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p,
         out_specs=out_specs,
     )
     kern = functools.partial(_k7_kernel, tile_e=ET, window=W, d=d, chunk=C)
-    return pl.pallas_call(
+    (stats,) = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
     )(plan.u_blk, plan.v_blk, pu_g, pu_g, pv_g, pv_g,
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o, b3e_p)
+    return stats
 
 
 # ------------------------------------- K8: fused training layer backward
 def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
                ule, ulo, vle, vlo, b3e, e_in, d_e_out, affine,
                x_out, deo_out, pu_lo, pu_hi, pv_lo, pv_hi,
-               *, tile_e, window, d, chunk):
+               *, tile_e, window, d, chunk, with_xsum=False):
     """Adjoint of the whole training edge stage in one pass, with NO [Ep, 3d]
     HBM arrays: the forward gate/messages are RE-SELECTED from the node
     windows (cheaper than streaming a materialised [Ep, 3d] payload — the
@@ -537,25 +499,45 @@ def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
         dys = d_y * scale2_f
         sdv = sigma * dv_m
         sdu = sigma * du_m
-        _scatT(ohT_ue, jnp.concatenate(
-            [dys[:, :d], sdv[:, :d]], axis=1).astype(dt), pu_lo, pu_hi)
-        _scatT(ohT_uo, jnp.concatenate(
-            [dys[:, d:], sdv[:, d:]], axis=1).astype(dt), pu_lo, pu_hi)
-        _scatT(ohT_ve, jnp.concatenate(
-            [dys[:, :d], sdu[:, :d]], axis=1).astype(dt), pv_lo, pv_hi)
-        _scatT(ohT_vo, jnp.concatenate(
-            [dys[:, d:], sdu[:, d:]], axis=1).astype(dt), pv_lo, pv_hi)
+        if with_xsum:
+            # node x-sums for the batch-statistics chain (``c2*xsum``) ride
+            # the SAME one-hots and the SAME dots as the d_proj payloads —
+            # a [hc, 3d] payload instead of a second scatter pass
+            def pay3(a, b_, c_):
+                return jnp.concatenate(
+                    [jnp.concatenate([a, b_], axis=1).astype(dt), c_], axis=1)
+            _scatT(ohT_ue, pay3(dys[:, :d], sdv[:, :d], x[:, :d]),
+                   pu_lo, pu_hi)
+            _scatT(ohT_uo, pay3(dys[:, d:], sdv[:, d:], x[:, d:]),
+                   pu_lo, pu_hi)
+            _scatT(ohT_ve, pay3(dys[:, :d], sdu[:, :d], x[:, :d]),
+                   pv_lo, pv_hi)
+            _scatT(ohT_vo, pay3(dys[:, d:], sdu[:, d:], x[:, d:]),
+                   pv_lo, pv_hi)
+        else:
+            _scatT(ohT_ue, jnp.concatenate(
+                [dys[:, :d], sdv[:, :d]], axis=1).astype(dt), pu_lo, pu_hi)
+            _scatT(ohT_uo, jnp.concatenate(
+                [dys[:, d:], sdv[:, d:]], axis=1).astype(dt), pu_lo, pu_hi)
+            _scatT(ohT_ve, jnp.concatenate(
+                [dys[:, :d], sdu[:, :d]], axis=1).astype(dt), pv_lo, pv_hi)
+            _scatT(ohT_vo, jnp.concatenate(
+                [dys[:, d:], sdu[:, d:]], axis=1).astype(dt), pv_lo, pv_hi)
 
 
 def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
-                       b3e_p, e_in_p, d_e_out_p, scale_eff, bias_eff):
+                       b3e_p, e_in_p, d_e_out_p, scale_eff, bias_eff,
+                       with_xsum: bool = False):
     """Fused training-layer backward (packed edge layout).  ``d_sum_u``/
     ``d_sum_v`` are the node cotangent arrays [Np, 2d] (caller casts to the
     compute dtype); returns (x_p [Ep/2, 2d] recomputed gate_raw,
     deo_p [Ep/2, 2d] residual cotangent (= d_e_in), pu_lo, pu_hi, pv_lo,
-    pv_hi [NB*W, 2d] d_proj window partials).  Overflow edges select zero
-    everywhere (sentinel one-hots) and their x/deo/partial contributions are
-    patched by the caller."""
+    pv_hi window partials keyed by u / v).  The partials are [NB*W, 2d]
+    ([d_gate | d_msg]); with ``with_xsum`` they widen to [NB*W, 3d]
+    ([d_gate | d_msg | x]) — the x-sums for the batch-statistics chain ride
+    the same scatter dots.  Overflow edges select zero everywhere (sentinel
+    one-hots) and their x/deo/partial contributions are patched by the
+    caller."""
     Eh, d2 = b3e_p.shape
     d = d2 // 2
     T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
@@ -567,6 +549,23 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
          jnp.zeros((6, 2 * d), jnp.float32)]).astype(dtype)
 
     ETh, Ch = ET // 2, C // 2
+    NB = plan.n_blocks
+    pd = 3 * d if with_xsum else 2 * d      # partial width (see docstring)
+    out_specs = [
+        pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+        pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+        pl.BlockSpec((W, pd), lambda t, ub, vb: (ub[t], 0)),
+        pl.BlockSpec((W, pd), lambda t, ub, vb: (ub[t], 0)),
+        pl.BlockSpec((W, pd), lambda t, ub, vb: (vb[t], 0)),
+        pl.BlockSpec((W, pd), lambda t, ub, vb: (vb[t], 0)),
+    ]
+    # d_proj partials ride the payload dtype (see k7_gate_stats: block
+    # accumulation depth is 1-3 tiles; the combined sums are cast to the
+    # compute dtype anyway) — halves another 2 GB at 6.3M edges
+    out_shape = [
+        jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
+        jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
+    ] + [jax.ShapeDtypeStruct((NB * W, pd), dtype)] * 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -588,24 +587,10 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
             pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-        ],
+        out_specs=out_specs,
     )
-    NB = plan.n_blocks
-    # d_proj partials ride the payload dtype (see k7_gate_stats: block
-    # accumulation depth is 1-3 tiles; the combined sums are cast to the
-    # compute dtype anyway) — halves another 2 GB at 6.3M edges
-    out_shape = [
-        jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
-        jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
-    ] + [jax.ShapeDtypeStruct((NB * W, 2 * d), dtype)] * 4
-    kern = functools.partial(_k8_kernel, tile_e=ET, window=W, d=d, chunk=C)
+    kern = functools.partial(_k8_kernel, tile_e=ET, window=W, d=d, chunk=C,
+                             with_xsum=with_xsum)
     # in-place: x_out overwrites b3e_p and deo_out overwrites d_e_out_p
     # (0.75 GB each at 6.3M edges).  Exact: at overflow rows the kernel
     # writes x = b3e and deo = d_e_out verbatim (sentinel selects are zero),

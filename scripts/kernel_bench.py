@@ -130,30 +130,70 @@ def main():
 
     def k7_body(i, b3, pu, pv, pl):
         from gnnome_tpu.ops.pallas_kernels import k7_gate_stats
-        stats, xl, xh, yl, yh = k7_gate_stats(pl, pu, pv, b3)
-        return (b3 + stats[:1, :].astype(b3.dtype)
-                + xl[:1, :1].astype(b3.dtype))
+        stats = k7_gate_stats(pl, pu, pv, b3)
+        return b3 + stats[:1, :].astype(b3.dtype)
 
-    timeit("K7 gate stats + xsum", k7_body, b3e_p, proj_u, proj_v, plan)
+    timeit("K7 gate stats", k7_body, b3e_p, proj_u, proj_v, plan)
 
     def k8_body(i, b3, ei, de, pu, pv, pl):
         from gnnome_tpu.ops.pallas_kernels import k8_train_layer_bwd
         xp, dp, a, b, c2_, d2_ = k8_train_layer_bwd(
             pl, pu, pv, pu, pv, b3, ei, de,
-            scale.astype(jnp.float32), bias.astype(jnp.float32))
-        return xp + dp[:1, :] + a[:1, :].astype(xp.dtype)
+            scale.astype(jnp.float32), bias.astype(jnp.float32),
+            with_xsum=True)
+        return xp + dp[:1, :] + a[:1, :1].astype(xp.dtype)
 
-    timeit("K8 fused train backward", k8_body, b3e_p, e_in_p, deo_p,
+    timeit("K8 fused train backward + xsum", k8_body, b3e_p, e_in_p, deo_p,
            proj_u, proj_v, plan)
 
-    def tl_body(i, b3, ei, pu, pv, g):
-        eo, sv, su, mn, uv = message.fused_train_layer(
-            g, pu, pv, b3, ei, scale.astype(jnp.float32),
-            bias.astype(jnp.float32))
-        return eo + sv[:1, :].astype(eo.dtype) + mn[None, :1].astype(eo.dtype)
+    wuv = jnp.asarray(rng.normal(size=(d, 4 * d)) * 0.1, dtype)
+    buv = jnp.zeros((4 * d,), dtype)
+    w3 = jnp.asarray(rng.normal(size=(d, d)) * 0.1, dtype)
+    zero = jnp.zeros_like(w3)
+    wbd = jnp.concatenate([jnp.concatenate([w3, zero], axis=1),
+                           jnp.concatenate([zero, w3], axis=1)], axis=0)
+    b3b = jnp.zeros((2 * d,), dtype)
 
-    timeit("K7+K3 full train-fwd stage", tl_body, b3e_p, e_in_p,
-           proj_u, proj_v, gt)
+    def tl_body(i, ei, h_, wu, g):
+        eo, sv, su, mn, uv = message.fused_train_stage(
+            g, h_, wu, buv, wbd, b3b, ei, scale.astype(jnp.float32),
+            bias.astype(jnp.float32))
+        return ei + eo[:1, :] + sv[:1, :].astype(ei.dtype)
+
+    timeit("full train-fwd stage (proj+K7+K3)", tl_body, e_in_p, h, wuv, gt)
+
+    def tlg_body(i, ei, h_, wu, g):
+        def f(h2, wu2, ei2):
+            eo, sv, su, mn, uv = message.fused_train_stage(
+                g, h2, wu2, buv, wbd, b3b, ei2, scale.astype(jnp.float32),
+                bias.astype(jnp.float32))
+            return (eo.astype(jnp.float32).sum()
+                    + sv.sum() + su.sum())
+        dh, dwu, dei = jax.grad(f, argnums=(0, 1, 2))(h_, wu, ei)
+        return ei + dei + dh[:1, :1].astype(ei.dtype)
+
+    timeit("train stage fwd+bwd (K7+K3+K8)", tlg_body, e_in_p, h, wuv, gt)
+
+    from gnnome_tpu.models.sym_gated_gcn import (score_edges,
+                                                 _predictor_init)
+    pred_p = _predictor_init(jax.random.PRNGKey(0), d, d)
+
+    def sp_body(i, ei, h_, g):
+        z = score_edges(pred_p, g, h_, ei, dtype=dtype, backend="pallas",
+                        packed=True)
+        return ei + z[:1, :1].astype(ei.dtype)
+
+    timeit("score predictor fwd (K6)", sp_body, e_in_p, h, gt)
+
+    def spg_body(i, ei, h_, g):
+        def f(h2, ei2):
+            z = score_edges(pred_p, g, h2, ei2, dtype=dtype,
+                            backend="pallas", packed=True)
+            return z.astype(jnp.float32).sum()
+        dh, dei = jax.grad(f, argnums=(0, 1))(h_, ei)
+        return ei + dei + dh[:1, :1].astype(ei.dtype)
+
+    timeit("score predictor fwd+bwd", spg_body, e_in_p, h, gt)
 
     def xg_body(i, b3, pu, pv, s_, d_):
         g, a2, a3 = message._gate_gather_xla(s_, d_, True, pu, pv, b3)

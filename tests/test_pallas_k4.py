@@ -79,3 +79,28 @@ def test_k4_training_gradient_parity(flip):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-4, rtol=5e-3,
             err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("remat", [True, "full"])
+def test_k4_training_gradient_parity_remat(remat):
+    """The remat modes change the checkpoint structure around the fused edge
+    stage (remat=True: lean edge VJP + checkpointed node stage; "full":
+    whole-body replay) — gradients must not change."""
+    g, gt, cfg, params, state, x, e = _setup(False)
+    mask = np.zeros((gt.n_edges_pad, 1), np.float32)
+    mask[: g.num_edges] = 1.0
+    mask = jnp.asarray(mask)
+
+    def loss_fn(p, backend, remat_):
+        logits, _ = forward(p, state, gt, x, e, cfg, backend=backend,
+                            training=True, remat=remat_)
+        return (jnp.abs(logits) * mask).sum() / g.num_edges
+
+    g_ref = jax.grad(lambda p: loss_fn(p, "xla", False))(params)
+    g_got = jax.grad(lambda p: loss_fn(p, "pallas", remat))(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_got = jax.tree_util.tree_leaves(g_got)
+    for (path, a), b in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path))
