@@ -300,8 +300,12 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
     # tiny residuals (message.fused_train_stage) and its backward never
     # re-runs the forward kernels, so checkpointing the whole body would
     # only add a useless K7+K3 replay.  Checkpoint JUST the node stage and
-    # let the scan save the edge stage's (cheap) residuals.
-    lean_edge_vjp = fused and training and remat is True
+    # let the scan save the edge stage's (cheap) residuals.  Under "full"
+    # remat the same applies INSIDE each sqrt-schedule group: the group
+    # replay recomputes the layer states, and each layer's backward then
+    # runs K8 directly — the aggregation sums live only for the g layers of
+    # the group being differentiated.
+    lean_edge_vjp = fused and training and bool(remat)
     layer_fn = partial(sym_gated_gcn_layer, training=training, flip=flip,
                        norm=cfg.normalization, drop_rate=cfg.dropout,
                        backend=backend, dtype=dtype, packed=fused,

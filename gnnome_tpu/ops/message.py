@@ -382,7 +382,12 @@ def _train_stage_impl(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
     e_out_p, sum_v, sum_u = _eval_edge_stage(plan, u_idx, v_idx, proj_u,
                                              proj_v, b3e_p, e_p,
                                              scale_eff, bias_eff)
-    out = (e_out_p, sum_v, sum_u, mean, unbiased)
+    # emit the aggregation sums in the compute dtype (no-op in f32 parity
+    # mode): they are the node stage's checkpoint inputs, i.e. the largest
+    # per-layer residual of the lean-VJP remat modes — bf16 halves ~1 GB per
+    # group at 6.3M edges, which is what lets the chromosome-scale
+    # remat="full" backward skip the per-layer K7/K3 replay on a 16 GB chip
+    out = (e_out_p, sum_v.astype(dt), sum_u.astype(dt), mean, unbiased)
     res = (plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b, e_p, gamma,
            mean, inv, scale_eff, bias_eff)
     return out, res

@@ -76,33 +76,43 @@ def main():
     _, fwd = get_model(model_cfg.model)
     use_sym = cfg.train.use_symmetry_loss
 
-    def loss_fn(params, state, training):
+    # NOTE: all big arrays must be jit ARGUMENTS — closure constants are
+    # serialised into the remote-compile request body, which the tunnel
+    # rejects (HTTP 413) at multi-million-edge scale
+    slot_io = ex.slot_io
+
+    def loss_fn(params, state, gt_, x_, x_rev_, e_, labels_, mask_,
+                training):
         k1, k2 = jax.random.split(key)
-        logits_org, st = fwd(params, state, ex.gt, ex.x, ex.e, model_cfg,
+        logits_org, st = fwd(params, state, gt_, x_, e_, model_cfg,
                              training=training, flip=False, rng=k1,
                              backend=backend,
                              remat=(cfg.compute.remat if training else False),
-                             dtype=dtype, slot_io=ex.slot_io)
+                             dtype=dtype, slot_io=slot_io)
         logits_org = logits_org[:, 0]
         if use_sym:
-            logits_rev, st = fwd(params, st, ex.gt, ex.x_rev, ex.e, model_cfg,
+            logits_rev, st = fwd(params, st, gt_, x_rev_, e_, model_cfg,
                                  training=training, flip=True, rng=k2,
                                  backend=backend,
                                  remat=(cfg.compute.remat if training else False),
-                                 dtype=dtype, slot_io=ex.slot_io)
-            loss = symmetry_loss(logits_org, logits_rev[:, 0], ex.labels, pw,
-                                 alpha=cfg.train.alpha, mask=ex.mask)
+                                 dtype=dtype, slot_io=slot_io)
+            loss = symmetry_loss(logits_org, logits_rev[:, 0], labels_, pw,
+                                 alpha=cfg.train.alpha, mask=mask_)
         else:
-            loss = bce_with_logits(logits_org, ex.labels, pw, mask=ex.mask)
+            loss = bce_with_logits(logits_org, labels_, pw, mask=mask_)
         return loss
 
     train_fwd = jax.jit(partial(loss_fn, training=True))
-    grad_fn = jax.jit(jax.value_and_grad(partial(loss_fn, training=False),
-                                         argnums=0))  # placeholder; see below
-    grad_fn = jax.jit(lambda p, s: jax.value_and_grad(
-        lambda pp: loss_fn(pp, s, True))(p))
+    grad_fn = jax.jit(lambda p, s, *a: jax.value_and_grad(
+        lambda pp: loss_fn(pp, s, *a, True))(p))
 
     def timeit(name, f, iters=args.iters):
+        try:
+            return _timeit(name, f, iters)
+        except Exception as exc:
+            print(f"{name:28s}    FAILED: {str(exc)[:160]}")
+
+    def _timeit(name, f, iters):
         r = f()
         jax.tree_util.tree_map(
             lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
@@ -120,10 +130,11 @@ def main():
     print(f"graph: {n_nodes} nodes / {n_edges} edges  backend={args.backend} "
           f"dtype={args.dtype} remat={cfg.compute.remat} sym={use_sym}")
 
+    big = (ex.gt, ex.x, ex.x_rev, ex.e, ex.labels, ex.mask)
     timeit("eval forward", lambda: eval_step(
         params, state, ex.gt, ex.x, ex.x_rev, ex.e, ex.labels, ex.mask, pw))
-    timeit("train forward (no grad)", lambda: train_fwd(params, state))
-    timeit("value_and_grad", lambda: grad_fn(params, state))
+    timeit("train forward (no grad)", lambda: train_fwd(params, state, *big))
+    timeit("value_and_grad", lambda: grad_fn(params, state, *big))
     box = {"p": params, "s": state, "o": opt_state}
 
     def full():
