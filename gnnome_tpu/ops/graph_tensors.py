@@ -174,12 +174,20 @@ jax.tree_util.register_dataclass(
 
 def with_windowed_plans(gt: GraphTensors, flip_too: bool = True,
                         tile_e: int | None = None,
-                        window: int | None = None) -> GraphTensors:
-    """Attach Pallas windowed-kernel plans (enables backend='pallas')."""
-    import dataclasses
-    from .windowed import build_windowed_plan, TILE_E, WINDOW
+                        window: int | None = None,
+                        window_v: int | None = None) -> GraphTensors:
+    """Attach Pallas windowed-kernel plans (enables backend='pallas').
 
-    kw = dict(tile_e=tile_e or TILE_E, window=window or WINDOW)
-    plan = build_windowed_plan(gt, flip=False, **kw)
-    plan_flip = build_windowed_plan(gt, flip=True, **kw) if flip_too else None
+    The v (slot-sort-key) side gets the narrow window — in the flip plan
+    the roles swap, so there the narrow side is u (still the sort key)."""
+    import dataclasses
+    from .windowed import build_windowed_plan, TILE_E, WINDOW, WINDOW_V
+
+    wu = window or WINDOW
+    wv = window_v or (WINDOW_V if window is None else wu)
+    te = tile_e or TILE_E
+    plan = build_windowed_plan(gt, flip=False, tile_e=te, window=wu,
+                               window_v=wv)
+    plan_flip = (build_windowed_plan(gt, flip=True, tile_e=te, window=wv,
+                                     window_v=wu) if flip_too else None)
     return dataclasses.replace(gt, wplan=plan, wplan_flip=plan_flip)

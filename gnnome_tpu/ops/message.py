@@ -291,7 +291,7 @@ def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p,
     sum_u = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
                                    plan.window, plan.u_all)
     sum_v = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
-                                   plan.window, plan.v_all)
+                                   plan.win_v, plan.v_all)
 
     # overflow edges: recompute the full edge stage with direct gathers,
     # matching the kernel's dtype discipline
@@ -438,7 +438,7 @@ def _train_stage_bwd(n_edges, res, cots):
     cu = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
                                 plan.window, plan.u_all)
     cv = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
-                                plan.window, plan.v_all)
+                                plan.win_v, plan.v_all)
     d_pu, xsum_u = cu[:, : 2 * d], cu[:, 2 * d:]
     d_pv, xsum_v = cv[:, : 2 * d], cv[:, 2 * d:]
 
@@ -549,7 +549,7 @@ def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
     sum_b = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
                                    plan.window, plan.u_all)
     sum_f = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
-                                   plan.window, plan.v_all)
+                                   plan.win_v, plan.v_all)
     # overflow contributions
     sl, m = plan.ovf_slots, plan.ovf_mask
     sum_b = sum_b + jax.ops.segment_sum(
@@ -625,7 +625,7 @@ def _score_gate_bwd(res, dz_p):
     d_pu = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
                                   plan.window, plan.u_all)
     d_pv = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
-                                  plan.window, plan.v_all)
+                                  plan.win_v, plan.v_all)
     sl, m = plan.ovf_slots, plan.ovf_mask
     dzo = _ovf_take(plan, dz_p, H).astype(jnp.float32) * m
     d_puv = jnp.concatenate(

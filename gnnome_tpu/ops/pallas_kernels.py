@@ -88,15 +88,16 @@ def _scatT(ohT, pay, lo, hi):
 
 # ---------------------------------------------------------------- K1: gather
 def _k1_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
-               g3_out, *, tile_e, window, d, chunk):
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
+               g3_out, *, tile_e, wu, wv, d, chunk):
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk), 0)
     dt = g3_out.dtype
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
         pr = _prec(u0.dtype)
-        gu = _selT(_ohT(io2, ul, c, chunk, u0.dtype), u0, u1, pr)
-        gv = _selT(_ohT(io2, vl, c, chunk, u0.dtype), v0, v1, pr)
+        gu = _selT(_ohT(io2u, ul, c, chunk, u0.dtype), u0, u1, pr)
+        gv = _selT(_ohT(io2v, vl, c, chunk, u0.dtype), v0, v1, pr)
         gate = (gu[:, :d] + gv[:, :d]).astype(dt) + b3e[sl, :]
         # one fused [chunk, 3d] store: a 3d-wide row costs 256 HBM lanes vs
         # 3 x 128 for separate d-wide outputs (every [*, 64] array lane-pads
@@ -116,7 +117,8 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
     b3e: [Ep, d] slot order.  Returns g3 [Ep, 3d] = [gate_raw | a2h_u | a3h_v];
     overflow slots carry only the b3e part of the gate (caller patches)."""
     Ep, d = b3e.shape
-    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
+    Wu, Wv = plan.window, plan.win_v
     dtype = b3e.dtype
     rows = plan.rows_p
 
@@ -124,10 +126,10 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
             pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
@@ -137,7 +139,8 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((Ep, 3 * d), dtype)]
-    kern = functools.partial(_k1_kernel, tile_e=ET, window=W, d=d, chunk=C)
+    kern = functools.partial(_k1_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
+                             chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
@@ -147,8 +150,9 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
 
 # ------------------------------------------------------------- K2: aggregate
 def _k2_kernel(u_blk_ref, v_blk_ref, ul, vl, pay_u, pay_v,
-               pu_lo, pu_hi, pv_lo, pv_hi, *, tile_e, window, chunk):
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk), 0)
+               pu_lo, pu_hi, pv_lo, pv_hi, *, tile_e, wu, wv, chunk):
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk), 0)
     # block-keyed accumulation: the out blocks follow u_blk/v_blk (monotone),
     # staying in VMEM across consecutive tiles; zero only on block change
     t = pl.program_id(0)
@@ -166,8 +170,8 @@ def _k2_kernel(u_blk_ref, v_blk_ref, ul, vl, pay_u, pay_v,
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
         dt = pay_u.dtype
-        _scatT(_ohT(io2, ul, c, chunk, dt), pay_u[sl, :], pu_lo, pu_hi)
-        _scatT(_ohT(io2, vl, c, chunk, dt), pay_v[sl, :], pv_lo, pv_hi)
+        _scatT(_ohT(io2u, ul, c, chunk, dt), pay_u[sl, :], pu_lo, pu_hi)
+        _scatT(_ohT(io2v, vl, c, chunk, dt), pay_v[sl, :], pv_lo, pv_hi)
         return 0
 
     # static unroll: lets Mosaic interleave one-hot builds (VPU) with the
@@ -185,8 +189,8 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
     ``message.combine_block_partials`` — one fused pad+add).
     """
     Ep, Dp = pay_u.shape
-    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
-    NB = plan.n_blocks
+    T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
+    Wu, Wv = plan.window, plan.win_v
     rows = plan.rows_p
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -199,14 +203,16 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
             pl.BlockSpec((ET, Dp), lambda t, ub, vb: (t, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((W, Dp), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, Dp), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, Dp), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, Dp), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wu, Dp), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wu, Dp), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wv, Dp), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wv, Dp), lambda t, ub, vb: (vb[t], 0)),
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((NB * W, Dp), jnp.float32)] * 4
-    kern = functools.partial(_k2_kernel, tile_e=ET, window=W, chunk=C)
+    out_shape = (
+        [jax.ShapeDtypeStruct((plan.n_blocks * Wu, Dp), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, Dp), jnp.float32)] * 2)
+    kern = functools.partial(_k2_kernel, tile_e=ET, wu=Wu, wv=Wv, chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
@@ -216,7 +222,7 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
 # ----------------------------------------------------- K3: fused edge stage
 def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
                b3e, e_in, affine, e_out, pu_lo, pu_hi, pv_lo, pv_hi,
-               *, tile_e, window, d, chunk):
+               *, tile_e, wu, wv, d, chunk):
     """Whole SymGatedGCN edge stage (affine-BN form — eval stats, or training
     stats folded by the caller) in one pass: windowed endpoint selects ->
     gate -> affine -> relu -> residual -> sigmoid -> both aggregation
@@ -224,7 +230,8 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
     [Ep/2, 2d] (edge 2r in lanes :d of row r, edge 2r+1 in lanes d:) — no
     128-lane padding in HBM; per chunk, one one-hot per endpoint per parity
     serves both the selects and the scatters against the same node windows."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
     scale2 = affine[0:1, :]                   # [1, 2d] = [scale | scale]
     bias2 = affine[1:2, :]
     # block-keyed accumulation (see _k2_kernel)
@@ -244,10 +251,10 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
         pr = _prec(u0.dtype)
-        ohT_ue = _ohT(io2, ule, c, hc, u0.dtype)
-        ohT_uo = _ohT(io2, ulo, c, hc, u0.dtype)
-        ohT_ve = _ohT(io2, vle, c, hc, u0.dtype)
-        ohT_vo = _ohT(io2, vlo, c, hc, u0.dtype)
+        ohT_ue = _ohT(io2u, ule, c, hc, u0.dtype)
+        ohT_uo = _ohT(io2u, ulo, c, hc, u0.dtype)
+        ohT_ve = _ohT(io2v, vle, c, hc, u0.dtype)
+        ohT_vo = _ohT(io2v, vlo, c, hc, u0.dtype)
         gue = _selT(ohT_ue, u0, u1, pr)
         guo = _selT(ohT_uo, u0, u1, pr)
         gve = _selT(ohT_ve, v0, v1, pr)
@@ -284,7 +291,8 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
     (caller patches e_out and adds overflow payloads)."""
     Eh, d2 = b3e_p.shape
     d = d2 // 2
-    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
+    Wu, Wv = plan.window, plan.win_v
     dtype = b3e_p.dtype
     rows = plan.rows_p
     # [8, 2d]: min sublane tile is 8; rows 0/1 hold [scale|scale]/[bias|bias]
@@ -298,10 +306,10 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
@@ -312,18 +320,21 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
         ],
         out_specs=[
             pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
         ],
     )
-    NB = plan.n_blocks
     out_shape = (
         [jax.ShapeDtypeStruct((Eh, 2 * d), dtype)]
-        + [jax.ShapeDtypeStruct((NB * W, 2 * d), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((plan.n_blocks * Wu, 2 * d),
+                                jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, 2 * d),
+                                jnp.float32)] * 2
     )
-    kern = functools.partial(_k3_kernel, tile_e=ET, window=W, d=d, chunk=C)
+    kern = functools.partial(_k3_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
+                             chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
@@ -334,7 +345,7 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
 
 # ---------------------------------------------- K7: training gate statistics
 def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
-               b3e, stats_out, *, tile_e, window, d, chunk):
+               b3e, stats_out, *, tile_e, wu, wv, d, chunk):
     """Training BatchNorm is two-pass: this is the FIRST pass, fused.  Per
     chunk: windowed gate-half selects -> gate_raw x -> per-tile [sum(x),
     sum(x^2)] partials (the batch statistics).  gate_raw never touches HBM:
@@ -342,7 +353,8 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
     the 1M-node training step (3 GB padded, twice).  The backward's x-sum
     node partials come from K8 (which re-selects x anyway).  Edge arrays are
     PACKED [Ep/2, 2d] (see _k3_kernel)."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
     acc = jnp.zeros((1, 2 * d), jnp.float32)    # [s1_e|s2_e] / [s1_o|s2_o]
     acc_o = jnp.zeros((1, 2 * d), jnp.float32)
     dt = b3e.dtype
@@ -351,10 +363,10 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
         pr = _prec(u0.dtype)
-        ohT_ue = _ohT(io2, ule, c, hc, u0.dtype)
-        ohT_uo = _ohT(io2, ulo, c, hc, u0.dtype)
-        ohT_ve = _ohT(io2, vle, c, hc, u0.dtype)
-        ohT_vo = _ohT(io2, vlo, c, hc, u0.dtype)
+        ohT_ue = _ohT(io2u, ule, c, hc, u0.dtype)
+        ohT_uo = _ohT(io2u, ulo, c, hc, u0.dtype)
+        ohT_ve = _ohT(io2v, vle, c, hc, u0.dtype)
+        ohT_vo = _ohT(io2v, vlo, c, hc, u0.dtype)
         # d-wide gate windows (pre-sliced by the caller): HALF the select
         # MACs of the [W, 2d] message windows
         xue = _selT(ohT_ue, u0, u1, pr)
@@ -366,8 +378,8 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
         xf = x.astype(jnp.float32)
         # padded AND overflow slots carry the sentinel -> excluded here and
         # inert in the scatters; the caller adds overflow edges' contributions
-        me = (ule[c, :] != 2 * window).astype(jnp.float32)[None, :]
-        mo = (ulo[c, :] != 2 * window).astype(jnp.float32)[None, :]
+        me = (ule[c, :] != 2 * wu).astype(jnp.float32)[None, :]
+        mo = (ulo[c, :] != 2 * wu).astype(jnp.float32)[None, :]
         xe, xo = xf[:, :d], xf[:, d:]
         acc = acc + jnp.dot(
             me, jnp.concatenate([xe, xe * xe], axis=1),
@@ -386,7 +398,8 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
     [sum(x) | sum(x^2)].  The backward's x-sum node partials come from K8."""
     Eh, d2 = b3e_p.shape
     d = d2 // 2
-    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
+    Wu, Wv = plan.window, plan.win_v
     rows = plan.rows_p
     ETh, Ch = ET // 2, C // 2
     # the stats pass only needs the gate halves: pre-sliced [Np, d] windows
@@ -401,10 +414,10 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((W, d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((W, d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((Wu, d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wu, d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((Wv, d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wv, d), lambda t, ub, vb: (vb[t] + 1, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
@@ -413,7 +426,8 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
         ],
         out_specs=out_specs,
     )
-    kern = functools.partial(_k7_kernel, tile_e=ET, window=W, d=d, chunk=C)
+    kern = functools.partial(_k7_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
+                             chunk=C)
     (stats,) = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
@@ -426,7 +440,7 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
 def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
                ule, ulo, vle, vlo, b3e, e_in, d_e_out, affine,
                x_out, deo_out, pu_lo, pu_hi, pv_lo, pv_hi,
-               *, tile_e, window, d, chunk, with_xsum=False):
+               *, tile_e, wu, wv, d, chunk, with_xsum=False):
     """Adjoint of the whole training edge stage in one pass, with NO [Ep, 3d]
     HBM arrays: the forward gate/messages are RE-SELECTED from the node
     windows (cheaper than streaming a materialised [Ep, 3d] payload — the
@@ -439,7 +453,8 @@ def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
     d_y = d_eo * relu_mask, and closes the batch-statistics chain
     (d_gamma/d_beta/d_b3e and the c1+c2*x node-space correction via K7's
     deg/xsum partials).  Edge arrays are PACKED [Ep/2, 2d] (_k3_kernel)."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
     scale2 = affine[0:1, :]
     bias2 = affine[1:2, :]
     scale2_f = scale2.astype(jnp.float32)
@@ -460,10 +475,10 @@ def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
         psl = pl.ds(c * hc, hc)
         dt = x_out.dtype
         pr = _prec(u0.dtype)
-        ohT_ue = _ohT(io2, ule, c, hc, u0.dtype)
-        ohT_uo = _ohT(io2, ulo, c, hc, u0.dtype)
-        ohT_ve = _ohT(io2, vle, c, hc, u0.dtype)
-        ohT_vo = _ohT(io2, vlo, c, hc, u0.dtype)
+        ohT_ue = _ohT(io2u, ule, c, hc, u0.dtype)
+        ohT_uo = _ohT(io2u, ulo, c, hc, u0.dtype)
+        ohT_ve = _ohT(io2v, vle, c, hc, u0.dtype)
+        ohT_vo = _ohT(io2v, vlo, c, hc, u0.dtype)
         gue = _selT(ohT_ue, u0, u1, pr)
         guo = _selT(ohT_uo, u0, u1, pr)
         gve = _selT(ohT_ve, v0, v1, pr)
@@ -540,7 +555,8 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     caller."""
     Eh, d2 = b3e_p.shape
     d = d2 // 2
-    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
+    Wu, Wv = plan.window, plan.win_v
     dtype = b3e_p.dtype
     rows = plan.rows_p
     affine = jnp.concatenate(
@@ -549,15 +565,14 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
          jnp.zeros((6, 2 * d), jnp.float32)]).astype(dtype)
 
     ETh, Ch = ET // 2, C // 2
-    NB = plan.n_blocks
     pd = 3 * d if with_xsum else 2 * d      # partial width (see docstring)
     out_specs = [
         pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
         pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-        pl.BlockSpec((W, pd), lambda t, ub, vb: (ub[t], 0)),
-        pl.BlockSpec((W, pd), lambda t, ub, vb: (ub[t], 0)),
-        pl.BlockSpec((W, pd), lambda t, ub, vb: (vb[t], 0)),
-        pl.BlockSpec((W, pd), lambda t, ub, vb: (vb[t], 0)),
+        pl.BlockSpec((Wu, pd), lambda t, ub, vb: (ub[t], 0)),
+        pl.BlockSpec((Wu, pd), lambda t, ub, vb: (ub[t], 0)),
+        pl.BlockSpec((Wv, pd), lambda t, ub, vb: (vb[t], 0)),
+        pl.BlockSpec((Wv, pd), lambda t, ub, vb: (vb[t], 0)),
     ]
     # d_proj partials ride the payload dtype (see k7_gate_stats: block
     # accumulation depth is 1-3 tiles; the combined sums are cast to the
@@ -565,19 +580,20 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     out_shape = [
         jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
         jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
-    ] + [jax.ShapeDtypeStruct((NB * W, pd), dtype)] * 4
+    ] + ([jax.ShapeDtypeStruct((plan.n_blocks * Wu, pd), dtype)] * 2
+         + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, pd), dtype)] * 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
@@ -589,8 +605,8 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
         ],
         out_specs=out_specs,
     )
-    kern = functools.partial(_k8_kernel, tile_e=ET, window=W, d=d, chunk=C,
-                             with_xsum=with_xsum)
+    kern = functools.partial(_k8_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
+                             chunk=C, with_xsum=with_xsum)
     # in-place: x_out overwrites b3e_p and deo_out overwrites d_e_out_p
     # (0.75 GB each at 6.3M edges).  Exact: at overflow rows the kernel
     # writes x = b3e and deo = d_e_out verbatim (sentinel selects are zero),
@@ -608,7 +624,7 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
 
 # ------------------------------------------- K6: score-predictor first layer
 def _k6_kernel(u_blk_ref, v_blk_ref, puv0, puv1, pvv0, pvv1,
-               ule, ulo, vle, vlo, be, z_out, *, tile_e, window, d, chunk):
+               ule, ulo, vle, vlo, be, z_out, *, tile_e, wu, wv, d, chunk):
     """Fused ``relu(pu[u] + pv[v] + be)`` — the score predictor's endpoint
     gathers AND first-layer matmul in one windowed pass (``pu = h @ W1u`` etc.
     are computed in NODE space by the caller, so the [Ep, 3d] concat and the
@@ -616,15 +632,16 @@ def _k6_kernel(u_blk_ref, v_blk_ref, puv0, puv1, pvv0, pvv1,
     score_predictor.py:13-23).  ``puv`` packs [pu | pv] side by side ([Np,
     2H], no 128-lane padding); edge arrays are PACKED [Ep/2, 2H]
     (_k3_kernel).  Overflow slots carry relu(be) (caller patches)."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
     hc = chunk // 2
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
         pr = _prec(puv0.dtype)
-        gue = _selT(_ohT(io2, ule, c, hc, puv0.dtype), puv0, puv1, pr)
-        guo = _selT(_ohT(io2, ulo, c, hc, puv0.dtype), puv0, puv1, pr)
-        gve = _selT(_ohT(io2, vle, c, hc, puv0.dtype), pvv0, pvv1, pr)
-        gvo = _selT(_ohT(io2, vlo, c, hc, puv0.dtype), pvv0, pvv1, pr)
+        gue = _selT(_ohT(io2u, ule, c, hc, puv0.dtype), puv0, puv1, pr)
+        guo = _selT(_ohT(io2u, ulo, c, hc, puv0.dtype), puv0, puv1, pr)
+        gve = _selT(_ohT(io2v, vle, c, hc, puv0.dtype), pvv0, pvv1, pr)
+        gvo = _selT(_ohT(io2v, vlo, c, hc, puv0.dtype), pvv0, pvv1, pr)
         s = jnp.concatenate(
             [gue[:, :d] + gve[:, d:], guo[:, :d] + gvo[:, d:]], axis=1)
         z_out[psl, :] = jax.nn.relu(s.astype(z_out.dtype) + be[psl, :])
@@ -636,7 +653,8 @@ def k6_score_gate(plan: WindowedPlan, puv, be_p):
     relu(pu[u] + pv[v] + be)."""
     Eh, H2 = be_p.shape
     H = H2 // 2
-    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
+    Wu, Wv = plan.window, plan.win_v
     rows = plan.rows_p
     ETh, Ch = ET // 2, C // 2
 
@@ -644,10 +662,10 @@ def k6_score_gate(plan: WindowedPlan, puv, be_p):
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((W, 2 * H), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, 2 * H), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((W, 2 * H), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, 2 * H), lambda t, ub, vb: (vb[t] + 1, 0)),
+            pl.BlockSpec((Wu, 2 * H), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wu, 2 * H), lambda t, ub, vb: (ub[t] + 1, 0)),
+            pl.BlockSpec((Wv, 2 * H), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wv, 2 * H), lambda t, ub, vb: (vb[t] + 1, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
@@ -659,7 +677,8 @@ def k6_score_gate(plan: WindowedPlan, puv, be_p):
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((Eh, 2 * H), be_p.dtype)]
-    kern = functools.partial(_k6_kernel, tile_e=ET, window=W, d=H, chunk=C)
+    kern = functools.partial(_k6_kernel, tile_e=ET, wu=Wu, wv=Wv, d=H,
+                             chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
@@ -670,12 +689,13 @@ def k6_score_gate(plan: WindowedPlan, puv, be_p):
 
 # --------------------------------------- K9: packed shared-payload aggregate
 def _k9_kernel(u_blk_ref, v_blk_ref, ule, ulo, vle, vlo, pay,
-               pu_lo, pu_hi, pv_lo, pv_hi, *, tile_e, window, d, chunk):
+               pu_lo, pu_hi, pv_lo, pv_hi, *, tile_e, wu, wv, d, chunk):
     """Dual-direction scatter of ONE packed payload [Ep/2, 2D] into per-block
     window partials keyed by u AND v — the adjoint of K6's two selects (the
     score-gate backward scatters the same masked cotangent by both
     endpoints).  The packed analog of _k2_kernel."""
-    io2 = jax.lax.broadcasted_iota(jnp.int32, (2 * window, chunk // 2), 0)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
     t = pl.program_id(0)
 
     @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
@@ -694,10 +714,10 @@ def _k9_kernel(u_blk_ref, v_blk_ref, ule, ulo, vle, vlo, pay,
         dt = pay.dtype
         pc = pay[psl, :]
         pe, po = pc[:, :d], pc[:, d:]
-        ohT_ue = _ohT(io2, ule, c, hc, dt)
-        ohT_uo = _ohT(io2, ulo, c, hc, dt)
-        ohT_ve = _ohT(io2, vle, c, hc, dt)
-        ohT_vo = _ohT(io2, vlo, c, hc, dt)
+        ohT_ue = _ohT(io2u, ule, c, hc, dt)
+        ohT_uo = _ohT(io2u, ulo, c, hc, dt)
+        ohT_ve = _ohT(io2v, vle, c, hc, dt)
+        ohT_vo = _ohT(io2v, vlo, c, hc, dt)
         _scatT(ohT_ue, pe, pu_lo, pu_hi)
         _scatT(ohT_uo, po, pu_lo, pu_hi)
         _scatT(ohT_ve, pe, pv_lo, pv_hi)
@@ -710,7 +730,8 @@ def k9_aggregate_packed(plan: WindowedPlan, pay_p):
     u / v (combine with ``message.combine_block_partials``)."""
     Eh, D2 = pay_p.shape
     D = D2 // 2
-    T, ET, W, C = plan.n_tiles, plan.tile_e, plan.window, plan.chunk
+    T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
+    Wu, Wv = plan.window, plan.win_v
     rows = plan.rows_p
     ETh, Ch = ET // 2, C // 2
 
@@ -725,15 +746,17 @@ def k9_aggregate_packed(plan: WindowedPlan, pay_p):
             pl.BlockSpec((ETh, 2 * D), lambda t, ub, vb: (t, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((W, D), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, D), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((W, D), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((W, D), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wu, D), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wu, D), lambda t, ub, vb: (ub[t], 0)),
+            pl.BlockSpec((Wv, D), lambda t, ub, vb: (vb[t], 0)),
+            pl.BlockSpec((Wv, D), lambda t, ub, vb: (vb[t], 0)),
         ],
     )
-    NB = plan.n_blocks
-    out_shape = [jax.ShapeDtypeStruct((NB * W, D), jnp.float32)] * 4
-    kern = functools.partial(_k9_kernel, tile_e=ET, window=W, d=D, chunk=C)
+    out_shape = (
+        [jax.ShapeDtypeStruct((plan.n_blocks * Wu, D), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, D), jnp.float32)] * 2)
+    kern = functools.partial(_k9_kernel, tile_e=ET, wu=Wu, wv=Wv, d=D,
+                             chunk=C)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),

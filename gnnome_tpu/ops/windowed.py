@@ -26,13 +26,21 @@ import jax.numpy as jnp
 import numpy as np
 
 TILE_E = 2048    # edges per kernel tile (amortises window DMA + partial rows)
-WINDOW = 512     # node rows per window block (coverage = 2 blocks)
+WINDOW = 512     # u-side node rows per window block (coverage = 2 blocks)
+WINDOW_V = 384   # v-side (slot-sort key) block rows — see below
 CHUNK = 512      # edge rows per in-kernel step (one-hot lane width)
 # (TILE_E, WINDOW) trade one-hot flops (~4*W*d per edge per kernel) against
 # overflow AND per-tile pipeline overhead: on the bench graph 2048/512 ->
 # 0.26% overflow; 1024/256 halves the flops but DOUBLES the tile count and
-# measured ~15% SLOWER end-to-end — the kernels are HBM-streaming-bound, not
-# MXU-bound (scripts/k3_ablate.py).
+# measured ~15% SLOWER end-to-end (scripts/k3_ablate.py).
+#
+# Windows are PER ENDPOINT: slots are v(dst)-sorted, so a tile's v values
+# span only ~tile_e/avg_degree consecutive rows, while its u values spread
+# across the graph's overlap band (~2x wider on the bench graph).  A narrow
+# v window halves that side's select/scatter MACs and window DMA bytes at
+# the SAME tile count (512/256: 4k u-ovf + 29k v-ovf = 2% overflow vs 0.26%
+# symmetric — the patch path absorbs it).  Flip plans swap roles (u becomes
+# the sort key), so the narrow side swaps with them.
 
 
 @dataclass(frozen=True)
@@ -68,13 +76,18 @@ class WindowedPlan:
     deg_v: jax.Array = None  # float32 [n_pad]
     # --- static ---
     tile_e: int = TILE_E
-    window: int = WINDOW
+    window: int = WINDOW    # u-side block rows
     chunk: int = CHUNK
     n_tiles: int = 0
     n_ovf: int = 0
     n_pad: int = 0          # padded node count of the owning GraphTensors
     u_all: bool = False     # every u block visited => combine can skip the
     v_all: bool = False     #   visited-mask pass (one full [NB*W, D] sweep)
+    window_v: int = 0       # v-side block rows (0 => same as ``window``)
+
+    @property
+    def win_v(self) -> int:
+        return self.window_v or self.window
 
     @property
     def sentinel(self) -> int:
@@ -82,9 +95,13 @@ class WindowedPlan:
 
     @property
     def n_blocks(self) -> int:
-        """Distinct window-block positions (= Np/W - 1); the aggregation
+        """Distinct u window-block positions (= Np/W - 1); the aggregation
         kernels emit one (2W, D) partial block per position."""
         return self.n_pad // self.window - 1
+
+    @property
+    def n_blocks_v(self) -> int:
+        return self.n_pad // self.win_v - 1
 
     @property
     def rows_p(self) -> int:
@@ -100,7 +117,7 @@ jax.tree_util.register_dataclass(
                  "u_visited", "v_visited", "ovf_slots", "ovf_mask",
                  "deg_u", "deg_v"],
     meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_ovf", "n_pad",
-                 "u_all", "v_all"],
+                 "u_all", "v_all", "window_v"],
 )
 
 
@@ -128,37 +145,38 @@ def _plan_side(idx: np.ndarray, n_tiles: int, tile_e: int, window: int,
 
 def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
                         window: int = WINDOW,
-                        chunk: int | None = None) -> WindowedPlan | None:
+                        chunk: int | None = None,
+                        window_v: int | None = None) -> WindowedPlan | None:
     """Plan for the (src->dst) direction, or the reversed roles if ``flip``.
 
-    Returns None when the graph is too small to be worth tiling.
+    ``window`` / ``window_v`` size the u- and v-side blocks independently
+    (``window_v=None`` => symmetric).  Returns None when the graph is too
+    small to be worth tiling.
     """
     Ep, Np = gt.n_edges_pad, gt.n_nodes_pad
     chunk = min(chunk or CHUNK, tile_e)
-    if Ep % tile_e != 0 or Np < 2 * window or Np % window != 0 \
-            or tile_e % chunk != 0 or chunk % 2 != 0:
+    wv = window_v or window
+    if Ep % tile_e != 0 or Np < 2 * max(window, wv) or Np % window != 0 \
+            or Np % wv != 0 or tile_e % chunk != 0 or chunk % 2 != 0:
         return None
     src = np.asarray(gt.src)
     dst = np.asarray(gt.dst)
     u, v = (src, dst) if not flip else (dst, src)
     n_tiles = Ep // tile_e
-    max_blk = Np // window - 2
 
     u_blk, u_local, u_ovf = _plan_side(u.astype(np.int64), n_tiles, tile_e,
-                                       window, max_blk)
+                                       window, Np // window - 2)
     v_blk, v_local, v_ovf = _plan_side(v.astype(np.int64), n_tiles, tile_e,
-                                       window, max_blk)
+                                       wv, Np // wv - 2)
     ovf = (u_ovf | v_ovf)
     # padded slots are inert regardless; never treat them as overflow
     ovf &= np.asarray(gt.edge_mask)[:, 0] > 0
-    # an edge handled by overflow must contribute NOTHING in-kernel
-    u_local = np.where(ovf, 2 * window, u_local).astype(np.int32)
-    v_local = np.where(ovf, 2 * window, v_local).astype(np.int32)
-    # padded slots: sentinel one-hot columns (all-zero) make them inert in
+    # an edge handled by overflow must contribute NOTHING in-kernel; padded
+    # slots likewise: sentinel one-hot columns (all-zero) make them inert in
     # every select AND scatter — kernels need no edge mask
     pad = np.asarray(gt.edge_mask)[:, 0] == 0
-    u_local = np.where(pad, 2 * window, u_local).astype(np.int32)
-    v_local = np.where(pad, 2 * window, v_local).astype(np.int32)
+    u_local = np.where(ovf | pad, 2 * window, u_local).astype(np.int32)
+    v_local = np.where(ovf | pad, 2 * wv, v_local).astype(np.int32)
 
     ovf_ids = np.nonzero(ovf)[0].astype(np.int32)
     n_ovf = int(ovf_ids.shape[0])
@@ -168,14 +186,13 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
     ovf_mask = np.zeros((n_ovf_pad, 1), dtype=np.float32)
     ovf_mask[:n_ovf] = 1.0
 
-    n_blocks = Np // window - 1
-    u_visited = np.zeros(n_blocks, dtype=np.float32)
-    v_visited = np.zeros(n_blocks, dtype=np.float32)
+    u_visited = np.zeros(Np // window - 1, dtype=np.float32)
+    v_visited = np.zeros(Np // wv - 1, dtype=np.float32)
     u_visited[u_blk] = 1.0     # unvisited partial blocks hold uninitialised
     v_visited[v_blk] = 1.0     # HBM; the combine masks them out
 
-    def _lane_major(local: np.ndarray, parity: int | None = None
-                    ) -> np.ndarray:
+    def _lane_major(local: np.ndarray, sentinel: int,
+                    parity: int | None = None) -> np.ndarray:
         """[Ep] slot order -> [T*rows_p, chunk(/2)] with sentinel pad rows;
         ``parity`` selects every other slot (the packed-layout index split)."""
         rows = tile_e // chunk
@@ -186,19 +203,19 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
             a = a[:, :, parity::2]
             c = chunk // 2
         if rows_p != rows:
-            pad = np.full((n_tiles, rows_p - rows, c), 2 * window,
-                          dtype=np.int32)
-            a = np.concatenate([a, pad], axis=1)
+            padr = np.full((n_tiles, rows_p - rows, c), sentinel,
+                           dtype=np.int32)
+            a = np.concatenate([a, padr], axis=1)
         return a.reshape(n_tiles * rows_p, c)
 
     return WindowedPlan(
         u_blk=jnp.asarray(u_blk), v_blk=jnp.asarray(v_blk),
-        u_local=jnp.asarray(_lane_major(u_local)),
-        v_local=jnp.asarray(_lane_major(v_local)),
-        u_local_e=jnp.asarray(_lane_major(u_local, 0)),
-        u_local_o=jnp.asarray(_lane_major(u_local, 1)),
-        v_local_e=jnp.asarray(_lane_major(v_local, 0)),
-        v_local_o=jnp.asarray(_lane_major(v_local, 1)),
+        u_local=jnp.asarray(_lane_major(u_local, 2 * window)),
+        v_local=jnp.asarray(_lane_major(v_local, 2 * wv)),
+        u_local_e=jnp.asarray(_lane_major(u_local, 2 * window, 0)),
+        u_local_o=jnp.asarray(_lane_major(u_local, 2 * window, 1)),
+        v_local_e=jnp.asarray(_lane_major(v_local, 2 * wv, 0)),
+        v_local_o=jnp.asarray(_lane_major(v_local, 2 * wv, 1)),
         u_visited=jnp.asarray(u_visited), v_visited=jnp.asarray(v_visited),
         ovf_slots=jnp.asarray(ovf_slots), ovf_mask=jnp.asarray(ovf_mask),
         deg_u=jnp.asarray(np.bincount(
@@ -208,6 +225,6 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
             v[np.asarray(gt.edge_mask)[:, 0] > 0],
             minlength=Np).astype(np.float32)),
         tile_e=tile_e, window=window, chunk=chunk, n_tiles=n_tiles,
-        n_ovf=n_ovf, n_pad=Np,
+        n_ovf=n_ovf, n_pad=Np, window_v=wv,
         u_all=bool(u_visited.all()), v_all=bool(v_visited.all()),
     )
