@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--window", type=int, default=0, help="override WINDOW")
+    ap.add_argument("--window-v", type=int, default=0,
+                    help="override WINDOW_V (v-side block rows)")
     ap.add_argument("--tile-e", type=int, default=0, help="override TILE_E")
     args = ap.parse_args()
 
@@ -42,10 +44,12 @@ def main():
     from gnnome_tpu.models.sym_gated_gcn import init_params
     from gnnome_tpu.train.step import make_steps, make_example
 
-    if args.window or args.tile_e:
+    if args.window or args.tile_e or args.window_v:
         import gnnome_tpu.ops.windowed as W
         if args.window:
             W.WINDOW = args.window
+        if args.window_v:
+            W.WINDOW_V = args.window_v
         if args.tile_e:
             W.TILE_E = args.tile_e
 
@@ -68,7 +72,8 @@ def main():
     if ex.gt.wplan is not None:
         p = ex.gt.wplan
         print(f"plan: T={p.n_tiles} tile_e={p.tile_e} W={p.window} "
-              f"ovf={p.n_ovf} ({100*p.n_ovf/n_edges:.3f}%)", flush=True)
+              f"Wv={p.win_v} ovf={p.n_ovf} ({100*p.n_ovf/n_edges:.3f}%)",
+              flush=True)
 
     pw = jnp.asarray(1.0, jnp.float32)
     key = jax.random.PRNGKey(1)
