@@ -124,7 +124,7 @@ class GraphTensors:
         node_mask = np.zeros((Np, 1), dtype=np.float32)
         node_mask[:n_nodes] = 1.0
 
-        return cls(
+        gt = cls(
             src=jnp.asarray(src_p[order]), dst=jnp.asarray(dst_p[order]),
             slot_of_eid=jnp.asarray(slot_of_eid),
             eid_of_slot=jnp.asarray(order),
@@ -132,6 +132,13 @@ class GraphTensors:
             node_mask=jnp.asarray(node_mask),
             n_nodes=n_nodes, n_edges=E, n_nodes_pad=Np, n_edges_pad=Ep,
         )
+        # host-side copies for the windowed-kernel planner: fetching
+        # src/dst/edge_mask back from a tunneled TPU costs seconds per
+        # array.  Not a pytree field — carried only on freshly built
+        # instances (plan building happens right after build).
+        object.__setattr__(gt, "_host",
+                           (src_p[order], dst_p[order], edge_mask))
+        return gt
 
     @classmethod
     def from_graph(cls, graph, edge_pad_multiple: int = 512,
@@ -178,16 +185,26 @@ def with_windowed_plans(gt: GraphTensors, flip_too: bool = True,
                         window_v: int | None = None) -> GraphTensors:
     """Attach Pallas windowed-kernel plans (enables backend='pallas').
 
-    The v (slot-sort-key) side gets the narrow window — in the flip plan
-    the roles swap, so there the narrow side is u (still the sort key)."""
+    With no explicit ``window``/``window_v``, each side of each plan
+    auto-selects its cheapest (block rows, block count) config from the
+    graph's measured endpoint spans (ops/windowed.py); module overrides
+    (``windowed.WINDOW``/``WINDOW_V``, set by the perf probes) force
+    explicit 2-block configs.  The v (slot-sort-key) side is the narrow one
+    — in the flip plan the roles swap, so there the narrow side is u (still
+    the sort key)."""
     import dataclasses
-    from .windowed import build_windowed_plan, TILE_E, WINDOW, WINDOW_V
+    from . import windowed as W
 
-    wu = window or WINDOW
-    wv = window_v or (WINDOW_V if window is None else wu)
-    te = tile_e or TILE_E
-    plan = build_windowed_plan(gt, flip=False, tile_e=te, window=wu,
-                               window_v=wv)
-    plan_flip = (build_windowed_plan(gt, flip=True, tile_e=te, window=wv,
-                                     window_v=wu) if flip_too else None)
+    wu, wv = window, window_v
+    if wu is None and wv is None and not W.AUTO_SELECT:
+        wu, wv = W.WINDOW, W.WINDOW_V
+    elif wu is not None and wv is None:
+        wv = wu
+    elif wu is None and wv is not None:
+        wu = W.WINDOW
+    te = tile_e or W.TILE_E
+    build_plan = W.build_windowed_plan
+    plan = build_plan(gt, flip=False, tile_e=te, window=wu, window_v=wv)
+    plan_flip = (build_plan(gt, flip=True, tile_e=te, window=wv,
+                            window_v=wu) if flip_too else None)
     return dataclasses.replace(gt, wplan=plan, wplan_flip=plan_flip)

@@ -43,32 +43,35 @@ def _plan_for(gt: GraphTensors, flip: bool):
     return gt.wplan_flip if flip else gt.wplan
 
 
-def combine_block_partials(low, high, visited, n_pad: int, window: int,
+def combine_block_partials(parts, visited, n_pad: int, window: int,
                            all_visited: bool = False):
-    """(low, high) [NB*W, D] per-block window partials -> [Np, D] node sums.
+    """k per-block window-partial arrays [NB*W, D] -> [Np, D] node sums.
 
-    Row ``b*W + j`` of ``low`` belongs to node ``b*W + j``, of ``high`` to
-    node ``(b+1)*W + j``: the combine is a masked pad + shifted add over two
-    CONTIGUOUS arrays — one fused elementwise pass, no strided slices (the
-    old interleaved [NB*2W, D] layout cost three separate ~540 MB fusions
-    per combine on the bench graph).  ``visited`` masks never-written
-    (uninitialised) partial blocks; when the host-side plan proves every
-    block was visited (``all_visited``), the mask pass is skipped entirely.
+    Row ``b*W + j`` of partial array i belongs to node ``(b+i)*W + j``
+    (ops/pallas_kernels.py ``_scatT``): the combine is a masked pad +
+    shifted add over k CONTIGUOUS arrays — one fused elementwise pass, no
+    strided slices (the old interleaved [NB*2W, D] layout cost three
+    separate ~540 MB fusions per combine on the bench graph).  ``visited``
+    masks never-written (uninitialised) partial blocks; when the host-side
+    plan proves every block was visited (``all_visited``), the mask pass is
+    skipped entirely.
     """
     NB = visited.shape[0]
-    D = low.shape[1]
-    zero = jnp.zeros((), low.dtype)
-    if all_visited:
-        lm, hm = low, high
-    else:
-        vis = visited.astype(low.dtype)    # keep the partials' dtype
-        lm = (low.reshape(NB, window, D) * vis[:, None, None]
-              ).reshape(NB * window, D)
-        hm = (high.reshape(NB, window, D) * vis[:, None, None]
-              ).reshape(NB * window, D)
-    pad = n_pad - NB * window            # == window
-    res = (jax.lax.pad(lm, zero, ((0, pad, 0), (0, 0, 0)))
-           + jax.lax.pad(hm, zero, ((pad, 0, 0), (0, 0, 0))))
+    D = parts[0].shape[1]
+    zero = jnp.zeros((), parts[0].dtype)
+    tail = n_pad - NB * window           # == (k-1) * window
+    # never-written blocks hold UNINITIALISED HBM: mask with where, not a
+    # multiply — garbage can be NaN/inf bit patterns and NaN * 0 == NaN
+    vis = None if all_visited else (visited > 0)
+    res = None
+    for i, p in enumerate(parts):
+        if vis is not None:
+            p = jnp.where(vis[:, None, None],
+                          p.reshape(NB, window, D),
+                          zero).reshape(NB * window, D)
+        s = jax.lax.pad(p, zero,
+                        ((i * window, tail - i * window, 0), (0, 0, 0)))
+        res = s if res is None else res + s
     return res
 
 
@@ -286,11 +289,11 @@ def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p,
     n_pad = plan.n_pad
     dt = b3e_p.dtype
 
-    e_out_p, pu_lo, pu_hi, pv_lo, pv_hi = k3_fused_edge_stage(
+    e_out_p, pu_parts, pv_parts = k3_fused_edge_stage(
         plan, proj_u, proj_v, b3e_p, e_in_p, bn_scale, bn_bias)
-    sum_u = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
+    sum_u = combine_block_partials(pu_parts, plan.u_visited, n_pad,
                                    plan.window, plan.u_all)
-    sum_v = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
+    sum_v = combine_block_partials(pv_parts, plan.v_visited, n_pad,
                                    plan.win_v, plan.v_all)
 
     # overflow edges: recompute the full edge stage with direct gathers,
@@ -429,15 +432,15 @@ def _train_stage_bwd(n_edges, res, cots):
 
     # cast BEFORE the kernel: bf16 node-window DMAs are ~2x cheaper (no-op in
     # f32 mode); padded slots carry sentinel one-hots -> zero selects
-    x_p, deo_p, pu_lo, pu_hi, pv_lo, pv_hi = k8_train_layer_bwd(
+    x_p, deo_p, pu_parts, pv_parts = k8_train_layer_bwd(
         plan, d_sum_u.astype(dt), d_sum_v.astype(dt), proj_u, proj_v,
         b3e_p, e_p, d_e_out_p.astype(dt), scale_eff, bias_eff,
         with_xsum=True)
     # partials are [NB*W, 3d] = [d_gate | d_msg | x]: one combine per
     # endpoint yields both the d_proj sums and the batch-stat x-sums
-    cu = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
+    cu = combine_block_partials(pu_parts, plan.u_visited, n_pad,
                                 plan.window, plan.u_all)
-    cv = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
+    cv = combine_block_partials(pv_parts, plan.v_visited, n_pad,
                                 plan.win_v, plan.v_all)
     d_pu, xsum_u = cu[:, : 2 * d], cu[:, 2 * d:]
     d_pv, xsum_v = cv[:, : 2 * d], cv[:, 2 * d:]
@@ -545,10 +548,10 @@ def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
     from .pallas_kernels import k2_aggregate
 
     n_pad = plan.n_pad
-    pu_lo, pu_hi, pv_lo, pv_hi = k2_aggregate(plan, pay_u, pay_v)
-    sum_b = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
+    pu_parts, pv_parts = k2_aggregate(plan, pay_u, pay_v)
+    sum_b = combine_block_partials(pu_parts, plan.u_visited, n_pad,
                                    plan.window, plan.u_all)
-    sum_f = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
+    sum_f = combine_block_partials(pv_parts, plan.v_visited, n_pad,
                                    plan.win_v, plan.v_all)
     # overflow contributions
     sl, m = plan.ovf_slots, plan.ovf_mask
@@ -621,10 +624,10 @@ def _score_gate_bwd(res, dz_p):
     dz_p = dz_p * (z_p > 0).astype(dz_p.dtype)
     # adjoint of the two windowed selects = the packed dual scatter (K9);
     # overflow slots scatter nothing in-kernel (sentinel) — patched below
-    pu_lo, pu_hi, pv_lo, pv_hi = k9_aggregate_packed(plan, dz_p)
-    d_pu = combine_block_partials(pu_lo, pu_hi, plan.u_visited, n_pad,
+    pu_parts, pv_parts = k9_aggregate_packed(plan, dz_p)
+    d_pu = combine_block_partials(pu_parts, plan.u_visited, n_pad,
                                   plan.window, plan.u_all)
-    d_pv = combine_block_partials(pv_lo, pv_hi, plan.v_visited, n_pad,
+    d_pv = combine_block_partials(pv_parts, plan.v_visited, n_pad,
                                   plan.win_v, plan.v_all)
     sl, m = plan.ovf_slots, plan.ovf_mask
     dzo = _ovf_take(plan, dz_p, H).astype(jnp.float32) * m

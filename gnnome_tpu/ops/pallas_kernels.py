@@ -1,6 +1,6 @@
 """Pallas/Mosaic TPU kernels for the message-passing hot path.
 
-Three kernels over the windowed plan (ops/windowed.py):
+Kernels over the windowed plan (ops/windowed.py):
 
 K1 ``gather_gate``   per edge tile: DMA both endpoints' node-row windows into
                      VMEM (Pallas block prefetch with scalar-driven index maps
@@ -11,23 +11,36 @@ K1 ``gather_gate``   per edge tile: DMA both endpoints' node-row windows into
 
 K2 ``aggregate``     per edge tile: one-hot matmuls accumulate
                      ``[sigma*m | sigma]`` into per-block window partials for
-                     BOTH aggregation directions; a reshape+add combine turns
-                     the partial rows into node space (ops/message.py).
+                     BOTH aggregation directions; a shifted-add combine turns
+                     the partial arrays into node space (ops/message.py).
 
 K3 ``fused eval``    the whole eval-mode edge stage in one pass: selects ->
                      gate -> BN affine -> relu -> residual -> sigmoid -> both
                      aggregation partials.
 
-One-hots are built **transposed** ``[2W, chunk]`` (window rows x edge lanes):
-the per-edge local indices stream in lane-major rows (see windowed.py — a
-column layout pays a 128x lane-padding tax in HBM, the dominant kernel cost
-before this design), the build is a broadcast compare against iota over
-sublanes, selects contract the one-hot's dim 0 (``dot_general`` with a
-transposed contraction — native on the MXU), and scatters are plain dots that
-accumulate a whole chunk in ONE MXU op.  Padded and overflow edges carry the
-sentinel index 2W, so their one-hot columns are all-zero and they are inert
-in every select and scatter — no edge mask enters the kernels; overflow slots
-are patched by a small XLA path in the caller (ops/message.py).
+K6/K7/K8/K9          score-gate fwd, training gate statistics, fused training
+                     backward, packed dual scatter — see each function.
+
+Every endpoint window is a run of ``k`` consecutive ``W``-row blocks
+(coverage = k*W rows; per-side (W, k) chosen by the plan from the graph's
+measured spans — ops/windowed.py).  Selects sum k per-block contractions;
+scatters split one [k*W, D] dot across k per-block partial output arrays,
+where array i's block b holds contributions to node rows (b+i)*W + j (the
+combine in ops/message.py is k shifted adds).  Select/scatter MACs are
+proportional to the coverage, so more, smaller blocks buy the same span
+guarantee at fewer MACs.
+
+One-hots are built **transposed** ``[k*W, chunk]`` (window rows x edge
+lanes): the per-edge local indices stream in lane-major rows (see
+windowed.py — a column layout pays a 128x lane-padding tax in HBM, the
+dominant kernel cost before this design), the build is a broadcast compare
+against iota over sublanes, selects contract the one-hot's dim 0
+(``dot_general`` with a transposed contraction — native on the MXU), and
+scatters are plain dots that accumulate a whole chunk in ONE MXU op.  Padded
+and overflow edges carry the sentinel index k*W, so their one-hot columns are
+all-zero and they are inert in every select and scatter — no edge mask enters
+the kernels; overflow slots are patched by a small XLA path in the caller
+(ops/message.py).
 
 Dots run at Precision.HIGHEST for f32 operands: the one-hot row select is
 then exact to f32 (bf16x3 passes); bf16 operands use default precision (a
@@ -53,51 +66,86 @@ def _prec(dtype):
 
 
 def _ohT(io2, idx_ref, c, chunk, dtype):
-    """Transposed one-hot [2W, chunk] for in-kernel chunk ``c``: column e is
+    """Transposed one-hot [k*W, chunk] for in-kernel chunk ``c``: column e is
     one-hot at the local window row of edge ``c*chunk + e`` (all-zero for the
-    sentinel 2W: padded / overflow edges)."""
+    sentinel k*W: padded / overflow edges)."""
     row = idx_ref[c, :][None, :]            # [1, chunk] lane-major
     return (io2 == row).astype(dtype)
 
 
-def _selT(ohT, w0, w1, pr):
-    """Row select via transposed contraction: [chunk, D] = ohT^T @ [w0; w1]."""
+def _selT(ohT, ws, pr):
+    """Row select via transposed contraction over the window's k block refs:
+    [chunk, D] = sum_i ohT[i*W:(i+1)*W]^T @ ws[i]."""
     dn = (((0,), (0,)), ((), ()))
-    W = w0.shape[0]
-    return (jax.lax.dot_general(ohT[:W], w0[:], dimension_numbers=dn,
+    W = ws[0].shape[0]
+    acc = None
+    for i, w in enumerate(ws):
+        p = jax.lax.dot_general(ohT[i * W:(i + 1) * W], w[:],
+                                dimension_numbers=dn,
                                 preferred_element_type=jnp.float32,
                                 precision=pr)
-            + jax.lax.dot_general(ohT[W:], w1[:], dimension_numbers=dn,
-                                  preferred_element_type=jnp.float32,
-                                  precision=pr))
+        acc = p if acc is None else acc + p
+    return acc
 
 
-def _scatT(ohT, pay, lo, hi):
-    """Accumulate a whole chunk into the block's window partial in one dot.
-    The [2W, D] window result is split across two contiguous outputs (own
-    block rows -> ``lo``, next-block rows -> ``hi``): the host-side combine
-    is then a single fused pad+add over contiguous arrays instead of three
-    strided-slice passes over an interleaved [NB*2W, D] layout (measured
-    ~6.6 ms -> ~2 ms per combine on the bench graph)."""
+def _scatT(ohT, pay, outs):
+    """Accumulate a whole chunk into the window's per-block partials in one
+    dot.  The [k*W, D] result is split across k contiguous output refs all
+    indexed at the run's FIRST block: ref i's block b holds contributions to
+    node rows (b+i)*W + j, so the host-side combine is k shifted adds over
+    contiguous arrays instead of strided-slice passes over an interleaved
+    layout (measured ~6.6 ms -> ~2 ms per combine on the bench graph)."""
     acc = jnp.dot(ohT, pay, preferred_element_type=jnp.float32,
                   precision=_prec(pay.dtype))
-    W = lo.shape[0]
-    lo[:] += acc[:W].astype(lo.dtype)
-    hi[:] += acc[W:].astype(hi.dtype)
+    W = outs[0].shape[0]
+    for i, o in enumerate(outs):
+        o[:] += acc[i * W:(i + 1) * W].astype(o.dtype)
+
+
+def _win_specs(W, D, side, k):
+    """k window-block specs following the u (side=0) / v (side=1) run."""
+    if side == 0:
+        return [pl.BlockSpec((W, D), (lambda t, ub, vb, i=i: (ub[t] + i, 0)))
+                for i in range(k)]
+    return [pl.BlockSpec((W, D), (lambda t, ub, vb, i=i: (vb[t] + i, 0)))
+            for i in range(k)]
+
+
+def _first_blk_specs(W, D, side, k):
+    """k scatter-partial specs, all indexed at the run's first block."""
+    if side == 0:
+        return [pl.BlockSpec((W, D), lambda t, ub, vb: (ub[t], 0))
+                for _ in range(k)]
+    return [pl.BlockSpec((W, D), lambda t, ub, vb: (vb[t], 0))
+            for _ in range(k)]
+
+
+def _zero_on_run_change(blk_ref, outs):
+    """Zero scatter partials when the tile enters a new block run (monotone
+    ``blk`` => the out blocks stay in VMEM across consecutive tiles)."""
+    t = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(t == 0, blk_ref[t] != blk_ref[t - 1]))
+    def _():
+        for o in outs:
+            o[:] = jnp.zeros_like(o)
 
 
 # ---------------------------------------------------------------- K1: gather
-def _k1_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ul, vl, b3e,
-               g3_out, *, tile_e, wu, wv, d, chunk):
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk), 0)
+def _k1_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
+               ku, kv):
+    uws = refs[:ku]
+    vws = refs[ku:ku + kv]
+    ul, vl, b3e, g3_out = refs[ku + kv:]
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
     dt = g3_out.dtype
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
-        pr = _prec(u0.dtype)
-        gu = _selT(_ohT(io2u, ul, c, chunk, u0.dtype), u0, u1, pr)
-        gv = _selT(_ohT(io2v, vl, c, chunk, u0.dtype), v0, v1, pr)
+        pr = _prec(uws[0].dtype)
+        gu = _selT(_ohT(io2u, ul, c, chunk, uws[0].dtype), uws, pr)
+        gv = _selT(_ohT(io2v, vl, c, chunk, uws[0].dtype), vws, pr)
         gate = (gu[:, :d] + gv[:, :d]).astype(dt) + b3e[sl, :]
         # one fused [chunk, 3d] store: a 3d-wide row costs 256 HBM lanes vs
         # 3 x 128 for separate d-wide outputs (every [*, 64] array lane-pads
@@ -119,59 +167,47 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
     Ep, d = b3e.shape
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
+    ku, kv = plan.k_u, plan.k_v
     dtype = b3e.dtype
     rows = plan.rows_p
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0)),
-        ],
+        in_specs=(
+            _win_specs(Wu, 2 * d, 0, ku) + _win_specs(Wv, 2 * d, 1, kv)
+            + [pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, C), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((ET, d), lambda t, ub, vb: (t, 0))]),
         out_specs=[
             pl.BlockSpec((ET, 3 * d), lambda t, ub, vb: (t, 0)),
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((Ep, 3 * d), dtype)]
     kern = functools.partial(_k1_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
-                             chunk=C)
+                             chunk=C, ku=ku, kv=kv)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
-    )(plan.u_blk, plan.v_blk, proj_u, proj_u, proj_v, proj_v,
+    )(plan.u_blk, plan.v_blk, *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local, plan.v_local, b3e)[0]
 
 
 # ------------------------------------------------------------- K2: aggregate
-def _k2_kernel(u_blk_ref, v_blk_ref, ul, vl, pay_u, pay_v,
-               pu_lo, pu_hi, pv_lo, pv_hi, *, tile_e, wu, wv, chunk):
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk), 0)
-    # block-keyed accumulation: the out blocks follow u_blk/v_blk (monotone),
-    # staying in VMEM across consecutive tiles; zero only on block change
-    t = pl.program_id(0)
-
-    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
-    def _():
-        pu_lo[:] = jnp.zeros_like(pu_lo)
-        pu_hi[:] = jnp.zeros_like(pu_hi)
-
-    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
-    def _():
-        pv_lo[:] = jnp.zeros_like(pv_lo)
-        pv_hi[:] = jnp.zeros_like(pv_hi)
+def _k2_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, chunk, ku, kv):
+    ul, vl, pay_u, pay_v = refs[:4]
+    pu = refs[4:4 + ku]
+    pv = refs[4 + ku:]
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
+    _zero_on_run_change(u_blk_ref, pu)
+    _zero_on_run_change(v_blk_ref, pv)
 
     def body(c, _):
         sl = pl.ds(c * chunk, chunk)
         dt = pay_u.dtype
-        _scatT(_ohT(io2u, ul, c, chunk, dt), pay_u[sl, :], pu_lo, pu_hi)
-        _scatT(_ohT(io2v, vl, c, chunk, dt), pay_v[sl, :], pv_lo, pv_hi)
+        _scatT(_ohT(io2u, ul, c, chunk, dt), pay_u[sl, :], pu)
+        _scatT(_ohT(io2v, vl, c, chunk, dt), pay_v[sl, :], pv)
         return 0
 
     # static unroll: lets Mosaic interleave one-hot builds (VPU) with the
@@ -183,14 +219,15 @@ def _k2_kernel(u_blk_ref, v_blk_ref, ul, vl, pay_u, pay_v,
 def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
     """pay_u/pay_v: [Ep, Dp] per-edge payloads ([sigma*m | sigma]).
 
-    Returns (pu_lo, pu_hi, pv_lo, pv_hi): [NB*W, Dp] per-BLOCK partial sums;
-    row ``b*W + j`` of the low array belongs to node ``b*W + j``, of the high
-    array to node ``(b+1)*W + j`` (combine with
-    ``message.combine_block_partials`` — one fused pad+add).
+    Returns (k_u + k_v) per-block partial-sum arrays, first keyed by u then
+    by v: row ``b*W + j`` of the u-side array i belongs to node
+    ``(b+i)*W + j`` (combine with ``message.combine_block_partials`` — one
+    fused shifted add).
     """
     Ep, Dp = pay_u.shape
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
+    ku, kv = plan.k_u, plan.k_v
     rows = plan.rows_p
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -202,27 +239,25 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
             pl.BlockSpec((ET, Dp), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ET, Dp), lambda t, ub, vb: (t, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((Wu, Dp), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wu, Dp), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wv, Dp), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((Wv, Dp), lambda t, ub, vb: (vb[t], 0)),
-        ],
+        out_specs=(_first_blk_specs(Wu, Dp, 0, ku)
+                   + _first_blk_specs(Wv, Dp, 1, kv)),
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((plan.n_blocks * Wu, Dp), jnp.float32)] * 2
-        + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, Dp), jnp.float32)] * 2)
-    kern = functools.partial(_k2_kernel, tile_e=ET, wu=Wu, wv=Wv, chunk=C)
-    return pl.pallas_call(
+        [jax.ShapeDtypeStruct((plan.n_blocks * Wu, Dp), jnp.float32)] * ku
+        + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, Dp),
+                                jnp.float32)] * kv)
+    kern = functools.partial(_k2_kernel, tile_e=ET, wu=Wu, wv=Wv, chunk=C,
+                             ku=ku, kv=kv)
+    out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
     )(plan.u_blk, plan.v_blk, plan.u_local, plan.v_local, pay_u, pay_v)
+    return out[:ku], out[ku:]
 
 
 # ----------------------------------------------------- K3: fused edge stage
-def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
-               b3e, e_in, affine, e_out, pu_lo, pu_hi, pv_lo, pv_hi,
-               *, tile_e, wu, wv, d, chunk):
+def _k3_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
+               ku, kv):
     """Whole SymGatedGCN edge stage (affine-BN form — eval stats, or training
     stats folded by the caller) in one pass: windowed endpoint selects ->
     gate -> affine -> relu -> residual -> sigmoid -> both aggregation
@@ -230,35 +265,30 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
     [Ep/2, 2d] (edge 2r in lanes :d of row r, edge 2r+1 in lanes d:) — no
     128-lane padding in HBM; per chunk, one one-hot per endpoint per parity
     serves both the selects and the scatters against the same node windows."""
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
+    uws = refs[:ku]
+    vws = refs[ku:ku + kv]
+    ule, ulo, vle, vlo, b3e, e_in, affine, e_out = refs[ku + kv:ku + kv + 8]
+    pu = refs[ku + kv + 8:ku + kv + 8 + ku]
+    pv = refs[ku + kv + 8 + ku:]
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
     scale2 = affine[0:1, :]                   # [1, 2d] = [scale | scale]
     bias2 = affine[1:2, :]
-    # block-keyed accumulation (see _k2_kernel)
-    t = pl.program_id(0)
-
-    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
-    def _():
-        pu_lo[:] = jnp.zeros_like(pu_lo)
-        pu_hi[:] = jnp.zeros_like(pu_hi)
-
-    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
-    def _():
-        pv_lo[:] = jnp.zeros_like(pv_lo)
-        pv_hi[:] = jnp.zeros_like(pv_hi)
+    _zero_on_run_change(u_blk_ref, pu)
+    _zero_on_run_change(v_blk_ref, pv)
 
     hc = chunk // 2
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
-        pr = _prec(u0.dtype)
-        ohT_ue = _ohT(io2u, ule, c, hc, u0.dtype)
-        ohT_uo = _ohT(io2u, ulo, c, hc, u0.dtype)
-        ohT_ve = _ohT(io2v, vle, c, hc, u0.dtype)
-        ohT_vo = _ohT(io2v, vlo, c, hc, u0.dtype)
-        gue = _selT(ohT_ue, u0, u1, pr)
-        guo = _selT(ohT_uo, u0, u1, pr)
-        gve = _selT(ohT_ve, v0, v1, pr)
-        gvo = _selT(ohT_vo, v0, v1, pr)
+        pr = _prec(uws[0].dtype)
+        ohT_ue = _ohT(io2u, ule, c, hc, uws[0].dtype)
+        ohT_uo = _ohT(io2u, ulo, c, hc, uws[0].dtype)
+        ohT_ve = _ohT(io2v, vle, c, hc, uws[0].dtype)
+        ohT_vo = _ohT(io2v, vlo, c, hc, uws[0].dtype)
+        gue = _selT(ohT_ue, uws, pr)
+        guo = _selT(ohT_uo, uws, pr)
+        gve = _selT(ohT_ve, vws, pr)
+        gvo = _selT(ohT_vo, vws, pr)
         dt = e_out.dtype
         gate = jnp.concatenate(
             [gue[:, :d] + gve[:, :d], guo[:, :d] + gvo[:, :d]],
@@ -273,26 +303,27 @@ def _k3_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
         sigma = jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
         se, so = sigma[:, :d], sigma[:, d:]
         _scatT(ohT_ue, jnp.concatenate([se * gve[:, d:].astype(dt), se], 1),
-               pu_lo, pu_hi)                                     # into src
+               pu)                                               # into src
         _scatT(ohT_uo, jnp.concatenate([so * gvo[:, d:].astype(dt), so], 1),
-               pu_lo, pu_hi)
+               pu)
         _scatT(ohT_ve, jnp.concatenate([se * gue[:, d:].astype(dt), se], 1),
-               pv_lo, pv_hi)                                     # into dst
+               pv)                                               # into dst
         _scatT(ohT_vo, jnp.concatenate([so * guo[:, d:].astype(dt), so], 1),
-               pv_lo, pv_hi)
+               pv)
 
 
 def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
                         bn_scale, bn_bias):
     """Fused edge stage over PACKED edge arrays ([Ep/2, 2d], see _k3_kernel).
-    Returns (e_out_p [Ep/2, 2d], pu_lo, pu_hi, pv_lo, pv_hi [NB*W, 2d]
-    per-block partials, see k2_aggregate); overflow slots carry
+    Returns (e_out_p [Ep/2, 2d], pu_parts, pv_parts — per-block partial
+    tuples, see k2_aggregate); overflow slots carry
     gate = affine(b3e) + residual only and contribute nothing to the partials
     (caller patches e_out and adds overflow payloads)."""
     Eh, d2 = b3e_p.shape
     d = d2 // 2
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
+    ku, kv = plan.k_u, plan.k_v
     dtype = b3e_p.dtype
     rows = plan.rows_p
     # [8, 2d]: min sublane tile is 8; rows 0/1 hold [scale|scale]/[bias|bias]
@@ -305,47 +336,41 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-        ],
+        in_specs=(
+            _win_specs(Wu, 2 * d, 0, ku) + _win_specs(Wv, 2 * d, 1, kv)
+            + [pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (0, 0))]),
+        out_specs=(
+            [pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0))]
+            + _first_blk_specs(Wu, 2 * d, 0, ku)
+            + _first_blk_specs(Wv, 2 * d, 1, kv)),
     )
     out_shape = (
         [jax.ShapeDtypeStruct((Eh, 2 * d), dtype)]
         + [jax.ShapeDtypeStruct((plan.n_blocks * Wu, 2 * d),
-                                jnp.float32)] * 2
+                                jnp.float32)] * ku
         + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, 2 * d),
-                                jnp.float32)] * 2
+                                jnp.float32)] * kv
     )
     kern = functools.partial(_k3_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
-                             chunk=C)
-    return pl.pallas_call(
+                             chunk=C, ku=ku, kv=kv)
+    out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
-    )(plan.u_blk, plan.v_blk, proj_u, proj_u, proj_v, proj_v,
+    )(plan.u_blk, plan.v_blk, *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
       b3e_p, e_in_p, affine)
+    return out[0], out[1:1 + ku], out[1 + ku:]
 
 
 # ---------------------------------------------- K7: training gate statistics
-def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
-               b3e, stats_out, *, tile_e, wu, wv, d, chunk):
+def _k7_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
+               ku, kv):
     """Training BatchNorm is two-pass: this is the FIRST pass, fused.  Per
     chunk: windowed gate-half selects -> gate_raw x -> per-tile [sum(x),
     sum(x^2)] partials (the batch statistics).  gate_raw never touches HBM:
@@ -353,8 +378,11 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
     the 1M-node training step (3 GB padded, twice).  The backward's x-sum
     node partials come from K8 (which re-selects x anyway).  Edge arrays are
     PACKED [Ep/2, 2d] (see _k3_kernel)."""
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
+    uws = refs[:ku]
+    vws = refs[ku:ku + kv]
+    ule, ulo, vle, vlo, b3e, stats_out = refs[ku + kv:]
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
     acc = jnp.zeros((1, 2 * d), jnp.float32)    # [s1_e|s2_e] / [s1_o|s2_o]
     acc_o = jnp.zeros((1, 2 * d), jnp.float32)
     dt = b3e.dtype
@@ -362,24 +390,24 @@ def _k7_kernel(u_blk_ref, v_blk_ref, u0, u1, v0, v1, ule, ulo, vle, vlo,
     hp = jax.lax.Precision.HIGHEST
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
-        pr = _prec(u0.dtype)
-        ohT_ue = _ohT(io2u, ule, c, hc, u0.dtype)
-        ohT_uo = _ohT(io2u, ulo, c, hc, u0.dtype)
-        ohT_ve = _ohT(io2v, vle, c, hc, u0.dtype)
-        ohT_vo = _ohT(io2v, vlo, c, hc, u0.dtype)
+        pr = _prec(uws[0].dtype)
+        ohT_ue = _ohT(io2u, ule, c, hc, uws[0].dtype)
+        ohT_uo = _ohT(io2u, ulo, c, hc, uws[0].dtype)
+        ohT_ve = _ohT(io2v, vle, c, hc, uws[0].dtype)
+        ohT_vo = _ohT(io2v, vlo, c, hc, uws[0].dtype)
         # d-wide gate windows (pre-sliced by the caller): HALF the select
         # MACs of the [W, 2d] message windows
-        xue = _selT(ohT_ue, u0, u1, pr)
-        xuo = _selT(ohT_uo, u0, u1, pr)
-        xve = _selT(ohT_ve, v0, v1, pr)
-        xvo = _selT(ohT_vo, v0, v1, pr)
+        xue = _selT(ohT_ue, uws, pr)
+        xuo = _selT(ohT_uo, uws, pr)
+        xve = _selT(ohT_ve, vws, pr)
+        xvo = _selT(ohT_vo, vws, pr)
         x = jnp.concatenate(
             [xue + xve, xuo + xvo], axis=1).astype(dt) + b3e[psl, :]
         xf = x.astype(jnp.float32)
         # padded AND overflow slots carry the sentinel -> excluded here and
         # inert in the scatters; the caller adds overflow edges' contributions
-        me = (ule[c, :] != 2 * wu).astype(jnp.float32)[None, :]
-        mo = (ulo[c, :] != 2 * wu).astype(jnp.float32)[None, :]
+        me = (ule[c, :] != ku * wu).astype(jnp.float32)[None, :]
+        mo = (ulo[c, :] != ku * wu).astype(jnp.float32)[None, :]
         xe, xo = xf[:, :d], xf[:, d:]
         acc = acc + jnp.dot(
             me, jnp.concatenate([xe, xe * xe], axis=1),
@@ -400,6 +428,7 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
     d = d2 // 2
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
+    ku, kv = plan.k_u, plan.k_v
     rows = plan.rows_p
     ETh, Ch = ET // 2, C // 2
     # the stats pass only needs the gate halves: pre-sliced [Np, d] windows
@@ -413,34 +442,28 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((Wu, d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wu, d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((Wv, d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((Wv, d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-        ],
+        in_specs=(
+            _win_specs(Wu, d, 0, ku) + _win_specs(Wv, d, 1, kv)
+            + [pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0))]),
         out_specs=out_specs,
     )
     kern = functools.partial(_k7_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
-                             chunk=C)
+                             chunk=C, ku=ku, kv=kv)
     (stats,) = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
-    )(plan.u_blk, plan.v_blk, pu_g, pu_g, pv_g, pv_g,
+    )(plan.u_blk, plan.v_blk, *([pu_g] * ku), *([pv_g] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o, b3e_p)
     return stats
 
 
 # ------------------------------------- K8: fused training layer backward
-def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
-               ule, ulo, vle, vlo, b3e, e_in, d_e_out, affine,
-               x_out, deo_out, pu_lo, pu_hi, pv_lo, pv_hi,
-               *, tile_e, wu, wv, d, chunk, with_xsum=False):
+def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
+               ku, kv, with_xsum=False):
     """Adjoint of the whole training edge stage in one pass, with NO [Ep, 3d]
     HBM arrays: the forward gate/messages are RE-SELECTED from the node
     windows (cheaper than streaming a materialised [Ep, 3d] payload — the
@@ -451,42 +474,41 @@ def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
     additionally the recomputed gate_raw ``x`` and the residual cotangent
     ``d_eo`` (both packed, no padding): the caller derives d_e_in = d_eo,
     d_y = d_eo * relu_mask, and closes the batch-statistics chain
-    (d_gamma/d_beta/d_b3e and the c1+c2*x node-space correction via K7's
+    (d_gamma/d_beta/d_b3e and the c1+c2*x node-space correction via K8's
     deg/xsum partials).  Edge arrays are PACKED [Ep/2, 2d] (_k3_kernel)."""
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
+    dus = refs[:ku]
+    dvs = refs[ku:ku + kv]
+    uws = refs[ku + kv:2 * ku + kv]
+    vws = refs[2 * ku + kv:2 * ku + 2 * kv]
+    (ule, ulo, vle, vlo, b3e, e_in, d_e_out, affine,
+     x_out, deo_out) = refs[2 * ku + 2 * kv:2 * ku + 2 * kv + 10]
+    pu = refs[2 * ku + 2 * kv + 10:2 * ku + 2 * kv + 10 + ku]
+    pv = refs[2 * ku + 2 * kv + 10 + ku:]
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
     scale2 = affine[0:1, :]
     bias2 = affine[1:2, :]
     scale2_f = scale2.astype(jnp.float32)
-    t = pl.program_id(0)
-
-    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
-    def _():
-        pu_lo[:] = jnp.zeros_like(pu_lo)
-        pu_hi[:] = jnp.zeros_like(pu_hi)
-
-    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
-    def _():
-        pv_lo[:] = jnp.zeros_like(pv_lo)
-        pv_hi[:] = jnp.zeros_like(pv_hi)
+    _zero_on_run_change(u_blk_ref, pu)
+    _zero_on_run_change(v_blk_ref, pv)
 
     hc = chunk // 2
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
         dt = x_out.dtype
-        pr = _prec(u0.dtype)
-        ohT_ue = _ohT(io2u, ule, c, hc, u0.dtype)
-        ohT_uo = _ohT(io2u, ulo, c, hc, u0.dtype)
-        ohT_ve = _ohT(io2v, vle, c, hc, u0.dtype)
-        ohT_vo = _ohT(io2v, vlo, c, hc, u0.dtype)
-        gue = _selT(ohT_ue, u0, u1, pr)
-        guo = _selT(ohT_uo, u0, u1, pr)
-        gve = _selT(ohT_ve, v0, v1, pr)
-        gvo = _selT(ohT_vo, v0, v1, pr)
-        due = _selT(ohT_ue, du0, du1, pr)
-        duo = _selT(ohT_uo, du0, du1, pr)
-        dve = _selT(ohT_ve, dv0, dv1, pr)
-        dvo = _selT(ohT_vo, dv0, dv1, pr)
+        pr = _prec(uws[0].dtype)
+        ohT_ue = _ohT(io2u, ule, c, hc, uws[0].dtype)
+        ohT_uo = _ohT(io2u, ulo, c, hc, uws[0].dtype)
+        ohT_ve = _ohT(io2v, vle, c, hc, uws[0].dtype)
+        ohT_vo = _ohT(io2v, vlo, c, hc, uws[0].dtype)
+        gue = _selT(ohT_ue, uws, pr)
+        guo = _selT(ohT_uo, uws, pr)
+        gve = _selT(ohT_ve, vws, pr)
+        gvo = _selT(ohT_vo, vws, pr)
+        due = _selT(ohT_ue, dus, pr)
+        duo = _selT(ohT_uo, dus, pr)
+        dve = _selT(ohT_ve, dvs, pr)
+        dvo = _selT(ohT_vo, dvs, pr)
         # recomputed forward, bit-matching the K3/K7 dtype discipline
         x = jnp.concatenate(
             [gue[:, :d] + gve[:, :d], guo[:, :d] + gvo[:, :d]],
@@ -521,23 +543,19 @@ def _k8_kernel(u_blk_ref, v_blk_ref, du0, du1, dv0, dv1, u0, u1, v0, v1,
             def pay3(a, b_, c_):
                 return jnp.concatenate(
                     [jnp.concatenate([a, b_], axis=1).astype(dt), c_], axis=1)
-            _scatT(ohT_ue, pay3(dys[:, :d], sdv[:, :d], x[:, :d]),
-                   pu_lo, pu_hi)
-            _scatT(ohT_uo, pay3(dys[:, d:], sdv[:, d:], x[:, d:]),
-                   pu_lo, pu_hi)
-            _scatT(ohT_ve, pay3(dys[:, :d], sdu[:, :d], x[:, :d]),
-                   pv_lo, pv_hi)
-            _scatT(ohT_vo, pay3(dys[:, d:], sdu[:, d:], x[:, d:]),
-                   pv_lo, pv_hi)
+            _scatT(ohT_ue, pay3(dys[:, :d], sdv[:, :d], x[:, :d]), pu)
+            _scatT(ohT_uo, pay3(dys[:, d:], sdv[:, d:], x[:, d:]), pu)
+            _scatT(ohT_ve, pay3(dys[:, :d], sdu[:, :d], x[:, :d]), pv)
+            _scatT(ohT_vo, pay3(dys[:, d:], sdu[:, d:], x[:, d:]), pv)
         else:
             _scatT(ohT_ue, jnp.concatenate(
-                [dys[:, :d], sdv[:, :d]], axis=1).astype(dt), pu_lo, pu_hi)
+                [dys[:, :d], sdv[:, :d]], axis=1).astype(dt), pu)
             _scatT(ohT_uo, jnp.concatenate(
-                [dys[:, d:], sdv[:, d:]], axis=1).astype(dt), pu_lo, pu_hi)
+                [dys[:, d:], sdv[:, d:]], axis=1).astype(dt), pu)
             _scatT(ohT_ve, jnp.concatenate(
-                [dys[:, :d], sdu[:, :d]], axis=1).astype(dt), pv_lo, pv_hi)
+                [dys[:, :d], sdu[:, :d]], axis=1).astype(dt), pv)
             _scatT(ohT_vo, jnp.concatenate(
-                [dys[:, d:], sdu[:, d:]], axis=1).astype(dt), pv_lo, pv_hi)
+                [dys[:, d:], sdu[:, d:]], axis=1).astype(dt), pv)
 
 
 def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
@@ -546,8 +564,8 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     """Fused training-layer backward (packed edge layout).  ``d_sum_u``/
     ``d_sum_v`` are the node cotangent arrays [Np, 2d] (caller casts to the
     compute dtype); returns (x_p [Ep/2, 2d] recomputed gate_raw,
-    deo_p [Ep/2, 2d] residual cotangent (= d_e_in), pu_lo, pu_hi, pv_lo,
-    pv_hi window partials keyed by u / v).  The partials are [NB*W, 2d]
+    deo_p [Ep/2, 2d] residual cotangent (= d_e_in), pu_parts, pv_parts
+    window-partial tuples keyed by u / v).  The partials are [NB*W, 2d]
     ([d_gate | d_msg]); with ``with_xsum`` they widen to [NB*W, 3d]
     ([d_gate | d_msg | x]) — the x-sums for the batch-statistics chain ride
     the same scatter dots.  Overflow edges select zero everywhere (sentinel
@@ -557,6 +575,7 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     d = d2 // 2
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
+    ku, kv = plan.k_u, plan.k_v
     dtype = b3e_p.dtype
     rows = plan.rows_p
     affine = jnp.concatenate(
@@ -566,65 +585,56 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
 
     ETh, Ch = ET // 2, C // 2
     pd = 3 * d if with_xsum else 2 * d      # partial width (see docstring)
-    out_specs = [
-        pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-        pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-        pl.BlockSpec((Wu, pd), lambda t, ub, vb: (ub[t], 0)),
-        pl.BlockSpec((Wu, pd), lambda t, ub, vb: (ub[t], 0)),
-        pl.BlockSpec((Wv, pd), lambda t, ub, vb: (vb[t], 0)),
-        pl.BlockSpec((Wv, pd), lambda t, ub, vb: (vb[t], 0)),
-    ]
+    out_specs = (
+        [pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+         pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0))]
+        + _first_blk_specs(Wu, pd, 0, ku) + _first_blk_specs(Wv, pd, 1, kv))
     # d_proj partials ride the payload dtype (see k7_gate_stats: block
     # accumulation depth is 1-3 tiles; the combined sums are cast to the
     # compute dtype anyway) — halves another 2 GB at 6.3M edges
     out_shape = [
         jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
         jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
-    ] + ([jax.ShapeDtypeStruct((plan.n_blocks * Wu, pd), dtype)] * 2
-         + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, pd), dtype)] * 2)
+    ] + ([jax.ShapeDtypeStruct((plan.n_blocks * Wu, pd), dtype)] * ku
+         + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, pd), dtype)] * kv)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wu, 2 * d), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((Wv, 2 * d), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (0, 0)),
-        ],
+        in_specs=(
+            _win_specs(Wu, 2 * d, 0, ku) + _win_specs(Wv, 2 * d, 1, kv)
+            + _win_specs(Wu, 2 * d, 0, ku) + _win_specs(Wv, 2 * d, 1, kv)
+            + [pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (0, 0))]),
         out_specs=out_specs,
     )
     kern = functools.partial(_k8_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
-                             chunk=C, with_xsum=with_xsum)
+                             chunk=C, ku=ku, kv=kv, with_xsum=with_xsum)
     # in-place: x_out overwrites b3e_p and deo_out overwrites d_e_out_p
     # (0.75 GB each at 6.3M edges).  Exact: at overflow rows the kernel
     # writes x = b3e and deo = d_e_out verbatim (sentinel selects are zero),
     # so the caller's overflow patches read the outputs in place of the
     # destroyed inputs.  Alias indices count scalar-prefetch args too.
-    return pl.pallas_call(
+    pos_b3e = 2 + 2 * ku + 2 * kv + 4
+    out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        input_output_aliases={14: 0, 16: 1},
+        input_output_aliases={pos_b3e: 0, pos_b3e + 2: 1},
         interpret=_interpret(),
-    )(plan.u_blk, plan.v_blk, d_sum_u, d_sum_u, d_sum_v, d_sum_v,
-      proj_u, proj_u, proj_v, proj_v,
+    )(plan.u_blk, plan.v_blk, *([d_sum_u] * ku), *([d_sum_v] * kv),
+      *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
       b3e_p, e_in_p, d_e_out_p, affine)
+    return out[0], out[1], out[2:2 + ku], out[2 + ku:]
 
 
 # ------------------------------------------- K6: score-predictor first layer
-def _k6_kernel(u_blk_ref, v_blk_ref, puv0, puv1, pvv0, pvv1,
-               ule, ulo, vle, vlo, be, z_out, *, tile_e, wu, wv, d, chunk):
+def _k6_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
+               ku, kv):
     """Fused ``relu(pu[u] + pv[v] + be)`` — the score predictor's endpoint
     gathers AND first-layer matmul in one windowed pass (``pu = h @ W1u`` etc.
     are computed in NODE space by the caller, so the [Ep, 3d] concat and the
@@ -632,16 +642,19 @@ def _k6_kernel(u_blk_ref, v_blk_ref, puv0, puv1, pvv0, pvv1,
     score_predictor.py:13-23).  ``puv`` packs [pu | pv] side by side ([Np,
     2H], no 128-lane padding); edge arrays are PACKED [Ep/2, 2H]
     (_k3_kernel).  Overflow slots carry relu(be) (caller patches)."""
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
+    uws = refs[:ku]
+    vws = refs[ku:ku + kv]
+    ule, ulo, vle, vlo, be, z_out = refs[ku + kv:]
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
     hc = chunk // 2
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
-        pr = _prec(puv0.dtype)
-        gue = _selT(_ohT(io2u, ule, c, hc, puv0.dtype), puv0, puv1, pr)
-        guo = _selT(_ohT(io2u, ulo, c, hc, puv0.dtype), puv0, puv1, pr)
-        gve = _selT(_ohT(io2v, vle, c, hc, puv0.dtype), pvv0, pvv1, pr)
-        gvo = _selT(_ohT(io2v, vlo, c, hc, puv0.dtype), pvv0, pvv1, pr)
+        pr = _prec(uws[0].dtype)
+        gue = _selT(_ohT(io2u, ule, c, hc, uws[0].dtype), uws, pr)
+        guo = _selT(_ohT(io2u, ulo, c, hc, uws[0].dtype), uws, pr)
+        gve = _selT(_ohT(io2v, vle, c, hc, uws[0].dtype), vws, pr)
+        gvo = _selT(_ohT(io2v, vlo, c, hc, uws[0].dtype), vws, pr)
         s = jnp.concatenate(
             [gue[:, :d] + gve[:, d:], guo[:, :d] + gvo[:, d:]], axis=1)
         z_out[psl, :] = jax.nn.relu(s.astype(z_out.dtype) + be[psl, :])
@@ -655,58 +668,49 @@ def k6_score_gate(plan: WindowedPlan, puv, be_p):
     H = H2 // 2
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
+    ku, kv = plan.k_u, plan.k_v
     rows = plan.rows_p
     ETh, Ch = ET // 2, C // 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((Wu, 2 * H), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wu, 2 * H), lambda t, ub, vb: (ub[t] + 1, 0)),
-            pl.BlockSpec((Wv, 2 * H), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((Wv, 2 * H), lambda t, ub, vb: (vb[t] + 1, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-            pl.BlockSpec((ETh, 2 * H), lambda t, ub, vb: (t, 0)),
-        ],
+        in_specs=(
+            _win_specs(Wu, 2 * H, 0, ku) + _win_specs(Wv, 2 * H, 1, kv)
+            + [pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
+               pl.BlockSpec((ETh, 2 * H), lambda t, ub, vb: (t, 0))]),
         out_specs=[
             pl.BlockSpec((ETh, 2 * H), lambda t, ub, vb: (t, 0)),
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((Eh, 2 * H), be_p.dtype)]
     kern = functools.partial(_k6_kernel, tile_e=ET, wu=Wu, wv=Wv, d=H,
-                             chunk=C)
+                             chunk=C, ku=ku, kv=kv)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
-    )(plan.u_blk, plan.v_blk, puv, puv, puv, puv,
+    )(plan.u_blk, plan.v_blk, *([puv] * ku), *([puv] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
       be_p)[0]
 
 
 # --------------------------------------- K9: packed shared-payload aggregate
-def _k9_kernel(u_blk_ref, v_blk_ref, ule, ulo, vle, vlo, pay,
-               pu_lo, pu_hi, pv_lo, pv_hi, *, tile_e, wu, wv, d, chunk):
+def _k9_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
+               ku, kv):
     """Dual-direction scatter of ONE packed payload [Ep/2, 2D] into per-block
     window partials keyed by u AND v — the adjoint of K6's two selects (the
     score-gate backward scatters the same masked cotangent by both
     endpoints).  The packed analog of _k2_kernel."""
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (2 * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (2 * wv, chunk // 2), 0)
-    t = pl.program_id(0)
-
-    @pl.when(jnp.logical_or(t == 0, u_blk_ref[t] != u_blk_ref[t - 1]))
-    def _():
-        pu_lo[:] = jnp.zeros_like(pu_lo)
-        pu_hi[:] = jnp.zeros_like(pu_hi)
-
-    @pl.when(jnp.logical_or(t == 0, v_blk_ref[t] != v_blk_ref[t - 1]))
-    def _():
-        pv_lo[:] = jnp.zeros_like(pv_lo)
-        pv_hi[:] = jnp.zeros_like(pv_hi)
+    ule, ulo, vle, vlo, pay = refs[:5]
+    pu = refs[5:5 + ku]
+    pv = refs[5 + ku:]
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
+    _zero_on_run_change(u_blk_ref, pu)
+    _zero_on_run_change(v_blk_ref, pv)
 
     hc = chunk // 2
     for c in range(tile_e // chunk):
@@ -714,24 +718,21 @@ def _k9_kernel(u_blk_ref, v_blk_ref, ule, ulo, vle, vlo, pay,
         dt = pay.dtype
         pc = pay[psl, :]
         pe, po = pc[:, :d], pc[:, d:]
-        ohT_ue = _ohT(io2u, ule, c, hc, dt)
-        ohT_uo = _ohT(io2u, ulo, c, hc, dt)
-        ohT_ve = _ohT(io2v, vle, c, hc, dt)
-        ohT_vo = _ohT(io2v, vlo, c, hc, dt)
-        _scatT(ohT_ue, pe, pu_lo, pu_hi)
-        _scatT(ohT_uo, po, pu_lo, pu_hi)
-        _scatT(ohT_ve, pe, pv_lo, pv_hi)
-        _scatT(ohT_vo, po, pv_lo, pv_hi)
+        _scatT(_ohT(io2u, ule, c, hc, dt), pe, pu)
+        _scatT(_ohT(io2u, ulo, c, hc, dt), po, pu)
+        _scatT(_ohT(io2v, vle, c, hc, dt), pe, pv)
+        _scatT(_ohT(io2v, vlo, c, hc, dt), po, pv)
 
 
 def k9_aggregate_packed(plan: WindowedPlan, pay_p):
-    """pay_p: [Ep/2, 2D] packed per-edge payload.  Returns (pu_lo, pu_hi,
-    pv_lo, pv_hi): [NB*W, D] per-block partial sums of the payload keyed by
-    u / v (combine with ``message.combine_block_partials``)."""
+    """pay_p: [Ep/2, 2D] packed per-edge payload.  Returns (pu_parts,
+    pv_parts): tuples of [NB*W, D] per-block partial sums of the payload
+    keyed by u / v (combine with ``message.combine_block_partials``)."""
     Eh, D2 = pay_p.shape
     D = D2 // 2
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
+    ku, kv = plan.k_u, plan.k_v
     rows = plan.rows_p
     ETh, Ch = ET // 2, C // 2
 
@@ -745,23 +746,21 @@ def k9_aggregate_packed(plan: WindowedPlan, pay_p):
             pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
             pl.BlockSpec((ETh, 2 * D), lambda t, ub, vb: (t, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((Wu, D), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wu, D), lambda t, ub, vb: (ub[t], 0)),
-            pl.BlockSpec((Wv, D), lambda t, ub, vb: (vb[t], 0)),
-            pl.BlockSpec((Wv, D), lambda t, ub, vb: (vb[t], 0)),
-        ],
+        out_specs=(_first_blk_specs(Wu, D, 0, ku)
+                   + _first_blk_specs(Wv, D, 1, kv)),
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((plan.n_blocks * Wu, D), jnp.float32)] * 2
-        + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, D), jnp.float32)] * 2)
+        [jax.ShapeDtypeStruct((plan.n_blocks * Wu, D), jnp.float32)] * ku
+        + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, D),
+                                jnp.float32)] * kv)
     kern = functools.partial(_k9_kernel, tile_e=ET, wu=Wu, wv=Wv, d=D,
-                             chunk=C)
-    return pl.pallas_call(
+                             chunk=C, ku=ku, kv=kv)
+    out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(),
     )(plan.u_blk, plan.v_blk,
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o, pay_p)
+    return out[:ku], out[ku:]
 
 
 # ----------------------------------------------------------------- utilities

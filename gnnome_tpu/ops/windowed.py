@@ -2,10 +2,20 @@
 
 Assembly graphs are banded (reads ordered along the genome), so for a tile of
 ``tile_e`` consecutive dst-sorted edge slots, both endpoints' node ids fall in
-a narrow window.  The plan quantises those windows to ``window``-row blocks
-(two consecutive blocks per tile => 2*window coverage) so Pallas block specs
-can prefetch them; edges whose endpoints escape the window are routed to a
-small XLA overflow path.
+a narrow window.  The plan quantises those windows to runs of ``k``
+consecutive ``window``-row blocks per endpoint (coverage = k*window rows) so
+Pallas block specs can prefetch them; edges whose endpoints escape the window
+are routed to a small XLA overflow path.
+
+The select/scatter MAC cost of every kernel is proportional to the coverage,
+but the coverage a tile NEEDS is its endpoint span plus the block-alignment
+slack (anchors are quantised to ``window`` rows): guaranteed coverage of a
+``(window, k)`` config is ``(k-1)*window + 1``.  More, smaller blocks buy the
+same guarantee at less coverage — e.g. 4x128 covers any 385-row span at
+coverage 512 where 2x384 needs 768.  ``build_windowed_plan`` auto-selects the
+cheapest per-endpoint config whose EXACT (host-counted) overflow stays under
+a budget; the v (slot-sort-key) side typically lands far narrower than the
+u side, whose span is the graph's overlap-band width.
 
 Per-edge local indices are stored **lane-major** ``[Ep/chunk, chunk]`` (slot
 ``s`` lives at row ``s // chunk``, lane ``s % chunk``): a column-vector
@@ -26,34 +36,48 @@ import jax.numpy as jnp
 import numpy as np
 
 TILE_E = 2048    # edges per kernel tile (amortises window DMA + partial rows)
-WINDOW = 512     # u-side node rows per window block (coverage = 2 blocks)
-WINDOW_V = 384   # v-side (slot-sort key) block rows — see below
+AUTO_SELECT = True   # pick per-side (window, k) from the graph's spans
+WINDOW = 512     # fallback u-side block rows (k=2) when auto-select is off
+WINDOW_V = 384   # fallback v-side block rows
 CHUNK = 512      # edge rows per in-kernel step (one-hot lane width)
-# (TILE_E, WINDOW) trade one-hot flops (~4*W*d per edge per kernel) against
-# overflow AND per-tile pipeline overhead: on the bench graph 2048/512 ->
-# 0.26% overflow; 1024/256 halves the flops but DOUBLES the tile count and
-# measured ~15% SLOWER end-to-end (scripts/k3_ablate.py).
-#
-# Windows are PER ENDPOINT: slots are v(dst)-sorted, so a tile's v values
-# span only ~tile_e/avg_degree consecutive rows, while its u values spread
-# across the graph's overlap band (~2x wider on the bench graph).  A narrow
-# v window halves that side's select/scatter MACs and window DMA bytes at
-# the SAME tile count (512/256: 4k u-ovf + 29k v-ovf = 2% overflow vs 0.26%
-# symmetric — the patch path absorbs it).  Flip plans swap roles (u becomes
-# the sort key), so the narrow side swaps with them.
+# (TILE_E, coverage) trade one-hot flops (~4*cov*d per edge per kernel)
+# against overflow AND per-tile pipeline overhead: on the bench graph
+# 2048-edge tiles with ~1024-row u coverage -> 0.26% overflow; halving
+# tile_e halves the flops but DOUBLES the tile count and measured ~15%
+# SLOWER end-to-end (scripts/k3_ablate.py).
+# auto-select cost model: per-side cost = coverage * n_tiles (select/scatter
+# MACs + window DMA) + OVF_ROWTILES * n_ovf (the XLA patch path).  The weight
+# comes from v5e measurements on the 1.57M-edge bench graph: one coverage row
+# costs ~0.33 us/tile across the training step's kernels, one overflow edge
+# ~12 us/step => ~36 row-tiles per overflow edge.
+OVF_ROWTILES = 36.0
+# per-block-ref overhead, in coverage-row equivalents: each extra block in a
+# run adds a select dot, a scatter partial array (zeroing + write-back DMA)
+# and pipeline latency.  Calibrated on the v5e bench-graph sweep: a 4x128 run
+# matches a 2x384 run (cover 512 vs 768) and a 4x256 run loses ~46 ms/step to
+# 2x512 at equal coverage => overhead ~= 128 rows per block.
+K_ROWS = 128
+# candidate (window, k) configs; windows dividing 512 are always legal for
+# the padded node counts (multiples of 512, train/step.py effective_pads),
+# 384-row windows whenever Np % 384 == 0 (the builder checks)
+_CONFIGS = ((128, 2), (128, 3), (256, 2), (128, 4), (384, 2), (256, 3),
+            (512, 2), (256, 4), (384, 3), (512, 3), (512, 4))
+# probe overrides: force one side's (window, k) in auto mode
+FORCE_U: tuple[int, int] | None = None
+FORCE_V: tuple[int, int] | None = None
 
 
 @dataclass(frozen=True)
 class WindowedPlan:
     # --- leaves ---
-    u_blk: jax.Array        # int32 [T]  u-window block per tile, NON-DECREASING
-    v_blk: jax.Array        # int32 [T]  (monotone => kernels can accumulate
-                            #            partials per block, not per tile)
+    u_blk: jax.Array        # int32 [T]  first u-window block per tile,
+    v_blk: jax.Array        # int32 [T]  NON-DECREASING (monotone => kernels
+                            #            accumulate partials per block run)
     u_local: jax.Array      # int32 [T*rows_p, chunk] lane-major: tile t's
                             #   chunk c lives at row t*rows_p + c (rows_p =
                             #   tile_e/chunk padded up to a multiple of 8 for
                             #   the sublane tiling; pad rows hold sentinels);
-                            #   value = src - u_blk*W, sentinel 2W if
+                            #   value = src - u_blk*W, sentinel k*W if
                             #   overflow/padded
     v_local: jax.Array      # int32 [T*rows_p, chunk]
     # parity-split locals for the PACKED edge layout (edge 2r in lanes 0:d of
@@ -84,6 +108,8 @@ class WindowedPlan:
     u_all: bool = False     # every u block visited => combine can skip the
     v_all: bool = False     #   visited-mask pass (one full [NB*W, D] sweep)
     window_v: int = 0       # v-side block rows (0 => same as ``window``)
+    k_u: int = 2            # u-side blocks per tile (coverage = k_u*window)
+    k_v: int = 2            # v-side blocks per tile
 
     @property
     def win_v(self) -> int:
@@ -91,17 +117,31 @@ class WindowedPlan:
 
     @property
     def sentinel(self) -> int:
-        return 2 * self.window
+        """u-side sentinel local index (all-zero one-hot column)."""
+        return self.k_u * self.window
+
+    @property
+    def sentinel_v(self) -> int:
+        return self.k_v * self.win_v
+
+    @property
+    def cover_u(self) -> int:
+        return self.k_u * self.window
+
+    @property
+    def cover_v(self) -> int:
+        return self.k_v * self.win_v
 
     @property
     def n_blocks(self) -> int:
-        """Distinct u window-block positions (= Np/W - 1); the aggregation
-        kernels emit one (2W, D) partial block per position."""
-        return self.n_pad // self.window - 1
+        """Distinct u window-block positions (= Np/W - (k-1)); the
+        aggregation kernels emit one (W, D) partial block per position per
+        in-run offset."""
+        return self.n_pad // self.window - (self.k_u - 1)
 
     @property
     def n_blocks_v(self) -> int:
-        return self.n_pad // self.win_v - 1
+        return self.n_pad // self.win_v - (self.k_v - 1)
 
     @property
     def rows_p(self) -> int:
@@ -117,66 +157,128 @@ jax.tree_util.register_dataclass(
                  "u_visited", "v_visited", "ovf_slots", "ovf_mask",
                  "deg_u", "deg_v"],
     meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_ovf", "n_pad",
-                 "u_all", "v_all", "window_v"],
+                 "u_all", "v_all", "window_v", "k_u", "k_v"],
 )
 
 
 def _plan_side(idx: np.ndarray, n_tiles: int, tile_e: int, window: int,
-               max_blk: int):
-    """(blk [T], local [Ep], overflow bool [Ep]) for one endpoint array."""
+               k: int, max_blk: int, med: np.ndarray | None = None):
+    """(blk [T], local [Ep], overflow bool [Ep]) for one endpoint array.
+    ``med`` caches the per-tile median (config-independent — the auto-select
+    loop hoists it)."""
     tiles = idx.reshape(n_tiles, tile_e)
-    # choose the 2-block window that covers the most edges: anchor on the
+    cover = k * window
+    # choose the k-block window that covers the most edges: anchor on the
     # median endpoint, clamp into range
-    med = np.median(tiles, axis=1).astype(np.int64)
-    # centre the 2-block window on the median: med - blk*W in [W/2, 3W/2)
-    blk = np.clip((med - window // 2) // window, 0, max_blk).astype(np.int32)
-    # monotone non-decreasing blocks: lets the kernels keep one (2W, D)
-    # accumulator per block position in VMEM across consecutive tiles (and
-    # makes the combine a reshape+add instead of a segment-sum).  Assembly
-    # graphs are banded, so the running max displaces almost nothing; edges a
-    # displaced window no longer covers go to the overflow path.
+    if med is None:
+        med = np.median(tiles, axis=1).astype(np.int64)
+    # centre the k-block run on the median: the median's offset into the
+    # [0, cover) window lands in [cover/2 - W/2, cover/2 + W/2)
+    blk = np.clip((med - (cover - window) // 2) // window,
+                  0, max_blk).astype(np.int32)
+    # monotone non-decreasing blocks: lets the kernels keep window partials
+    # in VMEM across consecutive tiles (and makes the combine a reshape+add
+    # instead of a segment-sum).  Assembly graphs are banded, so the running
+    # max displaces almost nothing; edges a displaced window no longer covers
+    # go to the overflow path.
     blk = np.maximum.accumulate(blk)
     base = (blk.astype(np.int64) * window)[:, None]
     local = tiles - base
-    ovf = (local < 0) | (local >= 2 * window)
-    local = np.where(ovf, 2 * window, local)
+    ovf = (local < 0) | (local >= cover)
+    local = np.where(ovf, cover, local)
     return blk, local.reshape(-1).astype(np.int32), ovf.reshape(-1)
 
 
+def _auto_side(idx: np.ndarray, valid: np.ndarray, n_tiles: int, tile_e: int,
+               n_pad: int):
+    """Pick the cheapest (window, k) for one endpoint array by the measured
+    cost model: coverage * n_tiles + OVF_ROWTILES * exact_overflow_count.
+    Long-range edges no window catches (repeats, false overlaps) charge
+    every config equally, so they never force a uselessly wide window."""
+    best = None
+    med = np.median(idx.reshape(n_tiles, tile_e), axis=1).astype(np.int64)
+    for w, k in sorted(_CONFIGS,
+                       key=lambda c: ((c[0] + K_ROWS) * c[1], c[1])):
+        if n_pad % w != 0 or n_pad < (k + 1) * w:
+            continue
+        cov_cost = (w + K_ROWS) * k * n_tiles
+        if best is not None and cov_cost >= best[0]:
+            break       # ascending cost floor: nothing cheaper can follow
+        blk, local, ovf = _plan_side(idx, n_tiles, tile_e, w, k,
+                                     n_pad // w - k, med=med)
+        cost = cov_cost + OVF_ROWTILES * int((ovf & valid).sum())
+        if best is None or cost < best[0]:
+            best = (cost, (w, k, blk, local, ovf))
+    return None if best is None else best[1]
+
+
+def _forced_side(idx: np.ndarray, n_tiles: int, tile_e: int, n_pad: int,
+                 force: tuple[int, int]):
+    w, k = force
+    blk, local, ovf = _plan_side(idx, n_tiles, tile_e, w, k, n_pad // w - k)
+    return w, k, blk, local, ovf
+
+
 def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
-                        window: int = WINDOW,
+                        window: int | None = None,
                         chunk: int | None = None,
-                        window_v: int | None = None) -> WindowedPlan | None:
+                        window_v: int | None = None,
+                        k_u: int = 2, k_v: int = 2) -> WindowedPlan | None:
     """Plan for the (src->dst) direction, or the reversed roles if ``flip``.
 
-    ``window`` / ``window_v`` size the u- and v-side blocks independently
-    (``window_v=None`` => symmetric).  Returns None when the graph is too
-    small to be worth tiling.
+    ``window``/``window_v`` (with ``k_u``/``k_v`` blocks) size the u- and
+    v-side coverage explicitly; ``window=None`` auto-selects each side's
+    cheapest config from the graph's measured spans (exact overflow counts).
+    Returns None when the graph is too small to be worth tiling.
     """
     Ep, Np = gt.n_edges_pad, gt.n_nodes_pad
     chunk = min(chunk or CHUNK, tile_e)
-    wv = window_v or window
-    if Ep % tile_e != 0 or Np < 2 * max(window, wv) or Np % window != 0 \
-            or Np % wv != 0 or tile_e % chunk != 0 or chunk % 2 != 0:
-        return None
-    src = np.asarray(gt.src)
-    dst = np.asarray(gt.dst)
+    auto = window is None
+    wu = window or WINDOW
+    wv = window_v or wu
+    if Ep % tile_e != 0 or tile_e % chunk != 0 or chunk % 2 != 0 \
+            or Np < (max(k_u, k_v) + 1) * max(wu, wv) \
+            or Np % wu != 0 or Np % wv != 0:
+        if not auto:
+            return None
+        if Ep % tile_e != 0 or tile_e % chunk != 0 or chunk % 2 != 0 \
+                or Np < 3 * 128 or Np % 128 != 0:
+            return None
+    host = getattr(gt, "_host", None)
+    if host is not None:
+        src, dst, emask = host       # avoids 3 device->host round trips
+    else:
+        src, dst, emask = (np.asarray(gt.src), np.asarray(gt.dst),
+                           np.asarray(gt.edge_mask))
     u, v = (src, dst) if not flip else (dst, src)
     n_tiles = Ep // tile_e
+    valid = emask[:, 0] > 0
 
-    u_blk, u_local, u_ovf = _plan_side(u.astype(np.int64), n_tiles, tile_e,
-                                       window, Np // window - 2)
-    v_blk, v_local, v_ovf = _plan_side(v.astype(np.int64), n_tiles, tile_e,
-                                       wv, Np // wv - 2)
+    if auto:
+        fu, fv = (FORCE_U, FORCE_V) if not flip else (FORCE_V, FORCE_U)
+        u64, v64 = u.astype(np.int64), v.astype(np.int64)
+        got_u = (_forced_side(u64, n_tiles, tile_e, Np, fu) if fu
+                 else _auto_side(u64, valid, n_tiles, tile_e, Np))
+        got_v = (_forced_side(v64, n_tiles, tile_e, Np, fv) if fv
+                 else _auto_side(v64, valid, n_tiles, tile_e, Np))
+        if got_u is None or got_v is None:
+            return None
+        wu, k_u, u_blk, u_local, u_ovf = got_u
+        wv, k_v, v_blk, v_local, v_ovf = got_v
+    else:
+        u_blk, u_local, u_ovf = _plan_side(u.astype(np.int64), n_tiles,
+                                           tile_e, wu, k_u, Np // wu - k_u)
+        v_blk, v_local, v_ovf = _plan_side(v.astype(np.int64), n_tiles,
+                                           tile_e, wv, k_v, Np // wv - k_v)
     ovf = (u_ovf | v_ovf)
     # padded slots are inert regardless; never treat them as overflow
-    ovf &= np.asarray(gt.edge_mask)[:, 0] > 0
+    ovf &= valid
     # an edge handled by overflow must contribute NOTHING in-kernel; padded
     # slots likewise: sentinel one-hot columns (all-zero) make them inert in
     # every select AND scatter — kernels need no edge mask
-    pad = np.asarray(gt.edge_mask)[:, 0] == 0
-    u_local = np.where(ovf | pad, 2 * window, u_local).astype(np.int32)
-    v_local = np.where(ovf | pad, 2 * wv, v_local).astype(np.int32)
+    pad = ~valid
+    u_local = np.where(ovf | pad, k_u * wu, u_local).astype(np.int32)
+    v_local = np.where(ovf | pad, k_v * wv, v_local).astype(np.int32)
 
     ovf_ids = np.nonzero(ovf)[0].astype(np.int32)
     n_ovf = int(ovf_ids.shape[0])
@@ -186,8 +288,8 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
     ovf_mask = np.zeros((n_ovf_pad, 1), dtype=np.float32)
     ovf_mask[:n_ovf] = 1.0
 
-    u_visited = np.zeros(Np // window - 1, dtype=np.float32)
-    v_visited = np.zeros(Np // wv - 1, dtype=np.float32)
+    u_visited = np.zeros(Np // wu - (k_u - 1), dtype=np.float32)
+    v_visited = np.zeros(Np // wv - (k_v - 1), dtype=np.float32)
     u_visited[u_blk] = 1.0     # unvisited partial blocks hold uninitialised
     v_visited[v_blk] = 1.0     # HBM; the combine masks them out
 
@@ -210,21 +312,19 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
 
     return WindowedPlan(
         u_blk=jnp.asarray(u_blk), v_blk=jnp.asarray(v_blk),
-        u_local=jnp.asarray(_lane_major(u_local, 2 * window)),
-        v_local=jnp.asarray(_lane_major(v_local, 2 * wv)),
-        u_local_e=jnp.asarray(_lane_major(u_local, 2 * window, 0)),
-        u_local_o=jnp.asarray(_lane_major(u_local, 2 * window, 1)),
-        v_local_e=jnp.asarray(_lane_major(v_local, 2 * wv, 0)),
-        v_local_o=jnp.asarray(_lane_major(v_local, 2 * wv, 1)),
+        u_local=jnp.asarray(_lane_major(u_local, k_u * wu)),
+        v_local=jnp.asarray(_lane_major(v_local, k_v * wv)),
+        u_local_e=jnp.asarray(_lane_major(u_local, k_u * wu, 0)),
+        u_local_o=jnp.asarray(_lane_major(u_local, k_u * wu, 1)),
+        v_local_e=jnp.asarray(_lane_major(v_local, k_v * wv, 0)),
+        v_local_o=jnp.asarray(_lane_major(v_local, k_v * wv, 1)),
         u_visited=jnp.asarray(u_visited), v_visited=jnp.asarray(v_visited),
         ovf_slots=jnp.asarray(ovf_slots), ovf_mask=jnp.asarray(ovf_mask),
         deg_u=jnp.asarray(np.bincount(
-            u[np.asarray(gt.edge_mask)[:, 0] > 0],
-            minlength=Np).astype(np.float32)),
+            u[valid], minlength=Np).astype(np.float32)),
         deg_v=jnp.asarray(np.bincount(
-            v[np.asarray(gt.edge_mask)[:, 0] > 0],
-            minlength=Np).astype(np.float32)),
-        tile_e=tile_e, window=window, chunk=chunk, n_tiles=n_tiles,
-        n_ovf=n_ovf, n_pad=Np, window_v=wv,
+            v[valid], minlength=Np).astype(np.float32)),
+        tile_e=tile_e, window=wu, chunk=chunk, n_tiles=n_tiles,
+        n_ovf=n_ovf, n_pad=Np, window_v=wv, k_u=k_u, k_v=k_v,
         u_all=bool(u_visited.all()), v_all=bool(v_visited.all()),
     )

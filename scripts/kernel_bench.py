@@ -137,11 +137,11 @@ def main():
 
     def k8_body(i, b3, ei, de, pu, pv, pl):
         from gnnome_tpu.ops.pallas_kernels import k8_train_layer_bwd
-        xp, dp, a, b, c2_, d2_ = k8_train_layer_bwd(
+        xp, dp, pu_parts, pv_parts = k8_train_layer_bwd(
             pl, pu, pv, pu, pv, b3, ei, de,
             scale.astype(jnp.float32), bias.astype(jnp.float32),
             with_xsum=True)
-        return xp + dp[:1, :] + a[:1, :1].astype(xp.dtype)
+        return xp + dp[:1, :] + pu_parts[0][:1, :1].astype(xp.dtype)
 
     timeit("K8 fused train backward + xsum", k8_body, b3e_p, e_in_p, deo_p,
            proj_u, proj_v, plan)

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--window", type=int, default=0, help="override WINDOW")
     ap.add_argument("--window-v", type=int, default=0,
                     help="override WINDOW_V (v-side block rows)")
+    ap.add_argument("--force-u", default="",
+                    help="force u-side (band) plan config, e.g. 256x3")
+    ap.add_argument("--force-v", default="",
+                    help="force v-side (sort-key) plan config, e.g. 128x3")
     ap.add_argument("--tile-e", type=int, default=0, help="override TILE_E")
     args = ap.parse_args()
 
@@ -44,12 +48,21 @@ def main():
     from gnnome_tpu.models.sym_gated_gcn import init_params
     from gnnome_tpu.train.step import make_steps, make_example
 
-    if args.window or args.tile_e or args.window_v:
+    if args.window or args.tile_e or args.window_v or args.force_u \
+            or args.force_v:
         import gnnome_tpu.ops.windowed as W
+        if args.window or args.window_v:
+            W.AUTO_SELECT = False    # force the explicit 2-block config
         if args.window:
             W.WINDOW = args.window
         if args.window_v:
             W.WINDOW_V = args.window_v
+        if args.force_u:
+            w_, k_ = args.force_u.split("x")
+            W.FORCE_U = (int(w_), int(k_))
+        if args.force_v:
+            w_, k_ = args.force_v.split("x")
+            W.FORCE_V = (int(w_), int(k_))
         if args.tile_e:
             W.TILE_E = args.tile_e
 
@@ -71,8 +84,9 @@ def main():
     print(f"example build: {time.perf_counter()-t0:.2f}s", flush=True)
     if ex.gt.wplan is not None:
         p = ex.gt.wplan
-        print(f"plan: T={p.n_tiles} tile_e={p.tile_e} W={p.window} "
-              f"Wv={p.win_v} ovf={p.n_ovf} ({100*p.n_ovf/n_edges:.3f}%)",
+        print(f"plan: T={p.n_tiles} tile_e={p.tile_e} "
+              f"u={p.k_u}x{p.window} v={p.k_v}x{p.win_v} "
+              f"ovf={p.n_ovf} ({100*p.n_ovf/n_edges:.3f}%)",
               flush=True)
 
     pw = jnp.asarray(1.0, jnp.float32)

@@ -36,8 +36,7 @@ def _gt(seed=50, n_reads=300, false_frac=0.15):
     return g, gt
 
 
-def test_plan_invariants():
-    g, gt = _gt()
+def _check_plan_invariants(gt, require_ovf=True):
     for plan, u, v in ((gt.wplan, gt.src, gt.dst),
                        (gt.wplan_flip, gt.dst, gt.src)):
         assert plan is not None
@@ -50,15 +49,34 @@ def test_plan_invariants():
               .reshape(-1))
         blk = np.repeat(np.asarray(plan.u_blk), plan.tile_e).astype(np.int64)
         un = np.asarray(u).astype(np.int64)
-        in_win = ul < 2 * W
+        in_win = ul < plan.sentinel          # sentinel == coverage k_u * W
         # in-window locals reconstruct the node id
         np.testing.assert_array_equal((blk * W + ul)[in_win], un[in_win])
         # overflow edges are real, counted, and listed
         ovf = ~in_win & (np.asarray(gt.edge_mask)[:, 0] > 0)
         listed = set(np.asarray(plan.ovf_slots)[: plan.n_ovf].tolist())
         assert set(np.nonzero(ovf)[0].tolist()) <= listed
-        # with random false edges there should BE some overflow to exercise
-        assert plan.n_ovf > 0
+        if require_ovf:
+            # random false edges should yield SOME overflow to exercise
+            assert plan.n_ovf > 0
+
+
+def test_plan_invariants():
+    g, gt = _gt()
+    _check_plan_invariants(gt)
+
+
+def test_plan_invariants_auto():
+    """Auto-selected per-side (window, k) configs keep all plan invariants
+    on a banded graph (the 15% random false edges become overflow)."""
+    g, _ = _gt()
+    gt = GraphTensors.from_graph(g, edge_pad_multiple=TILE,
+                                 node_pad_multiple=512)
+    gt = with_windowed_plans(gt, flip_too=True, tile_e=TILE)  # auto
+    _check_plan_invariants(gt, require_ovf=False)
+    for plan in (gt.wplan, gt.wplan_flip):
+        assert plan.k_u >= 2 and plan.k_v >= 2
+        assert plan.cover_u <= 2048 and plan.cover_v <= 2048
 
 
 def test_fused_gate_gather_matches_xla():
@@ -116,6 +134,44 @@ def test_pallas_gradients_match_xla():
     params, state = init_params(jax.random.PRNGKey(3), cfg)
     x = gt.pad_nodes(node_features(g))
     e = gt.pad_edges(edge_features(g))
+    mask = gt.slots_to_edges(gt.edge_mask)
+
+    def loss(params, backend):
+        scores, _ = forward(params, state, gt, x, e, cfg, training=True,
+                            backend=backend)
+        return jnp.sum(scores * mask)
+
+    g_ref = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_got = jax.grad(lambda p: loss(p, "pallas"))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_got),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_multiblock_windows_match_xla():
+    """k_u=3 / k_v=4 window runs (the auto-select shapes) reproduce the XLA
+    forward and training gradients exactly like the 2-block plans."""
+    import dataclasses
+    g, _ = _gt(n_reads=300)
+    gt = GraphTensors.from_graph(g, edge_pad_multiple=TILE,
+                                 node_pad_multiple=512)
+    plan = build_windowed_plan(gt, flip=False, tile_e=TILE, window=128,
+                               window_v=128, k_u=3, k_v=4)
+    plan_f = build_windowed_plan(gt, flip=True, tile_e=TILE, window=128,
+                                 window_v=128, k_u=4, k_v=3)
+    assert plan is not None and plan_f is not None
+    assert (plan.k_u, plan.k_v, plan_f.k_u, plan_f.k_v) == (3, 4, 4, 3)
+    gt = dataclasses.replace(gt, wplan=plan, wplan_flip=plan_f)
+    cfg = ModelConfig(num_gnn_layers=2, dropout=0.0)
+    params, state = init_params(jax.random.PRNGKey(4), cfg)
+    x = gt.pad_nodes(node_features(g))
+    e = gt.pad_edges(edge_features(g))
+    ref, _ = forward(params, state, gt, x, e, cfg, backend="xla")
+    got, _ = forward(params, state, gt, x, e, cfg, backend="pallas")
+    np.testing.assert_allclose(np.asarray(got)[: g.num_edges],
+                               np.asarray(ref)[: g.num_edges],
+                               atol=5e-5, rtol=1e-4)
     mask = gt.slots_to_edges(gt.edge_mask)
 
     def loss(params, backend):
