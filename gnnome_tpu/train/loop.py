@@ -179,6 +179,9 @@ def train(train_path: str, valid_path: str, assembler: str,
     """Train the SymGatedGCN edge scorer; returns the best-model path."""
     import jax
 
+    from ..infer import enable_compilation_cache
+    enable_compilation_cache()   # same-shape epochs skip recompiles entirely
+
     cfg = cfg or Config()
     rng_np, rng_key = set_seed(cfg.train.seed)
 
