@@ -39,7 +39,10 @@ TILE_E = 2048    # edges per kernel tile (amortises window DMA + partial rows)
 AUTO_SELECT = True   # pick per-side (window, k) from the graph's spans
 WINDOW = 512     # fallback u-side block rows (k=2) when auto-select is off
 WINDOW_V = 384   # fallback v-side block rows
-CHUNK = 512      # edge rows per in-kernel step (one-hot lane width)
+CHUNK = 1024     # edge rows per in-kernel step (one-hot lane width).
+                 # Bigger chunks = fewer, larger select/scatter dots: 1024
+                 # beats 512 by ~2% and 256 by ~12% on the bench train step
+                 # (same MACs — per-dot overhead is what varies)
 # (TILE_E, coverage) trade one-hot flops (~4*cov*d per edge per kernel)
 # against overflow AND per-tile pipeline overhead: on the bench graph
 # 2048-edge tiles with ~1024-row u coverage -> 0.26% overflow; halving

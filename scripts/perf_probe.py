@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--force-v", default="",
                     help="force v-side (sort-key) plan config, e.g. 128x3")
     ap.add_argument("--tile-e", type=int, default=0, help="override TILE_E")
+    ap.add_argument("--chunk", type=int, default=0, help="override CHUNK")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +50,7 @@ def main():
     from gnnome_tpu.train.step import make_steps, make_example
 
     if args.window or args.tile_e or args.window_v or args.force_u \
-            or args.force_v:
+            or args.force_v or args.chunk:
         import gnnome_tpu.ops.windowed as W
         if args.window or args.window_v:
             W.AUTO_SELECT = False    # force the explicit 2-block config
@@ -65,6 +66,8 @@ def main():
             W.FORCE_V = (int(w_), int(k_))
         if args.tile_e:
             W.TILE_E = args.tile_e
+        if args.chunk:
+            W.CHUNK = args.chunk
 
     cfg = Config()
     cfg.model.dropout = 0.2
