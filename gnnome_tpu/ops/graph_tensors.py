@@ -132,13 +132,25 @@ class GraphTensors:
             node_mask=jnp.asarray(node_mask),
             n_nodes=n_nodes, n_edges=E, n_nodes_pad=Np, n_edges_pad=Ep,
         )
-        # host-side copies for the windowed-kernel planner: fetching
-        # src/dst/edge_mask back from a tunneled TPU costs seconds per
-        # array.  Not a pytree field — carried only on freshly built
-        # instances (plan building happens right after build).
-        object.__setattr__(gt, "_host",
-                           (src_p[order], dst_p[order], edge_mask))
+        # host-side copies for the windowed/halo planners and the example
+        # builders: fetching arrays back from a tunneled TPU costs seconds
+        # (worst case minutes) per array.  Not a pytree field — carried on
+        # built instances and preserved by with_windowed_plans.
+        object.__setattr__(gt, "_host", {
+            "src": src_p[order], "dst": dst_p[order], "edge_mask": edge_mask,
+            "node_mask": node_mask,
+            "eid_of_slot": order, "slot_of_eid": slot_of_eid,
+        })
         return gt
+
+    def host(self, name: str) -> np.ndarray:
+        """Host copy of a per-edge field (``src``/``dst``/``edge_mask``/
+        ``eid_of_slot``/``slot_of_eid``), avoiding a device->host transfer
+        when the build-time cache is present."""
+        cache = getattr(self, "_host", None)
+        if cache is not None and name in cache:
+            return cache[name]
+        return np.asarray(getattr(self, name))
 
     @classmethod
     def from_graph(cls, graph, edge_pad_multiple: int = 512,
@@ -207,4 +219,8 @@ def with_windowed_plans(gt: GraphTensors, flip_too: bool = True,
     plan = build_plan(gt, flip=False, tile_e=te, window=wu, window_v=wv)
     plan_flip = (build_plan(gt, flip=True, tile_e=te, window=wv,
                             window_v=wu) if flip_too else None)
-    return dataclasses.replace(gt, wplan=plan, wplan_flip=plan_flip)
+    out = dataclasses.replace(gt, wplan=plan, wplan_flip=plan_flip)
+    host = getattr(gt, "_host", None)
+    if host is not None:      # dataclasses.replace drops non-field attrs
+        object.__setattr__(out, "_host", host)
+    return out

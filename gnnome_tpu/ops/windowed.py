@@ -247,12 +247,8 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
         if Ep % tile_e != 0 or tile_e % chunk != 0 or chunk % 2 != 0 \
                 or Np < 3 * 128 or Np % 128 != 0:
             return None
-    host = getattr(gt, "_host", None)
-    if host is not None:
-        src, dst, emask = host       # avoids 3 device->host round trips
-    else:
-        src, dst, emask = (np.asarray(gt.src), np.asarray(gt.dst),
-                           np.asarray(gt.edge_mask))
+    # host copies avoid 3 device->host round trips through the TPU tunnel
+    src, dst, emask = gt.host("src"), gt.host("dst"), gt.host("edge_mask")
     u, v = (src, dst) if not flip else (dst, src)
     n_tiles = Ep // tile_e
     valid = emask[:, 0] > 0

@@ -120,11 +120,11 @@ def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
     if Np % P != 0:
         return None
     Nb = Np // P
-    src = np.asarray(gt.src)
-    dst = np.asarray(gt.dst)
-    mask = np.asarray(gt.edge_mask)[:, 0]
+    src = gt.host("src")
+    dst = gt.host("dst")
+    mask = gt.host("edge_mask")[:, 0]
     e_slots = np.asarray(
-        e_feat_host[np.asarray(gt.eid_of_slot)], dtype=np.float32)
+        e_feat_host[gt.host("eid_of_slot")], dtype=np.float32)
 
     owner = dst // Nb
     real = mask > 0
@@ -202,7 +202,7 @@ def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
     slot_map[real_idx, 0] = own_r
     slot_map[real_idx, 1] = pos
 
-    nmask = np.asarray(gt.node_mask).reshape(P, Nb, 1).astype(np.float32)
+    nmask = gt.host("node_mask").reshape(P, Nb, 1).astype(np.float32)
     # leaves stay NUMPY: multi-host device_put accepts a host array identical
     # on every process, but not an array already committed to one device
     return HaloPlan(
@@ -487,7 +487,7 @@ def to_device_edges(plan: HaloPlan, host_edge_array: np.ndarray,
                     gt: GraphTensors) -> np.ndarray:
     """[Ep, ...] host-edge-order array -> [P, Emax, ...] per-device layout."""
     sm = plan.slot_map.a
-    slots = np.asarray(host_edge_array)[np.asarray(gt.eid_of_slot)]
+    slots = np.asarray(host_edge_array)[gt.host("eid_of_slot")]
     out = np.zeros((plan.P, plan.Emax) + slots.shape[1:], dtype=slots.dtype)
     out[sm[:, 0], sm[:, 1]] = slots
     # padded slots all map to (0, 0); restore the real edge that owns it
@@ -795,5 +795,4 @@ def halo_scores_to_host(plan: HaloPlan, scores_dev: np.ndarray,
     scores_dev = np.asarray(scores_dev).reshape(plan.P, plan.Emax)
     sm = plan.slot_map.a
     out = scores_dev[sm[:, 0], sm[:, 1]]
-    slot_of_eid = np.asarray(gt.slot_of_eid)
-    return out[slot_of_eid[: gt.n_edges]]
+    return out[gt.host("slot_of_eid")[: gt.n_edges]]

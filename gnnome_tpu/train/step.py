@@ -78,10 +78,10 @@ def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
     # padded slots sort last, so masks/truncation behave identically
     slot_io = cfg.model.model in ("sym_gatedgcn", "sym_gated_gcn")
     if slot_io:
-        eid_of_slot = np.asarray(gt.eid_of_slot)
+        eid_of_slot = gt.host("eid_of_slot")
         e_np = e_np[eid_of_slot]
         y_np = y_np[eid_of_slot]
-    mask = gt.edge_mask[:, 0]
+    mask = jnp.asarray(gt.host("edge_mask")[:, 0])
     return TrainExample(gt=gt, x=x, x_rev=x_rev, e=jnp.asarray(e_np),
                         labels=jnp.asarray(y_np), mask=mask,
                         n_edges=int(y.shape[0]), slot_io=slot_io)
@@ -92,7 +92,7 @@ def logits_to_host(ex: TrainExample, logits) -> np.ndarray:
     example builder's host-side slot permutation when ``ex.slot_io``)."""
     a = np.asarray(logits)
     if ex.slot_io:
-        a = a[np.asarray(ex.gt.slot_of_eid)]
+        a = a[ex.gt.host("slot_of_eid")]
     return a[: ex.n_edges]
 
 
