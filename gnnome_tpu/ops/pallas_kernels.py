@@ -57,6 +57,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .windowed import WindowedPlan
 
+# Mosaic scoped-VMEM budget: the default 16 MB caps K8's stack at edge tiles
+# of 2048; larger tiles (fewer window DMAs + fewer per-tile partials for the
+# same band coverage) need more.  v5e has 128 MB VMEM; 64 MB leaves room for
+# XLA's surrounding fusions.
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _prec(dtype):
     # HIGHEST makes f32 one-hot selects exact (bf16x3 passes); bf16 operands
@@ -188,7 +194,7 @@ def k1_gather_gate(plan: WindowedPlan, proj_u, proj_v, b3e):
                              chunk=C, ku=ku, kv=kv)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=_interpret(),
+        interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk, *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local, plan.v_local, b3e)[0]
 
@@ -250,7 +256,7 @@ def k2_aggregate(plan: WindowedPlan, pay_u, pay_v):
                              ku=ku, kv=kv)
     out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=_interpret(),
+        interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk, plan.u_local, plan.v_local, pay_u, pay_v)
     return out[:ku], out[ku:]
 
@@ -361,7 +367,7 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
                              chunk=C, ku=ku, kv=kv)
     out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=_interpret(),
+        interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk, *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
       b3e_p, e_in_p, affine)
@@ -455,7 +461,7 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
                              chunk=C, ku=ku, kv=kv)
     (stats,) = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=_interpret(),
+        interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk, *([pu_g] * ku), *([pv_g] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o, b3e_p)
     return stats
@@ -624,7 +630,7 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         input_output_aliases={pos_b3e: 0, pos_b3e + 2: 1},
-        interpret=_interpret(),
+        interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk, *([d_sum_u] * ku), *([d_sum_v] * kv),
       *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
@@ -691,7 +697,7 @@ def k6_score_gate(plan: WindowedPlan, puv, be_p):
                              chunk=C, ku=ku, kv=kv)
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=_interpret(),
+        interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk, *([puv] * ku), *([puv] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
       be_p)[0]
@@ -757,7 +763,7 @@ def k9_aggregate_packed(plan: WindowedPlan, pay_p):
                              chunk=C, ku=ku, kv=kv)
     out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=_interpret(),
+        interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk,
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o, pay_p)
     return out[:ku], out[ku:]
