@@ -209,3 +209,28 @@ def test_labels_multi_chromosome():
     chrom = np.array([1, 1, 1, 1, 2, 2, 2, 2], dtype=np.int16)
     y = compute_gt_labels(src, dst, strand, start, end, chrom)
     assert y.tolist() == [1.0, 1.0, 0.0]
+
+
+def test_graph_tensors_host_cache():
+    """gt.host() serves planner/boundary-IO arrays from the build-time host
+    cache (no device->host fetch; survives with_windowed_plans) and matches
+    the device arrays exactly."""
+    import jax.numpy as jnp
+    from gnnome_tpu.ops import GraphTensors
+    from gnnome_tpu.ops.graph_tensors import with_windowed_plans
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 100, 300).astype(np.int32)
+    dst = rng.integers(0, 100, 300).astype(np.int32)
+    gt = GraphTensors.build(src, dst, 100, edge_pad_multiple=128,
+                            node_pad_multiple=64)
+    for name in ("src", "dst", "edge_mask", "node_mask",
+                 "eid_of_slot", "slot_of_eid"):
+        np.testing.assert_array_equal(gt.host(name),
+                                      np.asarray(getattr(gt, name)))
+    gt2 = with_windowed_plans(gt, flip_too=False)
+    assert getattr(gt2, "_host", None) is getattr(gt, "_host")
+    # fallback path: an instance without the cache still answers
+    import dataclasses
+    bare = dataclasses.replace(gt)
+    np.testing.assert_array_equal(bare.host("src"), gt.host("src"))
