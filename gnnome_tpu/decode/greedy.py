@@ -247,51 +247,110 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
         result.walks = ck["walks"]
         result.walks_len = ck["all_walks_len"]
         result.contigs_len = ck["all_contigs_len"]
-        for node in ck["visited"]:
-            visited[node] = 1
+        ck_vis = ck["visited"]
+        if isinstance(ck_vis, np.ndarray):
+            visited[ck_vis] = 1
+        else:  # legacy checkpoints stored a python set
+            for node in ck_vis:
+                visited[node] = 1
 
     # successors of the reversed graph == predecessors; build once for
     # transitive absorption
     csc_ptr, csc_row, _ = graph.csc()
     csr_ptr, csr_col, _ = graph.csr()
 
+    # native fast path: the whole candidate round (parallel walks + contig
+    # scoring + first-max selection), the seed sampling and the visited-set
+    # absorption each run as ONE C++ call per iteration — no per-candidate
+    # ctypes round trips, no [n_cand, N] staging buffer, no O(E) numpy
+    # temporaries per iteration (scripts/decode_profile.py: these were ~60%
+    # of decode wall time at 0.5M nodes)
+    lib = walker.lib
+    n_threads = min(cfg.num_threads, os.cpu_count() or 1)
+    native_round = lib is not None
+    # the reference truncates its eligible list at 2^24 (torch Categorical
+    # limit); the one-pass sampler has no such limit, so mirror the quirk by
+    # falling back to the numpy path on (absurdly) larger edge counts
+    native_sample = native_round and graph.num_edges <= 2 ** 24
+    if native_round:
+        src32 = np.ascontiguousarray(graph.src, dtype=np.int32)
+        dst32 = np.ascontiguousarray(graph.dst, dtype=np.int32)
+        prefix64 = np.ascontiguousarray(prefix, dtype=np.int64)
+        read_len64 = np.ascontiguousarray(read_len, dtype=np.int64)
+        csr_ptr64 = np.ascontiguousarray(csr_ptr, dtype=np.int64)
+        csr_col32 = np.ascontiguousarray(csr_col, dtype=np.int32)
+        csc_ptr64 = np.ascontiguousarray(csc_ptr, dtype=np.int64)
+        csc_row32 = np.ascontiguousarray(csc_row, dtype=np.int32)
+        walk_buf = np.empty(n, dtype=np.int32)
+        seeds_buf = np.empty(cfg.num_decoding_paths, dtype=np.int64)
+        use_es = 1 if walker.early_stop_logp is not None else 0
+        es_thr = walker.early_stop_logp if use_es else 0.0
+
     while True:
-        ok = (visited == 0)
-        eligible = np.nonzero(ok[graph.src] & ok[graph.dst])[0]
-        if eligible.size == 0:
-            break
-        seeds = _sample_seed_edges(probs, eligible, cfg.num_decoding_paths,
-                                   rng, cfg.random_baseline)
+        if native_sample:
+            uniforms = rng.random(cfg.num_decoding_paths)
+            got = lib.gn_sample_seed_edges(
+                src32, dst32, probs, visited, graph.num_edges, uniforms,
+                cfg.num_decoding_paths, n_threads, seeds_buf)
+            if got == 0:       # no edge with both endpoints unvisited remains
+                break
+            seeds = seeds_buf
+        else:
+            ok = (visited == 0)
+            eligible = np.nonzero(ok[graph.src] & ok[graph.dst])[0]
+            if eligible.size == 0:
+                break
+            seeds = _sample_seed_edges(probs, eligible,
+                                       cfg.num_decoding_paths, rng,
+                                       cfg.random_baseline)
 
-        best = None  # (contig_len, walk, visited_nodes, slp)
-        for walk_it, slp in _candidate_walks(walker, graph, seeds, visited,
-                                             cfg.num_threads):
-            if walk_it is None:  # SELF-LOOP seed (inference.py:289-294)
-                contig_len, walk_it = 0, np.zeros(0, np.int32)
-            else:
-                eids = walker.edge_ids(walk_it)
-                contig_len = int(prefix[eids].sum() + read_len[walk_it[-1]])
+        if native_round:
+            clen_out = ctypes.c_int64(0)
+            slp_out = ctypes.c_double(0.0)
+            wlen = lib.gn_decode_round(
+                walker.row_ptr, walker.col, walker.eid, walker.log_probs,
+                prefix64, read_len64, visited, n,
+                np.ascontiguousarray(src32[seeds]),
+                np.ascontiguousarray(dst32[seeds]),
+                len(seeds), use_es, es_thr, n_threads,
+                walk_buf, ctypes.byref(clen_out), ctypes.byref(slp_out))
+            if wlen < 0:
+                raise KeyError(f"walk edge missing (candidate {-1 - wlen})")
+            walk_it = walk_buf[:wlen].copy()
+            contig_len = int(clen_out.value)
+        else:
+            best = None  # (contig_len, walk, slp)
+            for walk_c, slp in _candidate_walks(walker, graph, seeds, visited,
+                                                cfg.num_threads):
+                if walk_c is None:  # SELF-LOOP seed (inference.py:289-294)
+                    contig_len, walk_c = 0, np.zeros(0, np.int32)
+                else:
+                    eids = walker.edge_ids(walk_c)
+                    contig_len = int(prefix[eids].sum() + read_len[walk_c[-1]])
+                if best is None or contig_len > best[0]:
+                    best = (contig_len, walk_c, slp)
+            contig_len, walk_it, _slp = best
 
-            if best is None or contig_len > best[0]:
-                visited_nodes = np.concatenate([walk_it, walk_it ^ 1])
-                best = (contig_len, walk_it, visited_nodes, slp)
-
-        contig_len, walk_it, visited_nodes, _slp = best
         if verbose:
             print(f"contig {len(result.walks)}: len_walk={len(walk_it)} "
                   f"len_contig={contig_len}")
         if contig_len < cfg.len_threshold:
             break
 
-        visited[visited_nodes] = 1
-        # transitive absorption (inference.py:316-322)
-        for u, v in zip(walk_it[:-1].tolist(), walk_it[1:].tolist()):
-            succ_u = csr_col[csr_ptr[u]:csr_ptr[u + 1]]
-            pred_v = csc_row[csc_ptr[v]:csc_ptr[v + 1]]
-            trans = np.intersect1d(succ_u, pred_v)
-            if trans.size:
-                visited[trans] = 1
-                visited[trans ^ 1] = 1
+        if native_round:
+            # walk + RC pairs + transitive absorption (inference.py:316-322)
+            lib.gn_absorb_walk(csr_ptr64, csr_col32, csc_ptr64, csc_row32,
+                               walk_it, len(walk_it), visited)
+        else:
+            visited[walk_it] = 1
+            visited[walk_it ^ 1] = 1
+            for u, v in zip(walk_it[:-1].tolist(), walk_it[1:].tolist()):
+                succ_u = csr_col[csr_ptr[u]:csr_ptr[u + 1]]
+                pred_v = csc_row[csc_ptr[v]:csc_ptr[v + 1]]
+                trans = np.intersect1d(succ_u, pred_v)
+                if trans.size:
+                    visited[trans] = 1
+                    visited[trans ^ 1] = 1
 
         result.walks.append(walk_it.tolist())
         result.walks_len.append(len(walk_it))
@@ -299,7 +358,7 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
 
         if ckpt_file and len(result.walks) % 10 == 0:
             ck = {"walks": result.walks,
-                  "visited": set(np.nonzero(visited)[0].tolist()),
+                  "visited": np.nonzero(visited)[0].astype(np.int64),
                   "all_walks_len": result.walks_len,
                   "all_contigs_len": result.contigs_len}
             tmp = ckpt_file + ".tmp"

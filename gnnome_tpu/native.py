@@ -97,6 +97,46 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int64),    # out_lens
             np.ctypeslib.ndpointer(np.float64),  # out_slp
         ]
+        lib.gn_decode_round.restype = ctypes.c_int64
+        lib.gn_decode_round.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),    # row_ptr
+            np.ctypeslib.ndpointer(np.int32),    # col
+            np.ctypeslib.ndpointer(np.int64),    # eid
+            np.ctypeslib.ndpointer(np.float32),  # log_probs
+            np.ctypeslib.ndpointer(np.int64),    # prefix_len (clamped)
+            np.ctypeslib.ndpointer(np.int64),    # read_len
+            np.ctypeslib.ndpointer(np.uint8),    # visited
+            ctypes.c_int64,                      # n_nodes
+            np.ctypeslib.ndpointer(np.int32),    # seed_src
+            np.ctypeslib.ndpointer(np.int32),    # seed_dst
+            ctypes.c_int64,                      # n_cand
+            ctypes.c_int32, ctypes.c_float,      # use_early_stop, threshold
+            ctypes.c_int32,                      # n_threads
+            np.ctypeslib.ndpointer(np.int32),    # out_walk
+            ctypes.POINTER(ctypes.c_int64),      # out_contig_len
+            ctypes.POINTER(ctypes.c_double),     # out_slp
+        ]
+        lib.gn_sample_seed_edges.restype = ctypes.c_int64
+        lib.gn_sample_seed_edges.argtypes = [
+            np.ctypeslib.ndpointer(np.int32),    # src
+            np.ctypeslib.ndpointer(np.int32),    # dst
+            np.ctypeslib.ndpointer(np.float32),  # probs
+            np.ctypeslib.ndpointer(np.uint8),    # visited
+            ctypes.c_int64,                      # n_edges
+            np.ctypeslib.ndpointer(np.float64),  # uniforms
+            ctypes.c_int64, ctypes.c_int32,      # k, n_threads
+            np.ctypeslib.ndpointer(np.int64),    # out seeds
+        ]
+        lib.gn_absorb_walk.restype = None
+        lib.gn_absorb_walk.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),    # csr_ptr
+            np.ctypeslib.ndpointer(np.int32),    # csr_col
+            np.ctypeslib.ndpointer(np.int64),    # csc_ptr
+            np.ctypeslib.ndpointer(np.int32),    # csc_row
+            np.ctypeslib.ndpointer(np.int32),    # walk
+            ctypes.c_int64,                      # walk_len
+            np.ctypeslib.ndpointer(np.uint8),    # visited (mutated)
+        ]
         lib.gn_walk_edge_ids.restype = ctypes.c_int64
         lib.gn_walk_edge_ids.argtypes = [
             np.ctypeslib.ndpointer(np.int64),    # row_ptr

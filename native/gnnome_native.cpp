@@ -243,6 +243,206 @@ void gn_greedy_walk_batch(const int64_t* row_ptr, const int32_t* col,
   for (auto& th : threads) th.join();
 }
 
+// One full decode iteration (reference inference.py:231-306 candidate loop):
+// walk every candidate seed edge in parallel, splice each backward walk onto
+// its forward walk, score the spliced walk's contig length (sum of clamped
+// prefix lengths along the walk + the last node's read length,
+// inference.py:30-37), and return the FIRST candidate achieving the maximum
+// contig length (the reference keeps the first strict improvement while
+// scanning candidates in seed order).
+//
+// Compared to calling gn_greedy_walk_batch + gn_walk_edge_ids from Python,
+// this removes the [n_cand, n_nodes] walk staging buffer (400 MB per
+// iteration at 1M nodes) and ~n_cand ctypes round trips per iteration —
+// per-candidate walks live in thread-local scratch and only the winner is
+// copied out.
+//
+//   prefix_len: per-edge contig contribution, pre-clamped >= 0 by the caller
+//   out_walk:   capacity >= n_nodes; receives the winning spliced walk
+// Returns the winner's walk length (0 when every candidate is a self-loop
+// seed), or -1-c when candidate c's spliced walk contains an edge missing
+// from the CSR (the Python path raises KeyError; impossible for graphs with
+// the RC-twin invariant).
+int64_t gn_decode_round(const int64_t* row_ptr, const int32_t* col,
+                        const int64_t* eid, const float* log_probs,
+                        const int64_t* prefix_len, const int64_t* read_len,
+                        const uint8_t* visited, int64_t n_nodes,
+                        const int32_t* seed_src, const int32_t* seed_dst,
+                        int64_t n_cand, int32_t use_early_stop,
+                        float log_p_threshold, int32_t n_threads,
+                        int32_t* out_walk, int64_t* out_contig_len,
+                        double* out_slp) {
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > n_cand) n_threads = (int32_t)std::max<int64_t>(n_cand, 1);
+  struct Best {
+    int64_t clen = -1, cand = -1, len = 0;
+    double slp = 0.0;
+    std::vector<int32_t> walk;
+  };
+  std::vector<Best> bests(n_threads);
+  std::vector<int64_t> errs(n_cand, 0);
+  auto worker = [&](int64_t tid) {
+    std::vector<int32_t> stamp(n_nodes, 0);
+    std::vector<int32_t> fwd(n_nodes), spliced(n_nodes);
+    int32_t epoch = 0;
+    Best& best = bests[tid];
+    for (int64_t c = tid; c < n_cand; c += n_threads) {
+      int64_t s = seed_src[c], d = seed_dst[c];
+      int64_t wlen = 0, clen = 0;
+      double slp = 0.0;
+      if (s != d) {  // self-loop seeds score 0 with an empty walk
+        ++epoch;
+        stamp[s] = epoch; stamp[s ^ 1] = epoch;
+        stamp[d] = epoch; stamp[d ^ 1] = epoch;
+        double slp_f = 0.0, slp_b = 0.0;
+        int64_t len_f = gn_greedy_walk(row_ptr, col, eid, log_probs, visited,
+                                       stamp.data(), epoch, d, n_nodes,
+                                       use_early_stop, log_p_threshold,
+                                       fwd.data(), &slp_f);
+        int64_t len_b = gn_greedy_walk(row_ptr, col, eid, log_probs, visited,
+                                       stamp.data(), epoch, s ^ 1,
+                                       n_nodes - len_f, use_early_stop,
+                                       log_p_threshold, fwd.data() + len_f,
+                                       &slp_b);
+        // splice: reversed-RC backward walk, then the forward walk
+        for (int64_t i = 0; i < len_b; ++i)
+          spliced[i] = fwd[len_f + len_b - 1 - i] ^ 1;
+        std::memcpy(spliced.data() + len_b, fwd.data(),
+                    (size_t)len_f * sizeof(int32_t));
+        wlen = len_f + len_b;
+        slp = slp_f + slp_b;
+        bool bad = false;
+        for (int64_t i = 0; i + 1 < wlen; ++i) {
+          int64_t u = spliced[i], v = spliced[i + 1], found = -1;
+          for (int64_t k = row_ptr[u]; k < row_ptr[u + 1]; ++k)
+            if (col[k] == v) { found = eid[k]; break; }
+          if (found < 0) { errs[c] = -1 - c; bad = true; break; }
+          clen += prefix_len[found];
+        }
+        if (bad) continue;
+        if (wlen > 0) clen += read_len[spliced[wlen - 1]];
+      }
+      if (clen > best.clen) {  // strict >: first max wins (ascending c)
+        best.clen = clen; best.cand = c; best.len = wlen; best.slp = slp;
+        best.walk.assign(spliced.begin(), spliced.begin() + wlen);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+  for (int64_t c = 0; c < n_cand; ++c)
+    if (errs[c] < 0) return errs[c];       // earliest candidate's error
+  const Best* win = nullptr;
+  for (const auto& b : bests) {
+    if (b.cand < 0) continue;
+    if (!win || b.clen > win->clen ||
+        (b.clen == win->clen && b.cand < win->cand))
+      win = &b;
+  }
+  if (!win) { *out_contig_len = 0; *out_slp = 0.0; return 0; }
+  std::memcpy(out_walk, win->walk.data(), (size_t)win->len * sizeof(int32_t));
+  *out_contig_len = win->clen;
+  *out_slp = win->slp;
+  return win->len;
+}
+
+// Weighted categorical seed-edge sampling over the not-yet-visited subgraph
+// in ONE pass over the edge list (reference inference.py:54-67; the numpy
+// path materialises the eligible-id array and several O(E) float64
+// temporaries per decode iteration).  Weight of an alive edge (both endpoints
+// unvisited) is max(probs[e], 1e-9); sample i selects the first edge whose
+// running cumulative weight exceeds uniforms[i] * total.  Block sums
+// accumulate in fixed block order, so results are deterministic for fixed
+// inputs regardless of n_threads.  Returns k, or 0 when no edge is alive.
+int64_t gn_sample_seed_edges(const int32_t* src, const int32_t* dst,
+                             const float* probs, const uint8_t* visited,
+                             int64_t n_edges, const double* uniforms,
+                             int64_t k, int32_t n_threads, int64_t* out) {
+  if (n_threads < 1) n_threads = 1;
+  const int64_t B = 1 << 10;   // small blocks: per-sample scan <= B edges
+  const int64_t n_blocks = (n_edges + B - 1) / B;
+  std::vector<double> bsum(n_blocks, 0.0);
+  std::vector<int64_t> blast(n_blocks, -1);    // last alive edge per block
+  auto weight = [&](int64_t e) -> double {
+    if (visited[src[e]] || visited[dst[e]]) return 0.0;
+    double w = (double)probs[e];
+    return w > 1e-9 ? w : 1e-9;
+  };
+  auto bworker = [&](int64_t tid) {
+    for (int64_t b = tid; b < n_blocks; b += n_threads) {
+      double acc = 0.0;
+      int64_t last = -1;
+      const int64_t hi = std::min(n_edges, (b + 1) * B);
+      for (int64_t e = b * B; e < hi; ++e) {
+        double w = weight(e);
+        acc += w;
+        if (w > 0.0) last = e;
+      }
+      bsum[b] = acc;
+      blast[b] = last;
+    }
+  };
+  {
+    std::vector<std::thread> threads;
+    for (int64_t t = 1; t < n_threads; ++t) threads.emplace_back(bworker, t);
+    bworker(0);
+    for (auto& th : threads) th.join();
+  }
+  std::vector<double> bpre(n_blocks + 1, 0.0);  // exclusive block prefix
+  int64_t last_alive = -1;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    bpre[b + 1] = bpre[b] + bsum[b];
+    if (blast[b] >= 0) last_alive = blast[b];
+  }
+  const double total = bpre[n_blocks];
+  if (last_alive < 0 || total <= 0.0) return 0;
+  for (int64_t i = 0; i < k; ++i) {
+    const double target = uniforms[i] * total;
+    int64_t lo = 0, hi = n_blocks;               // largest b: bpre[b] <= target
+    while (lo + 1 < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (bpre[mid] <= target) lo = mid; else hi = mid;
+    }
+    double cum = bpre[lo];
+    int64_t pick = -1;
+    for (int64_t e = lo * B; e < n_edges; ++e) {
+      double w = weight(e);
+      cum += w;
+      if (w > 0.0 && cum > target) { pick = e; break; }
+    }
+    out[i] = pick >= 0 ? pick : last_alive;      // rounding fallback
+  }
+  return k;
+}
+
+// Mark a decoded walk (and RC pairs) visited and absorb transitively
+// jumped-over nodes: for each consecutive (u, v) of the walk, every node in
+// succ(u) ∩ pred(v) and its RC pair is marked (reference inference.py:
+// 316-322; the numpy path runs one intersect1d per walk edge).
+void gn_absorb_walk(const int64_t* csr_ptr, const int32_t* csr_col,
+                    const int64_t* csc_ptr, const int32_t* csc_row,
+                    const int32_t* walk, int64_t walk_len, uint8_t* visited) {
+  for (int64_t i = 0; i < walk_len; ++i) {
+    visited[walk[i]] = 1;
+    visited[walk[i] ^ 1] = 1;
+  }
+  for (int64_t i = 0; i + 1 < walk_len; ++i) {
+    const int64_t u = walk[i], v = walk[i + 1];
+    for (int64_t a = csr_ptr[u]; a < csr_ptr[u + 1]; ++a) {
+      const int32_t su = csr_col[a];
+      for (int64_t b = csc_ptr[v]; b < csc_ptr[v + 1]; ++b) {
+        if (csc_row[b] == su) {
+          visited[su] = 1;
+          visited[su ^ 1] = 1;
+          break;
+        }
+      }
+    }
+  }
+}
+
 // Edge ids along a walk: out_eids[i] = id of edge walk[i] -> walk[i+1]
 // (first match in the CSR row).  Returns number of ids written, or the
 // negated position (-1-i) of the first missing edge.

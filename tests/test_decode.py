@@ -136,3 +136,121 @@ def test_batch_candidate_walks_match_python():
             continue
         np.testing.assert_array_equal(wn, wp)
         assert abs(sn - sp) < 1e-4
+
+
+def test_native_decode_round_matches_python():
+    """gn_decode_round (parallel walks + contig scoring + first-max pick)
+    must reproduce the Python candidate loop's winner exactly."""
+    import ctypes
+    from gnnome_tpu.decode.greedy import _Walker, _candidate_walks
+
+    g, _, _, _ = _graph(seed=11, n_reads=250, genome_len=20000)
+    rng = np.random.default_rng(5)
+    log_probs = np.log(rng.uniform(0.05, 1.0, size=g.num_edges)).astype(np.float32)
+    prefix = np.maximum(np.asarray(g.prefix_length, dtype=np.int64), 0)
+    read_len = np.asarray(g.read_length, dtype=np.int64)
+    visited = np.zeros(g.num_nodes, dtype=np.uint8)
+    visited[rng.integers(0, g.num_nodes, 30)] = 1
+
+    w = _Walker(g, log_probs)
+    assert w.lib is not None
+    w_py = _Walker(g, log_probs)
+    w_py.lib = None
+
+    for trial in range(4):
+        seeds = rng.integers(0, g.num_edges, size=12)
+
+        # python oracle: first strict-max candidate
+        best = None
+        for walk_c, slp in _candidate_walks(w_py, g, seeds, visited, 1):
+            if walk_c is None:
+                clen, walk_c = 0, np.zeros(0, np.int32)
+            else:
+                eids = w_py.edge_ids(walk_c)
+                clen = int(prefix[eids].sum() + read_len[walk_c[-1]])
+            if best is None or clen > best[0]:
+                best = (clen, walk_c, slp)
+
+        src32 = np.ascontiguousarray(g.src, dtype=np.int32)
+        dst32 = np.ascontiguousarray(g.dst, dtype=np.int32)
+        walk_buf = np.empty(g.num_nodes, dtype=np.int32)
+        clen_out = ctypes.c_int64(0)
+        slp_out = ctypes.c_double(0.0)
+        wlen = w.lib.gn_decode_round(
+            w.row_ptr, w.col, w.eid, w.log_probs, prefix, read_len,
+            visited, g.num_nodes,
+            np.ascontiguousarray(src32[seeds]),
+            np.ascontiguousarray(dst32[seeds]),
+            len(seeds), 0, 0.0, 4,
+            walk_buf, ctypes.byref(clen_out), ctypes.byref(slp_out))
+        assert wlen == len(best[1])
+        np.testing.assert_array_equal(walk_buf[:wlen], best[1])
+        assert int(clen_out.value) == best[0]
+        assert abs(float(slp_out.value) - best[2]) < 1e-4
+        # advance visited as decode would, to vary the next trial
+        visited[best[1]] = 1
+        visited[best[1] ^ 1] = 1
+
+
+def test_native_seed_sampler_matches_numpy_cdf():
+    """gn_sample_seed_edges must equal a float64 cumsum + searchsorted oracle
+    (single sampling block, so the summation order is identical)."""
+    from gnnome_tpu.native import get_lib
+
+    lib = get_lib()
+    assert lib is not None
+    rng = np.random.default_rng(7)
+    n_nodes, n_edges = 256, 1000   # < one 1024-edge sampling block
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    probs = rng.uniform(0, 1, n_edges).astype(np.float32)
+    probs[rng.integers(0, n_edges, 50)] = 0.0     # exercise the 1e-9 clamp
+    visited = np.zeros(n_nodes, dtype=np.uint8)
+    visited[rng.integers(0, n_nodes, 60)] = 1
+    uniforms = rng.random(64)
+    out = np.empty(64, dtype=np.int64)
+    got = lib.gn_sample_seed_edges(src, dst, probs, visited, n_edges,
+                                   uniforms, 64, 4, out)
+    assert got == 64
+
+    alive = (visited[src] == 0) & (visited[dst] == 0)
+    w = np.where(alive, np.maximum(probs.astype(np.float64), 1e-9), 0.0)
+    cdf = np.cumsum(w)
+    expect = np.searchsorted(cdf, uniforms * cdf[-1], side="right")
+    np.testing.assert_array_equal(out, expect)
+
+    # all-visited -> 0 samples
+    visited[:] = 1
+    assert lib.gn_sample_seed_edges(src, dst, probs, visited, n_edges,
+                                    uniforms, 64, 4, out) == 0
+
+
+def test_native_absorb_matches_python():
+    from gnnome_tpu.native import get_lib
+
+    lib = get_lib()
+    assert lib is not None
+    g, _, _, _ = _graph(seed=13)
+    csr_ptr, csr_col, _ = g.csr()
+    csc_ptr, csc_row, _ = g.csc()
+    rng = np.random.default_rng(9)
+    # a random node sequence is fine: absorption only reads adjacency
+    walk = rng.integers(0, g.num_nodes, 25).astype(np.int32)
+
+    vis_py = np.zeros(g.num_nodes, dtype=np.uint8)
+    vis_py[walk] = 1
+    vis_py[walk ^ 1] = 1
+    for u, v in zip(walk[:-1].tolist(), walk[1:].tolist()):
+        trans = np.intersect1d(csr_col[csr_ptr[u]:csr_ptr[u + 1]],
+                               csc_row[csc_ptr[v]:csc_ptr[v + 1]])
+        if trans.size:
+            vis_py[trans] = 1
+            vis_py[trans ^ 1] = 1
+
+    vis_nat = np.zeros(g.num_nodes, dtype=np.uint8)
+    lib.gn_absorb_walk(np.ascontiguousarray(csr_ptr, np.int64),
+                       np.ascontiguousarray(csr_col, np.int32),
+                       np.ascontiguousarray(csc_ptr, np.int64),
+                       np.ascontiguousarray(csc_row, np.int32),
+                       walk, len(walk), vis_nat)
+    np.testing.assert_array_equal(vis_nat, vis_py)
