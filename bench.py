@@ -181,6 +181,9 @@ def main():
     ap.add_argument("--mesh-worker", type=int, default=0,
                     help=argparse.SUPPRESS)
     ap.add_argument("--mesh-nodes", type=int, default=65_536)
+    ap.add_argument("--skip-decode", action="store_true",
+                    help="skip the greedy-decode (host CPU) metric")
+    ap.add_argument("--decode-nodes", type=int, default=131_072)
     args = ap.parse_args()
 
     if args.mesh_worker:
@@ -241,6 +244,12 @@ def main():
         except Exception as e:  # the headline metric must still be reported
             extra["mesh_error"] = str(e)[:300]
 
+    if not args.skip_decode:
+        try:
+            extra.update(bench_decode(args.decode_nodes, args.degree))
+        except Exception as e:
+            extra["decode_error"] = str(e)[:300]
+
     print(json.dumps({
         "metric": "symgatedgcn_train_step_edges_per_s",
         "value": round(edges_per_s, 1),
@@ -251,6 +260,27 @@ def main():
         "step_seconds": round(step_s, 5),
         **extra,
     }))
+
+
+def bench_decode(n_nodes: int, avg_degree: float) -> dict:
+    """Greedy-decode throughput (host CPU, native C++ round kernels) on an
+    RC-symmetric assembly-shaped graph: decode EVERYTHING (len_threshold=0)
+    so the endpoint is deterministic, report edges/s of graph consumed."""
+    import numpy as np
+    from gnnome_tpu.config import DecodeConfig
+    from gnnome_tpu.decode.greedy import decode_greedy
+    from gnnome_tpu.graphs.synthetic import random_rc_bench_graph
+
+    g = random_rc_bench_graph(n_nodes, avg_degree, seed=0)
+    scores = np.random.default_rng(1).normal(
+        1.0, 2.0, g.num_edges).astype(np.float32)
+    cfg = DecodeConfig(num_decoding_paths=100, len_threshold=0)
+    t0 = time.perf_counter()
+    res = decode_greedy(g, scores, cfg)
+    dt = time.perf_counter() - t0
+    return {"decode_seconds": round(dt, 2),
+            "decode_edges_per_s": round(g.num_edges / dt, 1),
+            "decode_nodes": n_nodes, "decode_contigs": len(res.walks)}
 
 
 def bench_mesh(n_devices: int, n_nodes: int, avg_degree: float) -> dict:

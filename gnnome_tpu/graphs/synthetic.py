@@ -177,3 +177,27 @@ def random_bench_graph(num_nodes: int, avg_degree: float, seed: int = 0,
     dst = (src + jump) % num_nodes
     keep = src != dst
     return src[keep].astype(np.int32), dst[keep].astype(np.int32)
+
+
+def random_rc_bench_graph(num_nodes: int, avg_degree: float, seed: int = 0,
+                          locality: int = 64):
+    """Assembly-shaped AssemblyGraph with the RC-twin invariant (edge u->v
+    implies v^1->u^1), for decoder benchmarking: the decode splice walks
+    backward through RC space, so plain ``random_bench_graph`` output is not
+    decodable.  Node 2i/2i+1 are a strand pair; lengths/prefixes are random
+    read-scale values."""
+    from .container import AssemblyGraph
+
+    s0, d0 = random_bench_graph(num_nodes // 2, avg_degree, seed=seed,
+                                locality=locality)
+    src = np.concatenate([2 * s0, 2 * d0 + 1]).astype(np.int32)
+    dst = np.concatenate([2 * d0, 2 * s0 + 1]).astype(np.int32)
+    e = src.shape[0]
+    rng = np.random.default_rng(seed)
+    read_len = np.repeat(rng.integers(10_000, 30_000, num_nodes // 2), 2)
+    prefix = np.tile(rng.integers(1_000, 15_000, e // 2), 2)
+    overlap = np.tile(rng.integers(5_000, 15_000, e // 2), 2)
+    return AssemblyGraph(num_nodes=num_nodes, src=src, dst=dst,
+                         read_length=read_len.astype(np.int64),
+                         prefix_length=prefix.astype(np.int64),
+                         overlap_length=overlap.astype(np.int64))

@@ -24,28 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gnnome_tpu.config import DecodeConfig
 from gnnome_tpu.decode.greedy import decode_greedy
-from gnnome_tpu.graphs.container import AssemblyGraph
-from gnnome_tpu.graphs.synthetic import random_bench_graph
-
-
-def build(n_nodes: int, degree: float, seed: int = 0) -> AssemblyGraph:
-    # generate over the forward strand (even node ids), then add the RC-twin
-    # edge of every edge (dst^1 -> src^1) so the decode splice invariant holds
-    s0, d0 = random_bench_graph(n_nodes // 2, degree, seed=seed)
-    src = np.concatenate([2 * s0, 2 * d0 + 1]).astype(np.int32)
-    dst = np.concatenate([2 * d0, 2 * s0 + 1]).astype(np.int32)
-    e = src.shape[0]
-    rng = np.random.default_rng(seed)
-    rl = np.repeat(rng.integers(10_000, 30_000, n_nodes // 2), 2)
-    pl = np.tile(rng.integers(1_000, 15_000, e // 2), 2)
-    ol = np.tile(rng.integers(5_000, 15_000, e // 2), 2)
-    return AssemblyGraph(
-        num_nodes=n_nodes,
-        src=src, dst=dst,
-        read_length=rl.astype(np.int64),
-        prefix_length=pl.astype(np.int64),
-        overlap_length=ol.astype(np.int64),
-    )
+from gnnome_tpu.graphs.synthetic import random_rc_bench_graph as build
 
 
 def main():
