@@ -15,9 +15,14 @@ Same decoding semantics as the reference (inference.py:30-361):
 * checkpoint every 10 contigs with atomic rename, resumable (inference.py:
   189-197,346-359).
 
-The per-walk inner loop runs in C++ (native/gnnome_native.cpp,
-``gn_greedy_walk``) over CSR arrays — the reference's dict-of-lists Python
-walk (its decode hot spot) is kept only as a fallback/oracle.
+The whole per-iteration hot path runs in C++ (native/gnnome_native.cpp) over
+CSR arrays, one call per phase: ``gn_sample_seed_edges`` (one-pass weighted
+categorical sampling over the unvisited subgraph), ``gn_decode_round`` (all
+candidate walks in parallel threads + backward-splice + contig scoring +
+first-max selection; only the winning walk crosses the ctypes boundary) and
+``gn_absorb_walk`` (visited marking + transitive absorption).  The reference's
+dict-of-lists Python walk (its decode hot spot) is kept as a fallback/oracle,
+exercised by the equality tests in tests/test_decode.py.
 """
 from __future__ import annotations
 
