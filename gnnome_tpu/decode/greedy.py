@@ -290,13 +290,96 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
         seeds_buf = np.empty(cfg.num_decoding_paths, dtype=np.int64)
         use_es = 1 if walker.early_stop_logp is not None else 0
         es_thr = walker.early_stop_logp if use_es else 0.0
+        # absorb scratch: epoch stamps (persistent) + newly-visited out list
+        absorb_stamp = np.zeros(n, dtype=np.int32)
+        absorb_epoch = 0
+        newly_buf = np.empty(n, dtype=np.int32)
+        # decode-round scratch: per-thread walk stamps + walk buffers,
+        # allocated ONCE (per-call zeroed vectors cost more than the walks
+        # themselves once most of the graph is visited)
+        round_stamp = np.zeros(n_threads * n, dtype=np.int32)
+        round_wbuf = np.empty(n_threads * 2 * n, dtype=np.int32)
+        round_epoch = 0
+    if native_sample:
+        # incremental sampler state: per-1024-block alive-weight sums with
+        # edges killed (by subtraction) as their endpoints become visited, so
+        # each iteration's sampling is O(touched + n_blocks) instead of O(E)
+        # — threshold-0 full-graph decode was sampler-bound (one O(E) pass
+        # per contig).  Every sample is guaranteed alive; termination rides
+        # the exact integer alive count.
+        E = graph.num_edges
+        n_blocks = (E + 1023) // 1024
+        csr_eid64 = walker.eid                       # already int64
+        csc_eid64 = np.ascontiguousarray(graph.csc()[2], dtype=np.int64)
+        s_alive = np.empty(E, dtype=np.uint8)
+        s_weight = np.empty(E, dtype=np.float64)
+        s_bsum = np.empty(n_blocks, dtype=np.float64)
+        s_blast = np.empty(n_blocks, dtype=np.int64)
+        s_count = np.empty(1, dtype=np.int64)
+        lib.gn_sampler_init(src32, dst32, probs, visited, E, n_threads,
+                            s_alive, s_weight, s_bsum, s_blast, s_count)
+
+    if native_sample:
+        # chunked native driver: up to 10 contigs (the reference's checkpoint
+        # cadence, inference.py:346-359) per C++ call — per-phase ctypes and
+        # per-iteration thread spawn/join dominated threshold-0 decode
+        # (~0.6 ms/round of pure overhead at 131k nodes).  Seed sampling
+        # consumes rng.random(chunk * k) row-by-row, the same stream order as
+        # the per-iteration path.
+        chunk = 10
+        k = cfg.num_decoding_paths
+        absorb_epoch_a = np.zeros(1, dtype=np.int32)
+        round_epoch_a = np.zeros(1, dtype=np.int32)
+        status = np.zeros(1, dtype=np.int32)
+        walks_flat = np.empty(n + chunk, dtype=np.int32)
+        chunk_wlens = np.empty(chunk, dtype=np.int64)
+        chunk_clens = np.empty(chunk, dtype=np.int64)
+        while True:
+            uniforms = rng.random(chunk * k)
+            got = lib.gn_decode_chunk(
+                walker.row_ptr, walker.col, walker.eid,
+                csc_ptr64, csc_row32, csc_eid64, src32, dst32,
+                walker.log_probs, prefix64, read_len64, n, E,
+                k, use_es, es_thr, cfg.len_threshold, n_threads,
+                uniforms, chunk, visited,
+                s_alive, s_weight, s_bsum, s_blast, s_count,
+                absorb_stamp, absorb_epoch_a,
+                round_stamp, round_wbuf, round_epoch_a,
+                newly_buf, seeds_buf,
+                walks_flat, chunk_wlens, chunk_clens, status)
+            if got < 0:
+                raise KeyError(f"walk edge missing (candidate {-1 - got})")
+            pos = 0
+            for i in range(got):
+                wl, cl = int(chunk_wlens[i]), int(chunk_clens[i])
+                walk_it = walks_flat[pos:pos + wl]
+                pos += wl
+                if verbose:
+                    print(f"contig {len(result.walks)}: len_walk={wl} "
+                          f"len_contig={cl}")
+                result.walks.append(walk_it.tolist())
+                result.walks_len.append(wl)
+                result.contigs_len.append(cl)
+                # exact reference cadence: every 10 contigs (inference.py:346)
+                if ckpt_file and len(result.walks) % 10 == 0:
+                    ck = {"walks": result.walks,
+                          "visited": np.nonzero(visited)[0].astype(np.int64),
+                          "all_walks_len": result.walks_len,
+                          "all_contigs_len": result.contigs_len}
+                    tmp = ckpt_file + ".tmp"
+                    with open(tmp, "wb") as f:
+                        pickle.dump(ck, f)
+                    os.replace(tmp, ckpt_file)
+            if int(status[0]) != 0:
+                break
+        return result
 
     while True:
         if native_sample:
             uniforms = rng.random(cfg.num_decoding_paths)
-            got = lib.gn_sample_seed_edges(
-                src32, dst32, probs, visited, graph.num_edges, uniforms,
-                cfg.num_decoding_paths, n_threads, seeds_buf)
+            got = lib.gn_sample_seed_edges_inc(
+                s_alive, s_weight, s_bsum, s_blast, s_count, E, uniforms,
+                cfg.num_decoding_paths, seeds_buf)
             if got == 0:       # no edge with both endpoints unvisited remains
                 break
             seeds = seeds_buf
@@ -312,13 +395,18 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
         if native_round:
             clen_out = ctypes.c_int64(0)
             slp_out = ctypes.c_double(0.0)
+            if round_epoch > 2 ** 31 - len(seeds) - 16:  # int32 wraparound
+                round_stamp[:] = 0
+                round_epoch = 0
             wlen = lib.gn_decode_round(
                 walker.row_ptr, walker.col, walker.eid, walker.log_probs,
                 prefix64, read_len64, visited, n,
                 np.ascontiguousarray(src32[seeds]),
                 np.ascontiguousarray(dst32[seeds]),
                 len(seeds), use_es, es_thr, n_threads,
+                round_stamp, round_wbuf, round_epoch,
                 walk_buf, ctypes.byref(clen_out), ctypes.byref(slp_out))
+            round_epoch += len(seeds)
             if wlen < 0:
                 raise KeyError(f"walk edge missing (candidate {-1 - wlen})")
             walk_it = walk_buf[:wlen].copy()
@@ -344,8 +432,19 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
 
         if native_round:
             # walk + RC pairs + transitive absorption (inference.py:316-322)
-            lib.gn_absorb_walk(csr_ptr64, csr_col32, csc_ptr64, csc_row32,
-                               walk_it, len(walk_it), visited)
+            if absorb_epoch > 2 ** 31 - n - 16:     # int32 epoch wraparound
+                absorb_stamp[:] = 0
+                absorb_epoch = 0
+            n_new = lib.gn_absorb_walk(csr_ptr64, csr_col32, csc_ptr64,
+                                       csc_row32, walk_it, len(walk_it),
+                                       visited, absorb_stamp,
+                                       absorb_epoch + 1, newly_buf)
+            absorb_epoch += max(len(walk_it), 1)
+            if native_sample and n_new:
+                lib.gn_sampler_update(csr_ptr64, csr_col32, csr_eid64,
+                                      csc_ptr64, csc_row32, csc_eid64,
+                                      newly_buf, n_new, E, s_alive, s_weight,
+                                      s_bsum, s_blast, s_count)
         else:
             visited[walk_it] = 1
             visited[walk_it ^ 1] = 1

@@ -28,11 +28,26 @@ class Partition:
 
 def _bfs_order_pairs(graph) -> np.ndarray:
     """Pair-level BFS order: follows graph connectivity so consecutive pairs
-    are topologically close (gives contiguous blocks small boundaries)."""
-    from collections import deque
+    are topologically close (gives contiguous blocks small boundaries).
+    FIFO BFS runs natively (gn_bfs_order; rows 2p and 2p+1 are adjacent in
+    the node CSR, so the pair CSR is just every other row pointer) with a
+    pure-Python fallback."""
+    from ..native import get_lib
 
     n_pairs = graph.num_nodes // 2
     row_ptr, col, _ = graph.csr()
+    lib = get_lib()
+    if lib is not None:
+        pair_ptr = np.ascontiguousarray(row_ptr[0::2], dtype=np.int64)
+        pair_col = np.ascontiguousarray(col >> 1, dtype=np.int32)
+        new_of_old = np.empty(n_pairs, dtype=np.int64)
+        lib.gn_bfs_order(pair_ptr, pair_col, n_pairs, new_of_old)
+        order = np.empty(n_pairs, dtype=np.int64)
+        order[new_of_old] = np.arange(n_pairs, dtype=np.int64)
+        return order
+
+    from collections import deque
+
     order = np.empty(n_pairs, dtype=np.int64)
     seen = np.zeros(n_pairs, dtype=bool)
     pos = 0

@@ -66,14 +66,13 @@ def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
         from .parallel.sharded import sharded_score_graph
         mesh = make_mesh(cfg.compute.mesh)
         with _matmul_precision(cfg):
-            if (cfg.model.model in ("sym_gatedgcn", "sym_gated_gcn")
-                    and cfg.model.normalization == "batch"):
-                # production multi-chip path: explicit halo exchange (zero
-                # all-gathers); GSPMD handles graphs with no halo plan
-                from .parallel.halo import halo_score_graph
-                scores = halo_score_graph(graph, params, state, cfg, mesh)
-                if scores is not None:
-                    return scores
+            # production multi-chip path: explicit halo exchange (zero
+            # all-gathers); returns None for unsupported configs (zoo
+            # models, layer norm) or graphs with no halo plan -> GSPMD
+            from .parallel.halo import halo_score_graph
+            scores = halo_score_graph(graph, params, state, cfg, mesh)
+            if scores is not None:
+                return scores
             return sharded_score_graph(graph, params, state, cfg, mesh)
     from .train.step import effective_pads
     epad, npad = effective_pads(cfg)

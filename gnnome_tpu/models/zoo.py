@@ -366,7 +366,8 @@ def get_model(name: str):
 
 
 def processor_graph_for(name: str, graph, cfg: ModelConfig,
-                        edge_pad_multiple=512, node_pad_multiple=128):
+                        edge_pad_multiple=512, node_pad_multiple=128,
+                        divisible_by=1):
     """The transformed GraphTensors a zoo model's processor runs on, or None
     when the processor uses the original graph (full_graph.py:45-51,68-72)."""
     if name in ("sym_gatedgcn", "sym_gated_gcn"):
@@ -375,4 +376,5 @@ def processor_graph_for(name: str, graph, cfg: ModelConfig,
     if cfg.directed and not self_loops:
         return None
     return transformed_graph_tensors(graph, cfg.directed, self_loops,
-                                     edge_pad_multiple, node_pad_multiple)
+                                     edge_pad_multiple, node_pad_multiple,
+                                     divisible_by)

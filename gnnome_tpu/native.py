@@ -112,6 +112,9 @@ def get_lib():
             ctypes.c_int64,                      # n_cand
             ctypes.c_int32, ctypes.c_float,      # use_early_stop, threshold
             ctypes.c_int32,                      # n_threads
+            np.ctypeslib.ndpointer(np.int32),    # stamp scratch (persistent)
+            np.ctypeslib.ndpointer(np.int32),    # walk scratch (persistent)
+            ctypes.c_int32,                      # epoch_base
             np.ctypeslib.ndpointer(np.int32),    # out_walk
             ctypes.POINTER(ctypes.c_int64),      # out_contig_len
             ctypes.POINTER(ctypes.c_double),     # out_slp
@@ -127,7 +130,7 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int32,      # k, n_threads
             np.ctypeslib.ndpointer(np.int64),    # out seeds
         ]
-        lib.gn_absorb_walk.restype = None
+        lib.gn_absorb_walk.restype = ctypes.c_int64
         lib.gn_absorb_walk.argtypes = [
             np.ctypeslib.ndpointer(np.int64),    # csr_ptr
             np.ctypeslib.ndpointer(np.int32),    # csr_col
@@ -136,6 +139,105 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int32),    # walk
             ctypes.c_int64,                      # walk_len
             np.ctypeslib.ndpointer(np.uint8),    # visited (mutated)
+            np.ctypeslib.ndpointer(np.int32),    # stamp (persistent, mutated)
+            ctypes.c_int32,                      # epoch_base
+            np.ctypeslib.ndpointer(np.int32),    # out_newly
+        ]
+        lib.gn_sampler_init.restype = None
+        lib.gn_sampler_init.argtypes = [
+            np.ctypeslib.ndpointer(np.int32),    # src
+            np.ctypeslib.ndpointer(np.int32),    # dst
+            np.ctypeslib.ndpointer(np.float32),  # probs
+            np.ctypeslib.ndpointer(np.uint8),    # visited
+            ctypes.c_int64, ctypes.c_int32,      # n_edges, n_threads
+            np.ctypeslib.ndpointer(np.uint8),    # ealive (out)
+            np.ctypeslib.ndpointer(np.float64),  # weight (out)
+            np.ctypeslib.ndpointer(np.float64),  # bsum (out)
+            np.ctypeslib.ndpointer(np.int64),    # blast (out)
+            np.ctypeslib.ndpointer(np.int64),    # alive_count (out, [1])
+        ]
+        lib.gn_sampler_update.restype = None
+        lib.gn_sampler_update.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),    # csr_ptr
+            np.ctypeslib.ndpointer(np.int32),    # csr_col
+            np.ctypeslib.ndpointer(np.int64),    # csr_eid
+            np.ctypeslib.ndpointer(np.int64),    # csc_ptr
+            np.ctypeslib.ndpointer(np.int32),    # csc_row
+            np.ctypeslib.ndpointer(np.int64),    # csc_eid
+            np.ctypeslib.ndpointer(np.int32),    # newly
+            ctypes.c_int64, ctypes.c_int64,      # n_newly, n_edges
+            np.ctypeslib.ndpointer(np.uint8),    # ealive (mutated)
+            np.ctypeslib.ndpointer(np.float64),  # weight
+            np.ctypeslib.ndpointer(np.float64),  # bsum (mutated)
+            np.ctypeslib.ndpointer(np.int64),    # blast (mutated)
+            np.ctypeslib.ndpointer(np.int64),    # alive_count (mutated, [1])
+        ]
+        lib.gn_sample_seed_edges_inc.restype = ctypes.c_int64
+        lib.gn_sample_seed_edges_inc.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8),    # ealive
+            np.ctypeslib.ndpointer(np.float64),  # weight
+            np.ctypeslib.ndpointer(np.float64),  # bsum
+            np.ctypeslib.ndpointer(np.int64),    # blast
+            np.ctypeslib.ndpointer(np.int64),    # alive_count [1]
+            ctypes.c_int64,                      # n_edges
+            np.ctypeslib.ndpointer(np.float64),  # uniforms
+            ctypes.c_int64,                      # k
+            np.ctypeslib.ndpointer(np.int64),    # out seeds
+        ]
+        lib.gn_decode_chunk.restype = ctypes.c_int64
+        lib.gn_decode_chunk.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),    # row_ptr
+            np.ctypeslib.ndpointer(np.int32),    # col
+            np.ctypeslib.ndpointer(np.int64),    # eid
+            np.ctypeslib.ndpointer(np.int64),    # csc_ptr
+            np.ctypeslib.ndpointer(np.int32),    # csc_row
+            np.ctypeslib.ndpointer(np.int64),    # csc_eid
+            np.ctypeslib.ndpointer(np.int32),    # src
+            np.ctypeslib.ndpointer(np.int32),    # dst
+            np.ctypeslib.ndpointer(np.float32),  # log_probs
+            np.ctypeslib.ndpointer(np.int64),    # prefix_len
+            np.ctypeslib.ndpointer(np.int64),    # read_len
+            ctypes.c_int64, ctypes.c_int64,      # n_nodes, n_edges
+            ctypes.c_int64,                      # n_paths
+            ctypes.c_int32, ctypes.c_float,      # use_early_stop, threshold
+            ctypes.c_int64, ctypes.c_int32,      # len_threshold, n_threads
+            np.ctypeslib.ndpointer(np.float64),  # uniforms [max_contigs*k]
+            ctypes.c_int64,                      # max_contigs
+            np.ctypeslib.ndpointer(np.uint8),    # visited (mutated)
+            np.ctypeslib.ndpointer(np.uint8),    # ealive (mutated)
+            np.ctypeslib.ndpointer(np.float64),  # weight
+            np.ctypeslib.ndpointer(np.float64),  # bsum (mutated)
+            np.ctypeslib.ndpointer(np.int64),    # blast (mutated)
+            np.ctypeslib.ndpointer(np.int64),    # alive_count (mutated)
+            np.ctypeslib.ndpointer(np.int32),    # absorb_stamp (mutated)
+            np.ctypeslib.ndpointer(np.int32),    # absorb_epoch [1] (mutated)
+            np.ctypeslib.ndpointer(np.int32),    # round_stamp (mutated)
+            np.ctypeslib.ndpointer(np.int32),    # round_wbuf (scratch)
+            np.ctypeslib.ndpointer(np.int32),    # round_epoch [1] (mutated)
+            np.ctypeslib.ndpointer(np.int32),    # newly scratch
+            np.ctypeslib.ndpointer(np.int64),    # seeds scratch
+            np.ctypeslib.ndpointer(np.int32),    # out_walks_flat
+            np.ctypeslib.ndpointer(np.int64),    # out_walk_lens
+            np.ctypeslib.ndpointer(np.int64),    # out_contig_lens
+            np.ctypeslib.ndpointer(np.int32),    # out_status [1]
+        ]
+        lib.gn_gt_sweep.restype = ctypes.c_int64
+        lib.gn_gt_sweep.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),    # fwd ptr
+            np.ctypeslib.ndpointer(np.int32),    # fwd col
+            np.ctypeslib.ndpointer(np.int64),    # rev ptr
+            np.ctypeslib.ndpointer(np.int32),    # rev col
+            np.ctypeslib.ndpointer(np.int64),    # key_sweep
+            np.ctypeslib.ndpointer(np.int64),    # key_high
+            ctypes.c_int64,                      # m
+            np.ctypeslib.ndpointer(np.int32),    # comp_id (out)
+        ]
+        lib.gn_bfs_order.restype = None
+        lib.gn_bfs_order.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),    # ptr
+            np.ctypeslib.ndpointer(np.int32),    # col
+            ctypes.c_int64,                      # m
+            np.ctypeslib.ndpointer(np.int64),    # new_of_old (out)
         ]
         lib.gn_walk_edge_ids.restype = ctypes.c_int64
         lib.gn_walk_edge_ids.argtypes = [

@@ -443,10 +443,19 @@ def _halo_pass(params, state, plan_shard: HaloPlan, x_blk, *, flip, training,
     return logits, new_state
 
 
+def halo_supported(cfg: Config) -> bool:
+    """Whether the halo path implements this config (flagship model, batch
+    norm).  Callers fall back to GSPMD when False instead of crashing."""
+    return (cfg.model.model in ("sym_gatedgcn", "sym_gated_gcn")
+            and cfg.model.normalization == "batch")
+
+
 def _resolve(cfg: Config):
     model_cfg = cfg.model
-    if model_cfg.normalization != "batch":
-        raise NotImplementedError("halo path implements batch norm only")
+    if not halo_supported(cfg):
+        raise NotImplementedError(
+            "halo path implements the SymGatedGCN batch-norm config only; "
+            "gate with halo_supported(cfg) and fall back to GSPMD")
     dtype = (jnp.bfloat16 if cfg.compute.dtype == "bfloat16"
              else jnp.float32)
     return model_cfg, dtype
@@ -674,32 +683,40 @@ def band_order(src: np.ndarray, dst: np.ndarray, n_nodes: int) -> np.ndarray:
     space).  Assembler output is genome-coherent so the identity order
     usually works; graphs whose reads are not position-ordered (or shuffled
     subgraphs) get re-banded by following connectivity — the node-order analog
-    of the partitioner's BFS mode (graphs/partition.py:29-53)."""
-    from collections import deque
+    of the partitioner's BFS mode (graphs/partition.py:29-53).  The FIFO BFS
+    runs natively (gn_bfs_order) with a pure-Python fallback."""
+    from ..native import get_lib
 
     n_pairs = n_nodes // 2
     pair_u = src >> 1
     pair_v = dst >> 1
     order = np.argsort(pair_u, kind="stable")
-    nbr = pair_v[order]
+    nbr = np.ascontiguousarray(pair_v[order], dtype=np.int32)
     ptr = np.zeros(n_pairs + 1, dtype=np.int64)
     np.cumsum(np.bincount(pair_u, minlength=n_pairs), out=ptr[1:])
 
-    new_pair = np.full(n_pairs, -1, dtype=np.int64)
-    pos = 0
-    for seed in range(n_pairs):
-        if new_pair[seed] >= 0:
-            continue
-        queue = deque([seed])
-        new_pair[seed] = pos
-        pos += 1
-        while queue:
-            p = queue.popleft()
-            for q in nbr[ptr[p]:ptr[p + 1]]:
-                if new_pair[q] < 0:
-                    new_pair[q] = pos
-                    pos += 1
-                    queue.append(int(q))
+    lib = get_lib()
+    if lib is not None:
+        new_pair = np.empty(n_pairs, dtype=np.int64)
+        lib.gn_bfs_order(ptr, nbr, n_pairs, new_pair)
+    else:
+        from collections import deque
+
+        new_pair = np.full(n_pairs, -1, dtype=np.int64)
+        pos = 0
+        for seed in range(n_pairs):
+            if new_pair[seed] >= 0:
+                continue
+            queue = deque([seed])
+            new_pair[seed] = pos
+            pos += 1
+            while queue:
+                p = queue.popleft()
+                for q in nbr[ptr[p]:ptr[p + 1]]:
+                    if new_pair[q] < 0:
+                        new_pair[q] = pos
+                        pos += 1
+                        queue.append(int(q))
     new_of_old = np.empty(n_nodes, dtype=np.int64)
     new_of_old[0::2] = 2 * new_pair
     new_of_old[1::2] = 2 * new_pair + 1
@@ -753,11 +770,14 @@ def _pad_host(a: np.ndarray, n: int) -> np.ndarray:
 
 def halo_score_graph(graph, params, state, cfg: Config, mesh):
     """Multi-chip inference via halo exchange; returns host-order edge logits
-    or None when the graph has no halo plan even after band reordering
-    (caller falls back to GSPMD)."""
+    or None when the config is unsupported (zoo model / layer norm) or the
+    graph has no halo plan even after band reordering (caller falls back to
+    GSPMD)."""
     from ..models import edge_features, node_features
     from .mesh import replicated_sharding
 
+    if not halo_supported(cfg):
+        return None
     P = mesh.devices.size
     x_id = node_features(graph)
     ef = edge_features(graph, cfg.data.use_similarities)

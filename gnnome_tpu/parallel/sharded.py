@@ -59,16 +59,22 @@ def replicate(tree, mesh):
 
 
 def make_sharded_forward(cfg: Config, mesh):
-    """jit'd eval forward over the mesh; inputs must be pre-sharded."""
-    from ..models.sym_gated_gcn import forward
+    """jit'd eval forward over the mesh; inputs must be pre-sharded.
+
+    Dispatches through the model registry so every zoo variant
+    (reference models/full_graph.py:33-119) runs multi-chip, not just the
+    flagship SymGatedGCN."""
+    from ..models.zoo import get_model
 
     model_cfg = cfg.model
     backend = None if cfg.compute.backend == "auto" else cfg.compute.backend
+    _, model_fwd = get_model(model_cfg.model)
 
     @jax.jit
-    def fwd(params, state, gt, x, e):
-        scores, _ = forward(params, state, gt, x, e, model_cfg,
-                            training=False, backend=backend)
+    def fwd(params, state, gt, x, e, gt_proc=None):
+        scores, _ = model_fwd(params, state, gt, x, e, model_cfg,
+                              training=False, backend=backend,
+                              gt_proc=gt_proc)
         return scores
 
     return fwd
@@ -88,24 +94,30 @@ def make_sharded_train_step(cfg: Config, mesh):
 
 
 def sharded_score_graph(graph, params, state, cfg: Config, mesh) -> np.ndarray:
-    """Multi-chip version of infer.score_graph."""
+    """Multi-chip version of infer.score_graph (any registry model)."""
     from ..models import edge_features, node_features
+    from ..models.zoo import processor_graph_for
 
-    gt = GraphTensors.from_graph(
-        graph, edge_pad_multiple=cfg.compute.edge_pad_multiple,
-        node_pad_multiple=cfg.compute.node_pad_multiple)
-    # rebuild with mesh-divisible padding
+    P = mesh.devices.size
     gt = GraphTensors.build(graph.src, graph.dst, graph.num_nodes,
                             cfg.compute.edge_pad_multiple,
                             cfg.compute.node_pad_multiple,
-                            divisible_by=mesh.devices.size)
+                            divisible_by=P)
     x = gt.pad_nodes(node_features(graph))
     e = gt.pad_edges(edge_features(graph, cfg.data.use_similarities))
+    # zoo models run their processor on a transformed graph (self-loops /
+    # reversed edges, reference full_graph.py:45-51,68-72) — shard it too
+    gt_proc = processor_graph_for(cfg.model.model, graph, cfg.model,
+                                  cfg.compute.edge_pad_multiple,
+                                  cfg.compute.node_pad_multiple,
+                                  divisible_by=P)
     gt = shard_graph_tensors(gt, mesh)
+    if gt_proc is not None:
+        gt_proc = shard_graph_tensors(gt_proc, mesh)
     x = jax.device_put(x, graph_sharding(mesh))
     e = jax.device_put(e, graph_sharding(mesh))
     params = replicate(params, mesh)
     state = replicate(state, mesh)
     fwd = make_sharded_forward(cfg, mesh)
-    scores = fwd(params, state, gt, x, e)
+    scores = fwd(params, state, gt, x, e, gt_proc)
     return np.asarray(scores).reshape(-1)[: graph.num_edges]

@@ -3,8 +3,8 @@
 
 Builds an assembly-shaped AssemblyGraph from the bench generator (banded +
 RC-paired is irrelevant to decode cost; degrees and scale are what matter),
-fakes edge logits, and times one full ``decode_greedy`` run with the loop's
-phases instrumented via a monkeypatched module clock.
+fakes edge logits, and times one full ``decode_greedy`` run (optionally
+under cProfile for the per-function breakdown).
 
 Usage: python scripts/decode_profile.py [--nodes N] [--degree D] [--paths K]
 """

@@ -174,6 +174,9 @@ def test_native_decode_round_matches_python():
         src32 = np.ascontiguousarray(g.src, dtype=np.int32)
         dst32 = np.ascontiguousarray(g.dst, dtype=np.int32)
         walk_buf = np.empty(g.num_nodes, dtype=np.int32)
+        # fresh scratch per trial (equivalent to persistent + advancing epoch)
+        stamp = np.zeros(4 * g.num_nodes, dtype=np.int32)
+        wbuf = np.empty(4 * 2 * g.num_nodes, dtype=np.int32)
         clen_out = ctypes.c_int64(0)
         slp_out = ctypes.c_double(0.0)
         wlen = w.lib.gn_decode_round(
@@ -181,7 +184,7 @@ def test_native_decode_round_matches_python():
             visited, g.num_nodes,
             np.ascontiguousarray(src32[seeds]),
             np.ascontiguousarray(dst32[seeds]),
-            len(seeds), 0, 0.0, 4,
+            len(seeds), 0, 0.0, 4, stamp, wbuf, 0,
             walk_buf, ctypes.byref(clen_out), ctypes.byref(slp_out))
         assert wlen == len(best[1])
         np.testing.assert_array_equal(walk_buf[:wlen], best[1])
@@ -192,19 +195,25 @@ def test_native_decode_round_matches_python():
         visited[best[1] ^ 1] = 1
 
 
-def test_native_seed_sampler_matches_numpy_cdf():
-    """gn_sample_seed_edges must equal a float64 cumsum + searchsorted oracle
-    (single sampling block, so the summation order is identical)."""
+import pytest
+
+
+@pytest.mark.parametrize("n_edges", [1000, 5000])
+def test_native_seed_sampler_matches_numpy_cdf(n_edges):
+    """gn_sample_seed_edges must equal a float64 cumsum + searchsorted oracle.
+    n_edges=1000 stays inside one 1024-edge sampling block (summation order
+    identical); n_edges=5000 exercises the block prefix sums + binary search
+    + in-block rescan — the path every real graph takes."""
     from gnnome_tpu.native import get_lib
 
     lib = get_lib()
     assert lib is not None
     rng = np.random.default_rng(7)
-    n_nodes, n_edges = 256, 1000   # < one 1024-edge sampling block
+    n_nodes = 256
     src = rng.integers(0, n_nodes, n_edges).astype(np.int32)
     dst = rng.integers(0, n_nodes, n_edges).astype(np.int32)
     probs = rng.uniform(0, 1, n_edges).astype(np.float32)
-    probs[rng.integers(0, n_edges, 50)] = 0.0     # exercise the 1e-9 clamp
+    probs[rng.integers(0, n_edges, n_edges // 20)] = 0.0   # the 1e-9 clamp
     visited = np.zeros(n_nodes, dtype=np.uint8)
     visited[rng.integers(0, n_nodes, 60)] = 1
     uniforms = rng.random(64)
@@ -223,6 +232,83 @@ def test_native_seed_sampler_matches_numpy_cdf():
     visited[:] = 1
     assert lib.gn_sample_seed_edges(src, dst, probs, visited, n_edges,
                                     uniforms, 64, 4, out) == 0
+
+
+def test_incremental_sampler_matches_oneshot():
+    """The incremental per-block sampler (init -> absorb-driven updates ->
+    sample) must equal the one-shot gn_sample_seed_edges bitwise right after
+    init; after subtraction updates, every sample must still be an ALIVE
+    edge and the alive bookkeeping must match the visited arrays exactly."""
+    from gnnome_tpu.native import get_lib
+
+    lib = get_lib()
+    assert lib is not None
+    g, _, _, _ = _graph(seed=21, n_reads=400, genome_len=30000)
+    E, n = g.num_edges, g.num_nodes
+    assert E > 2048                 # multi-block regime
+    rng = np.random.default_rng(3)
+    probs = rng.uniform(0, 1, E).astype(np.float32)
+    visited = np.zeros(n, dtype=np.uint8)
+
+    csr_ptr, csr_col, csr_eid = g.csr()
+    csc_ptr, csc_row, csc_eid = g.csc()
+    csr_ptr = np.ascontiguousarray(csr_ptr, np.int64)
+    csr_col = np.ascontiguousarray(csr_col, np.int32)
+    csr_eid = np.ascontiguousarray(csr_eid, np.int64)
+    csc_ptr = np.ascontiguousarray(csc_ptr, np.int64)
+    csc_row = np.ascontiguousarray(csc_row, np.int32)
+    csc_eid = np.ascontiguousarray(csc_eid, np.int64)
+    src32 = np.ascontiguousarray(g.src, np.int32)
+    dst32 = np.ascontiguousarray(g.dst, np.int32)
+
+    n_blocks = (E + 1023) // 1024
+    ealive = np.empty(E, np.uint8)
+    weight = np.empty(E, np.float64)
+    bsum = np.empty(n_blocks, np.float64)
+    blast = np.empty(n_blocks, np.int64)
+    count = np.empty(1, np.int64)
+    lib.gn_sampler_init(src32, dst32, probs, visited, E, 4,
+                        ealive, weight, bsum, blast, count)
+    assert count[0] == E
+
+    stamp = np.zeros(n, np.int32)
+    newly = np.empty(n, np.int32)
+    epoch = 0
+    out_inc = np.empty(32, np.int64)
+    out_ref = np.empty(32, np.int64)
+    for it in range(8):
+        uniforms = rng.random(32)
+        gi = lib.gn_sample_seed_edges_inc(ealive, weight, bsum, blast, count,
+                                          E, uniforms, 32, out_inc)
+        gr = lib.gn_sample_seed_edges(src32, dst32, probs, visited, E,
+                                      uniforms, 32, 4, out_ref)
+        assert gi == gr
+        if gi == 0:
+            break
+        if it == 0:   # pristine state: bitwise-identical to the one-shot path
+            np.testing.assert_array_equal(out_inc, out_ref)
+        # every incremental sample must be alive
+        assert (visited[src32[out_inc]] == 0).all()
+        assert (visited[dst32[out_inc]] == 0).all()
+        # visit a fake walk through some sampled edges' endpoints + absorb
+        walk = np.concatenate([[src32[out_inc[0]]],
+                               dst32[out_inc[:5]]]).astype(np.int32)
+        n_new = lib.gn_absorb_walk(csr_ptr, csr_col, csc_ptr, csc_row,
+                                   walk, len(walk), visited, stamp,
+                                   epoch + 1, newly)
+        epoch += len(walk)
+        if n_new:
+            lib.gn_sampler_update(csr_ptr, csr_col, csr_eid, csc_ptr,
+                                  csc_row, csc_eid, newly, n_new, E,
+                                  ealive, weight, bsum, blast, count)
+    # consistency: alive bits, count and per-block last-alive stay exact
+    alive_ref = (visited[src32] == 0) & (visited[dst32] == 0)
+    np.testing.assert_array_equal(ealive.astype(bool), alive_ref)
+    assert count[0] == int(alive_ref.sum())
+    for b in range(n_blocks):
+        ids = np.nonzero(alive_ref[b * 1024:(b + 1) * 1024])[0]
+        expect_last = b * 1024 + ids[-1] if ids.size else -1
+        assert blast[b] == expect_last
 
 
 def test_native_absorb_matches_python():
@@ -248,9 +334,15 @@ def test_native_absorb_matches_python():
             vis_py[trans ^ 1] = 1
 
     vis_nat = np.zeros(g.num_nodes, dtype=np.uint8)
-    lib.gn_absorb_walk(np.ascontiguousarray(csr_ptr, np.int64),
-                       np.ascontiguousarray(csr_col, np.int32),
-                       np.ascontiguousarray(csc_ptr, np.int64),
-                       np.ascontiguousarray(csc_row, np.int32),
-                       walk, len(walk), vis_nat)
+    stamp = np.zeros(g.num_nodes, dtype=np.int32)
+    newly = np.empty(g.num_nodes, dtype=np.int32)
+    n_new = lib.gn_absorb_walk(np.ascontiguousarray(csr_ptr, np.int64),
+                               np.ascontiguousarray(csr_col, np.int32),
+                               np.ascontiguousarray(csc_ptr, np.int64),
+                               np.ascontiguousarray(csc_row, np.int32),
+                               walk, len(walk), vis_nat, stamp, 1, newly)
     np.testing.assert_array_equal(vis_nat, vis_py)
+    # newly-visited list covers exactly the set bits, each node once
+    assert n_new == int(vis_py.sum())
+    np.testing.assert_array_equal(np.sort(newly[:n_new]),
+                                  np.nonzero(vis_py)[0])

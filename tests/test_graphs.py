@@ -234,3 +234,58 @@ def test_graph_tensors_host_cache():
     import dataclasses
     bare = dataclasses.replace(gt)
     np.testing.assert_array_equal(bare.host("src"), gt.host("src"))
+
+
+def test_gt_sweep_native_matches_python_oracle():
+    """gn_gt_sweep (native CSR coverage sweep) must select the same edges as
+    the Python set/DFS oracle on both strands (reference labels.py:23-71)."""
+    from gnnome_tpu.graphs import labels as L
+    from gnnome_tpu.native import get_lib
+
+    assert get_lib() is not None
+    rng = np.random.default_rng(11)
+    for positive in (True, False):
+        for trial in range(4):
+            n = 120
+            start = rng.integers(0, 100000, n)
+            length = rng.integers(500, 20000, n)
+            end = start + length
+            # overlap-ish random edges
+            m = 400
+            src = rng.integers(0, n, m).astype(np.int64)
+            dst = rng.integers(0, n, m).astype(np.int64)
+            sel = src != dst
+            src, dst = src[sel], dst[sel]
+            nodes = np.unique(np.concatenate([src, dst]))
+            got = L._gt_single_strand_native(src, dst, nodes, start, end,
+                                             positive)
+            # force the Python oracle
+            import unittest.mock as mock
+            with mock.patch.object(L, "_gt_single_strand_native",
+                                   lambda *a, **k: None):
+                want = L._gt_for_single_strand(src, dst, start, end,
+                                               positive=positive)
+            np.testing.assert_array_equal(got, want)
+
+
+def test_bfs_order_native_matches_python():
+    """gn_bfs_order must reproduce the pure-Python FIFO BFS relabelling."""
+    from gnnome_tpu.parallel import halo as H
+    from gnnome_tpu.native import get_lib
+    import unittest.mock as mock
+
+    assert get_lib() is not None
+    rng = np.random.default_rng(5)
+    n_pairs = 300
+    m = 900
+    pu = rng.integers(0, n_pairs, m)
+    pv = rng.integers(0, n_pairs, m)
+    src = (2 * pu + rng.integers(0, 2, m)).astype(np.int64)
+    dst = (2 * pv + rng.integers(0, 2, m)).astype(np.int64)
+    got = H.band_order(src, dst, 2 * n_pairs)
+    # fallback path: band_order imports get_lib from gnnome_tpu.native at
+    # call time, so patching the module attribute routes it to pure Python
+    import gnnome_tpu.native as N
+    with mock.patch.object(N, "get_lib", lambda: None):
+        want = H.band_order(src, dst, 2 * n_pairs)
+    np.testing.assert_array_equal(got, want)

@@ -235,3 +235,25 @@ def test_zoo_train_step_runs(name):
                for a, b in zip(jax.tree_util.tree_leaves(params),
                                jax.tree_util.tree_leaves(p3)))
     assert diff > 0
+
+
+@pytest.mark.parametrize("name", ["gatedgcn", "gcn", "gat", "sage"])
+def test_zoo_mesh_score_matches_single_device(name):
+    """Every zoo model scores identically through the multi-chip path
+    (compute.mesh=8 routes zoo configs to the GSPMD fallback — reference
+    capability models/full_graph.py:33-119 on any device count)."""
+    from gnnome_tpu.infer import score_graph
+
+    g, _, _, _ = synthetic_assembly_graph(n_reads=60, genome_len=5000,
+                                          read_len=300, seed=33,
+                                          with_sequences=True)
+    cfg = Config()
+    cfg.model = ModelConfig(model=name, num_gnn_layers=2, dropout=0.0)
+    cfg.compute.edge_pad_multiple = 256
+    cfg.compute.node_pad_multiple = 64
+    init_fn, _ = get_model(name)
+    params, state = init_fn(jax.random.PRNGKey(7), cfg.model)
+    ref = score_graph(g, params, state, cfg)
+    cfg.compute.mesh = 8
+    got = score_graph(g, params, state, cfg)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
