@@ -286,11 +286,13 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
     # fused Pallas mode: the whole edge stage runs in the K3/K7/K8 kernels
     # over PACKED [Ep/2, 2d] edge arrays — e is packed ONCE here and stays
     # packed through every layer (no 128-lane padding anywhere in the edge
-    # stream).  bf16-only on hardware (the f32 parity mode keeps the verified
-    # K1/K2/XLA route; fused-f32 also trips this environment's remote
-    # compiler); interpreter mode (tests) exercises it at any dtype.
+    # stream).  Runs at both bf16 (the perf mode) and f32 (parity mode —
+    # HIGHEST-precision one-hot dots make the selects exact; the round-2
+    # Mosaic remote-compile failure no longer reproduces, and the on-TPU
+    # parity suite under tests_tpu/ pins fused-vs-XLA agreement directly on
+    # hardware); interpreter mode (tests) exercises it at any dtype.
     fused = (backend == "pallas" and cfg.normalization == "batch"
-             and (dtype == jnp.bfloat16 or _interpret())
+             and (dtype in (jnp.bfloat16, jnp.float32) or _interpret())
              and _plan_for(gt, flip) is not None)
     if fused:
         e = pack_edges(e)

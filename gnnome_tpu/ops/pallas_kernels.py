@@ -79,6 +79,38 @@ def _ohT(io2, idx_ref, c, chunk, dtype):
     return (io2 == row).astype(dtype)
 
 
+def _ohT2(io2, idx_e_ref, idx_o_ref, c, dtype):
+    """Parity-MERGED transposed one-hot [k*W, chunk]: lanes 0:hc are the
+    chunk's even edges, lanes hc: the odd edges.  One double-width one-hot
+    serves both parities' selects AND scatters in a single MXU dot each —
+    same MACs as two half-width dots, half the dot count (and Mosaic pipeline
+    slots), measured the difference between ~20% and ~40%+ MXU occupancy."""
+    row = jnp.concatenate([idx_e_ref[c, :][None, :],
+                           idx_o_ref[c, :][None, :]], axis=1)
+    return (io2 == row).astype(dtype)
+
+
+def _stack_p(a, d):
+    """Packed [hc, 2d] -> row-stacked [2hc, d] (even rows first).
+
+    NOT the obvious ``concat([a[:, :d], a[:, d:]], 0)``: Mosaic's hardware
+    backend crashes (tpu_compile_helper exit 1, ANY dtype) lowering a
+    sublane-concat whose operand is an offset lane slice — minimal repro and
+    the workaround ladder live in scripts/mosaic_f32_repro*.py.  ``pltpu.
+    roll`` normalizes the odd half's layout first; roll itself only lowers
+    for 32-bit lanes, so bf16 round-trips (exactly) through f32."""
+    if _interpret():
+        return jnp.concatenate([a[:, :d], a[:, d:]], axis=0)
+    x = a if a.dtype == jnp.float32 else a.astype(jnp.float32)
+    hi = pltpu.roll(x, d, 1)[:, :d]
+    return jnp.concatenate([x[:, :d], hi], axis=0).astype(a.dtype)
+
+
+def _unstack_p(a, hc):
+    """Row-stacked [2hc, d] -> packed [hc, 2d]."""
+    return jnp.concatenate([a[:hc], a[hc:]], axis=1)
+
+
 def _selT(ohT, ws, pr):
     """Row select via transposed contraction over the window's k block refs:
     [chunk, D] = sum_i ohT[i*W:(i+1)*W]^T @ ws[i]."""
@@ -276,8 +308,8 @@ def _k3_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     ule, ulo, vle, vlo, b3e, e_in, affine, e_out = refs[ku + kv:ku + kv + 8]
     pu = refs[ku + kv + 8:ku + kv + 8 + ku]
     pv = refs[ku + kv + 8 + ku:]
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
     scale2 = affine[0:1, :]                   # [1, 2d] = [scale | scale]
     bias2 = affine[1:2, :]
     _zero_on_run_change(u_blk_ref, pu)
@@ -287,18 +319,14 @@ def _k3_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
         pr = _prec(uws[0].dtype)
-        ohT_ue = _ohT(io2u, ule, c, hc, uws[0].dtype)
-        ohT_uo = _ohT(io2u, ulo, c, hc, uws[0].dtype)
-        ohT_ve = _ohT(io2v, vle, c, hc, uws[0].dtype)
-        ohT_vo = _ohT(io2v, vlo, c, hc, uws[0].dtype)
-        gue = _selT(ohT_ue, uws, pr)
-        guo = _selT(ohT_uo, uws, pr)
-        gve = _selT(ohT_ve, vws, pr)
-        gvo = _selT(ohT_vo, vws, pr)
+        # parity-merged one-hots: lanes 0:hc even edges, hc: odd — one
+        # double-width dot per endpoint replaces two half-width ones
+        ohT_u = _ohT2(io2u, ule, ulo, c, uws[0].dtype)
+        ohT_v = _ohT2(io2v, vle, vlo, c, uws[0].dtype)
+        gu = _selT(ohT_u, uws, pr)            # [2hc, 2d] rows: even | odd
+        gv = _selT(ohT_v, vws, pr)
         dt = e_out.dtype
-        gate = jnp.concatenate(
-            [gue[:, :d] + gve[:, :d], guo[:, :d] + gvo[:, :d]],
-            axis=1).astype(dt) + b3e[psl, :]
+        gate = _unstack_p((gu[:, :d] + gv[:, :d]).astype(dt), hc) + b3e[psl, :]
         gate = gate * scale2 + bias2
         gate = jax.nn.relu(gate)
         eo = gate + e_in[psl, :]
@@ -307,15 +335,11 @@ def _k3_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
         # (f32 constant broadcast into a bf16 vector); padded/overflow edges
         # need no masking — their one-hot columns are all-zero (sentinel)
         sigma = jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
-        se, so = sigma[:, :d], sigma[:, d:]
-        _scatT(ohT_ue, jnp.concatenate([se * gve[:, d:].astype(dt), se], 1),
-               pu)                                               # into src
-        _scatT(ohT_uo, jnp.concatenate([so * gvo[:, d:].astype(dt), so], 1),
-               pu)
-        _scatT(ohT_ve, jnp.concatenate([se * gue[:, d:].astype(dt), se], 1),
-               pv)                                               # into dst
-        _scatT(ohT_vo, jnp.concatenate([so * guo[:, d:].astype(dt), so], 1),
-               pv)
+        sig2 = _stack_p(sigma, d)             # [2hc, d] rows: even | odd
+        _scatT(ohT_u, jnp.concatenate(
+            [sig2 * gv[:, d:].astype(dt), sig2], 1), pu)         # into src
+        _scatT(ohT_v, jnp.concatenate(
+            [sig2 * gu[:, d:].astype(dt), sig2], 1), pv)         # into dst
 
 
 def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
@@ -387,43 +411,35 @@ def _k7_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     uws = refs[:ku]
     vws = refs[ku:ku + kv]
     ule, ulo, vle, vlo, b3e, stats_out = refs[ku + kv:]
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
-    acc = jnp.zeros((1, 2 * d), jnp.float32)    # [s1_e|s2_e] / [s1_o|s2_o]
-    acc_o = jnp.zeros((1, 2 * d), jnp.float32)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
+    acc = jnp.zeros((1, 2 * d), jnp.float32)    # [s1 | s2], both parities
     dt = b3e.dtype
     hc = chunk // 2
     hp = jax.lax.Precision.HIGHEST
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
         pr = _prec(uws[0].dtype)
-        ohT_ue = _ohT(io2u, ule, c, hc, uws[0].dtype)
-        ohT_uo = _ohT(io2u, ulo, c, hc, uws[0].dtype)
-        ohT_ve = _ohT(io2v, vle, c, hc, uws[0].dtype)
-        ohT_vo = _ohT(io2v, vlo, c, hc, uws[0].dtype)
-        # d-wide gate windows (pre-sliced by the caller): HALF the select
-        # MACs of the [W, 2d] message windows
-        xue = _selT(ohT_ue, uws, pr)
-        xuo = _selT(ohT_uo, uws, pr)
-        xve = _selT(ohT_ve, vws, pr)
-        xvo = _selT(ohT_vo, vws, pr)
-        x = jnp.concatenate(
-            [xue + xve, xuo + xvo], axis=1).astype(dt) + b3e[psl, :]
+        # parity-merged one-hots (see _ohT2); d-wide gate windows
+        # (pre-sliced by the caller): HALF the select MACs of the [W, 2d]
+        # message windows
+        ohT_u = _ohT2(io2u, ule, ulo, c, uws[0].dtype)
+        ohT_v = _ohT2(io2v, vle, vlo, c, uws[0].dtype)
+        xu = _selT(ohT_u, uws, pr)            # [2hc, d] rows: even | odd
+        xv = _selT(ohT_v, vws, pr)
+        b3e2 = _stack_p(b3e[psl, :], d)
+        x = (xu + xv).astype(dt) + b3e2
         xf = x.astype(jnp.float32)
         # padded AND overflow slots carry the sentinel -> excluded here and
         # inert in the scatters; the caller adds overflow edges' contributions
-        me = (ule[c, :] != ku * wu).astype(jnp.float32)[None, :]
-        mo = (ulo[c, :] != ku * wu).astype(jnp.float32)[None, :]
-        xe, xo = xf[:, :d], xf[:, d:]
+        m = jnp.concatenate([ule[c, :][None, :], ulo[c, :][None, :]], axis=1)
+        m = (m != ku * wu).astype(jnp.float32)
         acc = acc + jnp.dot(
-            me, jnp.concatenate([xe, xe * xe], axis=1),
-            preferred_element_type=jnp.float32, precision=hp)
-        acc_o = acc_o + jnp.dot(
-            mo, jnp.concatenate([xo, xo * xo], axis=1),
+            m, jnp.concatenate([xf, xf * xf], axis=1),
             preferred_element_type=jnp.float32, precision=hp)
 
     stats_out[:] = jnp.concatenate(
-        [acc + acc_o, jnp.zeros((7, 2 * d), jnp.float32)], axis=0)
+        [acc, jnp.zeros((7, 2 * d), jnp.float32)], axis=0)
 
 
 def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
@@ -490,11 +506,11 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
      x_out, deo_out) = refs[2 * ku + 2 * kv:2 * ku + 2 * kv + 10]
     pu = refs[2 * ku + 2 * kv + 10:2 * ku + 2 * kv + 10 + ku]
     pv = refs[2 * ku + 2 * kv + 10 + ku:]
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
-    scale2 = affine[0:1, :]
-    bias2 = affine[1:2, :]
-    scale2_f = scale2.astype(jnp.float32)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
+    scale1 = affine[0:1, :d]                 # stacked rows: d-wide affine
+    bias1 = affine[1:2, :d]
+    scale1_f = scale1.astype(jnp.float32)
     _zero_on_run_change(u_blk_ref, pu)
     _zero_on_run_change(v_blk_ref, pv)
 
@@ -503,65 +519,51 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
         psl = pl.ds(c * hc, hc)
         dt = x_out.dtype
         pr = _prec(uws[0].dtype)
-        ohT_ue = _ohT(io2u, ule, c, hc, uws[0].dtype)
-        ohT_uo = _ohT(io2u, ulo, c, hc, uws[0].dtype)
-        ohT_ve = _ohT(io2v, vle, c, hc, uws[0].dtype)
-        ohT_vo = _ohT(io2v, vlo, c, hc, uws[0].dtype)
-        gue = _selT(ohT_ue, uws, pr)
-        guo = _selT(ohT_uo, uws, pr)
-        gve = _selT(ohT_ve, vws, pr)
-        gvo = _selT(ohT_vo, vws, pr)
-        due = _selT(ohT_ue, dus, pr)
-        duo = _selT(ohT_uo, dus, pr)
-        dve = _selT(ohT_ve, dvs, pr)
-        dvo = _selT(ohT_vo, dvs, pr)
+        # parity-merged one-hots: 4 selects + 2 scatters per chunk where the
+        # per-parity form needed 8 + 4 (same MACs, half the dot count); all
+        # per-edge tensors live ROW-STACKED [2hc, d] (even rows | odd rows)
+        ohT_u = _ohT2(io2u, ule, ulo, c, uws[0].dtype)
+        ohT_v = _ohT2(io2v, vle, vlo, c, uws[0].dtype)
+        gu = _selT(ohT_u, uws, pr)           # [2hc, 2d]
+        gv = _selT(ohT_v, vws, pr)
+        du = _selT(ohT_u, dus, pr)
+        dv = _selT(ohT_v, dvs, pr)
         # recomputed forward, bit-matching the K3/K7 dtype discipline
-        x = jnp.concatenate(
-            [gue[:, :d] + gve[:, :d], guo[:, :d] + gvo[:, :d]],
-            axis=1).astype(dt) + b3e[psl, :]
-        gaff = x * scale2 + bias2
+        x = (gu[:, :d] + gv[:, :d]).astype(dt) + _stack_p(b3e[psl, :], d)
+        gaff = x * scale1 + bias1
         # compare in f32: Mosaic has no bf16 vector cmpf (conversion is exact)
         relu_m = (gaff.astype(jnp.float32) > 0).astype(jnp.float32)
-        eo = jax.nn.relu(gaff) + e_in[psl, :]
+        eo = jax.nn.relu(gaff) + _stack_p(e_in[psl, :], d)
         # f32 sigmoid: Mosaic's bf16 logistic lowering miscompiles
         sigma = jax.nn.sigmoid(eo.astype(jnp.float32))
-        a2u = jnp.concatenate([gue[:, d:], guo[:, d:]],
-                              axis=1).astype(dt).astype(jnp.float32)
-        a3v = jnp.concatenate([gve[:, d:], gvo[:, d:]],
-                              axis=1).astype(dt).astype(jnp.float32)
-        dv_m = jnp.concatenate([dve[:, :d], dvo[:, :d]], axis=1)
-        dv_s = jnp.concatenate([dve[:, d:], dvo[:, d:]], axis=1)
-        du_m = jnp.concatenate([due[:, :d], duo[:, :d]], axis=1)
-        du_s = jnp.concatenate([due[:, d:], duo[:, d:]], axis=1)
+        a2u = gu[:, d:].astype(dt).astype(jnp.float32)
+        a3v = gv[:, d:].astype(dt).astype(jnp.float32)
+        dv_m, dv_s = dv[:, :d], dv[:, d:]
+        du_m, du_s = du[:, :d], du[:, d:]
         d_sigma = dv_m * a2u + dv_s + du_m * a3v + du_s
-        d_eo = (d_e_out[psl, :].astype(jnp.float32)
+        d_eo = (_stack_p(d_e_out[psl, :], d).astype(jnp.float32)
                 + d_sigma * sigma * (1.0 - sigma))
         d_y = d_eo * relu_m
-        x_out[psl, :] = x
-        deo_out[psl, :] = d_eo.astype(dt)
-        dys = d_y * scale2_f
+        x_out[psl, :] = _unstack_p(x, hc)
+        deo_out[psl, :] = _unstack_p(d_eo.astype(dt), hc)
+        dys = d_y * scale1_f
         sdv = sigma * dv_m
         sdu = sigma * du_m
         if with_xsum:
             # node x-sums for the batch-statistics chain (``c2*xsum``) ride
             # the SAME one-hots and the SAME dots as the d_proj payloads —
-            # a [hc, 3d] payload instead of a second scatter pass
-            def pay3(a, b_, c_):
-                return jnp.concatenate(
-                    [jnp.concatenate([a, b_], axis=1).astype(dt), c_], axis=1)
-            _scatT(ohT_ue, pay3(dys[:, :d], sdv[:, :d], x[:, :d]), pu)
-            _scatT(ohT_uo, pay3(dys[:, d:], sdv[:, d:], x[:, d:]), pu)
-            _scatT(ohT_ve, pay3(dys[:, :d], sdu[:, :d], x[:, :d]), pv)
-            _scatT(ohT_vo, pay3(dys[:, d:], sdu[:, d:], x[:, d:]), pv)
+            # a [2hc, 3d] payload instead of a second scatter pass
+            _scatT(ohT_u, jnp.concatenate(
+                [jnp.concatenate([dys, sdv], axis=1).astype(dt), x], axis=1),
+                pu)
+            _scatT(ohT_v, jnp.concatenate(
+                [jnp.concatenate([dys, sdu], axis=1).astype(dt), x], axis=1),
+                pv)
         else:
-            _scatT(ohT_ue, jnp.concatenate(
-                [dys[:, :d], sdv[:, :d]], axis=1).astype(dt), pu)
-            _scatT(ohT_uo, jnp.concatenate(
-                [dys[:, d:], sdv[:, d:]], axis=1).astype(dt), pu)
-            _scatT(ohT_ve, jnp.concatenate(
-                [dys[:, :d], sdu[:, :d]], axis=1).astype(dt), pv)
-            _scatT(ohT_vo, jnp.concatenate(
-                [dys[:, d:], sdu[:, d:]], axis=1).astype(dt), pv)
+            _scatT(ohT_u, jnp.concatenate(
+                [dys, sdv], axis=1).astype(dt), pu)
+            _scatT(ohT_v, jnp.concatenate(
+                [dys, sdu], axis=1).astype(dt), pv)
 
 
 def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
@@ -651,18 +653,16 @@ def _k6_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     uws = refs[:ku]
     vws = refs[ku:ku + kv]
     ule, ulo, vle, vlo, be, z_out = refs[ku + kv:]
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
     hc = chunk // 2
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
         pr = _prec(uws[0].dtype)
-        gue = _selT(_ohT(io2u, ule, c, hc, uws[0].dtype), uws, pr)
-        guo = _selT(_ohT(io2u, ulo, c, hc, uws[0].dtype), uws, pr)
-        gve = _selT(_ohT(io2v, vle, c, hc, uws[0].dtype), vws, pr)
-        gvo = _selT(_ohT(io2v, vlo, c, hc, uws[0].dtype), vws, pr)
-        s = jnp.concatenate(
-            [gue[:, :d] + gve[:, d:], guo[:, :d] + gvo[:, d:]], axis=1)
+        # parity-merged selects (see _ohT2): 2 dots instead of 4
+        gu = _selT(_ohT2(io2u, ule, ulo, c, uws[0].dtype), uws, pr)
+        gv = _selT(_ohT2(io2v, vle, vlo, c, uws[0].dtype), vws, pr)
+        s = _unstack_p(gu[:, :d] + gv[:, d:], hc)
         z_out[psl, :] = jax.nn.relu(s.astype(z_out.dtype) + be[psl, :])
 
 
@@ -713,8 +713,8 @@ def _k9_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     ule, ulo, vle, vlo, pay = refs[:5]
     pu = refs[5:5 + ku]
     pv = refs[5 + ku:]
-    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk // 2), 0)
-    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk // 2), 0)
+    io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
+    io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
     _zero_on_run_change(u_blk_ref, pu)
     _zero_on_run_change(v_blk_ref, pv)
 
@@ -722,12 +722,10 @@ def _k9_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
         dt = pay.dtype
-        pc = pay[psl, :]
-        pe, po = pc[:, :d], pc[:, d:]
-        _scatT(_ohT(io2u, ule, c, hc, dt), pe, pu)
-        _scatT(_ohT(io2u, ulo, c, hc, dt), po, pu)
-        _scatT(_ohT(io2v, vle, c, hc, dt), pe, pv)
-        _scatT(_ohT(io2v, vlo, c, hc, dt), po, pv)
+        # parity-merged dual scatter (see _ohT2): 2 dots instead of 4
+        p2 = _stack_p(pay[psl, :], d)
+        _scatT(_ohT2(io2u, ule, ulo, c, dt), p2, pu)
+        _scatT(_ohT2(io2v, vle, vlo, c, dt), p2, pv)
 
 
 def k9_aggregate_packed(plan: WindowedPlan, pay_p):
