@@ -62,6 +62,46 @@ def batch_norm(p: dict, s: dict, x: jax.Array, mask: jax.Array, n_valid: int,
     return (y * p["scale"] + p["bias"]).astype(in_dtype), new_s
 
 
+def batch_norm_dual(p: dict, s: dict, x2: jax.Array, mask: jax.Array,
+                    n_valid: int, training: bool, momentum: float = 0.1,
+                    eps: float = 1e-5, repeat_updates: int = 1):
+    """Masked BatchNorm over a feature-CONCATENATED ``[*, 2d]`` tensor whose
+    halves are the symmetry loss's org / flip passes through ONE shared
+    [d]-feature BN module (the dual-pass fused mode).
+
+    Normalisation matches two independent training-mode passes exactly (each
+    half normalises with its own batch statistics).  The running-stat chain
+    is SEQUENTIAL — org's ``repeat_updates`` updates, then flip's — matching
+    two consecutive torch forwards through the same module (reference
+    train.py:159-185 + the shared-bn_e double update,
+    gated_gcn_full.py:106,119)."""
+    in_dtype = x2.dtype
+    d = x2.shape[1] // 2
+    x = x2.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    scale2 = jnp.concatenate([p["scale"], p["scale"]])
+    bias2 = jnp.concatenate([p["bias"], p["bias"]])
+    if training:
+        xm = x * mask
+        mean = xm.sum(axis=0) / n_valid
+        var = (((x - mean) ** 2) * mask).sum(axis=0) / n_valid  # biased
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        unbiased = var * (n_valid / (n_valid - 1)) if n_valid > 1 else var
+        rm, rv = s["mean"], s["var"]
+        for half in (slice(0, d), slice(d, 2 * d)):     # org THEN flip
+            for _ in range(repeat_updates):
+                rm = (1.0 - momentum) * rm + momentum * mean[half]
+                rv = (1.0 - momentum) * rv + momentum * unbiased[half]
+        new_s = {"mean": rm, "var": rv,
+                 "count": s["count"] + 2 * repeat_updates}
+    else:
+        rm2 = jnp.concatenate([s["mean"], s["mean"]])
+        rv2 = jnp.concatenate([s["var"], s["var"]])
+        y = (x - rm2) * jax.lax.rsqrt(rv2 + eps)
+        new_s = s
+    return (y * scale2 + bias2).astype(in_dtype), new_s
+
+
 def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Per-row LayerNorm (torch nn.LayerNorm defaults)."""
     mean = x.mean(axis=-1, keepdims=True)

@@ -213,6 +213,241 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
     return h_new, e_out, {"bn_h": s_bn_h, "bn_e": s_bn_e}
 
 
+# -------------------------------------------------------------- dual-pass mode
+# The symmetry loss runs the model twice — org graph and flipped roles
+# (reference train.py:159-185).  The windowed kernels are completely
+# role-symmetric AND width-generic: gate = u_window_sel + v_window_sel,
+# scatter_u = [sigma * v_msg | sigma], scatter_v = [sigma * u_msg | sigma] —
+# which projection lives in which window column is entirely the caller's
+# choice.  So BOTH passes fuse into ONE kernel pass at double feature width:
+# u-window = [B1·h_org | B2·h_flip | A2·h_org | A3·h_flip] (the flip pass's
+# gate source at u=src is its B2, because src is the flip graph's dst), and
+# the org/flip lanes ride the same one-hots, the same dots, the same edge
+# streams.  Same MACs as two passes; HALF the kernel calls, one-hot builds,
+# index DMA, and per-dot overhead — and the row-stacked elementwise tensors
+# become [*, 128] (full lane occupancy) instead of [*, 64].
+
+
+def _bd(a, b):
+    """Block-diagonal [[a, 0], [0, b]]."""
+    za = jnp.zeros((a.shape[0], b.shape[1]), a.dtype)
+    zb = jnp.zeros((b.shape[0], a.shape[1]), b.dtype)
+    return jnp.concatenate([jnp.concatenate([a, za], axis=1),
+                            jnp.concatenate([zb, b], axis=1)], axis=0)
+
+
+def _bd4(w):
+    """4-block-diagonal of one matrix (dual-PACKED edge arrays: lanes are
+    [e_2r org | e_2r flip | e_2r+1 org | e_2r+1 flip])."""
+    return _bd(_bd(w, w), _bd(w, w))
+
+
+def _dual_wuv(p, dtype):
+    """Dual endpoint-projection weights: h_dual [Np, 2d] (org | flip halves)
+    @ w_uv -> [B1h_o | B2h_f | A2h_o | A3h_f | B2h_o | B1h_f | A3h_o | A2h_f]
+    (u-window gate, u msg, v gate, v msg — each org|flip)."""
+    def w(n):
+        return p[n]["w"].astype(dtype)
+
+    def b(n):
+        return p[n]["b"].astype(dtype)
+
+    w_uv = jnp.concatenate([_bd(w("B1"), w("B2")), _bd(w("A2"), w("A3")),
+                            _bd(w("B2"), w("B1")), _bd(w("A3"), w("A2"))],
+                           axis=1)
+    b_uv = jnp.concatenate([b("B1"), b("B2"), b("A2"), b("A3"),
+                            b("B2"), b("B1"), b("A3"), b("A2")])
+    return w_uv, b_uv
+
+
+def _layer_dual(p, s, gt: GraphTensors, h, e, *, training: bool,
+                drop_rate: float, rng, dtype, remat_node: bool):
+    """One SymGatedGCN layer over BOTH symmetry passes: ``h`` [Np, 2d]
+    (org | flip), ``e`` dual-PACKED [Ep/2, 4d].  Fused Pallas only
+    (norm='batch'); reference per-pass semantics bit-level preserved —
+    see forward_dual."""
+    from ..ops.message import fused_train_stage, fused_eval_edge_stage
+    from .norm import batch_norm_dual
+
+    h_in = h
+    d = h.shape[1] // 2
+    w3 = p["B3"]["w"].astype(dtype)
+    wbd3 = _bd4(w3)
+    b3b = jnp.concatenate([p["B3"]["b"]] * 4).astype(dtype)
+
+    if training:
+        w_uv, b_uv = _dual_wuv(p, dtype)
+        gamma2 = jnp.concatenate([p["bn_e"]["scale"]] * 2)
+        beta2 = jnp.concatenate([p["bn_e"]["bias"]] * 2)
+        e_out, sum_v, sum_u, mean2, unb2 = fused_train_stage(
+            gt, h, w_uv, b_uv, wbd3, b3b, e, gamma2, beta2, flip=False)
+        # bn_e running chain: the org pass's two updates, THEN the flip
+        # pass's two (sequential torch forwards through the shared module)
+        rm, rv = s["bn_e"]["mean"], s["bn_e"]["var"]
+        for half in (slice(0, d), slice(d, 2 * d)):
+            for _ in range(2):
+                rm = 0.9 * rm + 0.1 * mean2[half]
+                rv = 0.9 * rv + 0.1 * unb2[half]
+        s_bn_e = {"mean": rm, "var": rv, "count": s["bn_e"]["count"] + 4}
+    else:
+        w_uv, b_uv = _dual_wuv(p, dtype)
+        proj = h @ w_uv + b_uv
+        b3e = e @ wbd3 + b3b
+        # cast discipline identical to the single-pass eval path (forward)
+        scale = (p["bn_e"]["scale"]
+                 * jax.lax.rsqrt(s["bn_e"]["var"] + 1e-5)).astype(dtype)
+        bias = (p["bn_e"]["bias"] - s["bn_e"]["mean"] * scale).astype(dtype)
+        e_out, sum_v, sum_u = fused_eval_edge_stage(
+            gt, proj[:, : 4 * d], proj[:, 4 * d:], b3e, e,
+            jnp.concatenate([scale] * 2), jnp.concatenate([bias] * 2),
+            flip=False)
+        s_bn_e = s["bn_e"]
+
+    def node_stage(p_a1, p_bn_h, s_bn_h_in, h_res, sum_v_, sum_u_, key):
+        # sum arrays are [Np, 4d] = [m_org | m_flip | sig_org | sig_flip];
+        # the flip pass's forward aggregation keys by src (its dst role)
+        def gm(a, half):
+            return (a[:, half * d:(half + 1) * d]
+                    / (a[:, (2 + half) * d:(3 + half) * d]
+                       + GATE_EPS)).astype(dtype)
+
+        hf = jnp.concatenate([gm(sum_v_, 0), gm(sum_u_, 1)], axis=1)
+        hb = jnp.concatenate([gm(sum_u_, 0), gm(sum_v_, 1)], axis=1)
+        a1w = p_a1["w"].astype(dtype)
+        a1 = h_res @ _bd(a1w, a1w) + jnp.concatenate(
+            [p_a1["b"]] * 2).astype(dtype)
+        h_new = a1 + hf + hb
+        h_new, s_bn_h = batch_norm_dual(p_bn_h, s_bn_h_in, h_new,
+                                        gt.node_mask, gt.n_nodes, training,
+                                        repeat_updates=1)
+        h_new = jax.nn.relu(h_new)
+        h_new = h_new + h_res
+        if training and drop_rate > 0.0 and key is not None:
+            h_new = dropout(key, h_new, drop_rate)
+        return h_new, s_bn_h
+
+    if remat_node:
+        node_stage = jax.checkpoint(node_stage)
+    h_new, s_bn_h = node_stage(p["A1"], p["bn_h"], s["bn_h"], h_in,
+                               sum_v, sum_u, rng)
+    return h_new, e_out, {"bn_h": s_bn_h, "bn_e": s_bn_e}
+
+
+def score_edges_dual(p, gt: GraphTensors, h, e, *, dtype=jnp.float32):
+    """Both passes' edge logits in one windowed pass: ``h`` [Np, 2d]
+    (org | flip), ``e`` dual-packed [Ep/2, 4d].  Returns [Ep, 2] slot-order
+    logits (column 0 org, column 1 flip).  The whole predictor stays packed
+    (K6 at doubled hidden width + 4-block-diagonal tail matmuls)."""
+    from ..ops.message import fused_score_gate
+
+    d = h.shape[1] // 2
+    w1 = p["W1"]["w"].astype(dtype)
+    b1 = p["W1"]["b"].astype(dtype)
+    w2 = p["W2"]["w"].astype(dtype)
+    b2 = p["W2"]["b"].astype(dtype)
+    h_org, h_flip = h[:, :d], h[:, d:]
+    # u-window section = [org src-proj | flip's dst-proj] (u IS the flip dst)
+    puv = jnp.concatenate(
+        [h_org @ w1[:d], h_flip @ w1[d: 2 * d],
+         h_org @ w1[d: 2 * d], h_flip @ w1[:d]], axis=1)
+    be_p = e @ _bd4(w1[2 * d:]) + jnp.concatenate([b1] * 4)
+    z_p = fused_score_gate(gt, False, puv, be_p)
+    z = jax.nn.relu(z_p @ _bd4(w2) + jnp.concatenate([b2] * 4))
+    lp = z @ _bd4(p["W3"]["w"].astype(dtype)) + p["W3"]["b"].astype(dtype)
+    return lp.reshape(lp.shape[0] * 2, 2)
+
+
+def forward_dual(params, state, gt: GraphTensors, x, x_rev, e,
+                 cfg: ModelConfig, *, training: bool = False,
+                 rng: Optional[jax.Array] = None,
+                 backend: Optional[str] = None, remat: bool = False,
+                 dtype=jnp.float32, slot_io: bool = False, **_):
+    """Run BOTH symmetry-loss passes (reference train.py:159-185) as ONE
+    dual-width fused pass.  Returns (logits_org [Ep, 1], logits_rev [Ep, 1],
+    new_state) — bit-level equivalent to forward(flip=False) followed by
+    forward(flip=True) with chained state, modulo dropout masks (one dual
+    draw instead of two per-pass draws) and f32 reduction fusion order.
+
+    Falls back to the two sequential passes whenever the fused path is
+    unavailable (non-pallas backend, layer norm, no windowed plan)."""
+    from ..ops.message import _plan_for, pack_edges
+    from ..ops.pallas_kernels import _interpret
+
+    fused = (backend == "pallas" and cfg.normalization == "batch"
+             and (dtype in (jnp.bfloat16, jnp.float32) or _interpret())
+             and _plan_for(gt, False) is not None)
+    if not fused:
+        k1, k2 = (jax.random.split(rng) if rng is not None else (None, None))
+        lo, st = forward(params, state, gt, x, e, cfg, training=training,
+                         flip=False, rng=k1, backend=backend, remat=remat,
+                         dtype=dtype, slot_io=slot_io)
+        lr, st = forward(params, st, gt, x_rev, e, cfg, training=training,
+                         flip=True, rng=k2, backend=backend, remat=remat,
+                         dtype=dtype, slot_io=slot_io)
+        return lo, lr, st
+
+    h = jnp.concatenate([mlp2(params["node_encoder"], x),
+                         mlp2(params["node_encoder"], x_rev)],
+                        axis=1).astype(dtype)
+    e = mlp2(params["edge_encoder"], e).astype(dtype)
+    if not slot_io:
+        e = gt.edges_to_slots(e)
+    e = pack_edges(jnp.concatenate([e, e], axis=1))     # [Ep/2, 4d]
+
+    num_layers = jax.tree_util.tree_leaves(params["gnn"])[0].shape[0]
+    layer_fn = partial(_layer_dual, training=training,
+                       drop_rate=cfg.dropout, dtype=dtype,
+                       remat_node=training and bool(remat))
+
+    def body(carry, inp):
+        h, e = carry
+        p_l, s_l, key_l = inp
+        h, e, new_s = layer_fn(p_l, s_l, gt, h, e, rng=key_l)
+        return (h, e), new_s
+
+    keys = (jax.random.split(rng, num_layers) if rng is not None
+            else jnp.zeros((num_layers, 2), jnp.uint32))
+    xs = (params["gnn"], state["gnn"], keys)
+
+    # sqrt(L) group remat for the large-graph mode (see forward); the dual
+    # carries are already lane-full ([Np, 2d=128] / [Ep/2, 4d=256])
+    group = 1
+    if remat == "full":
+        group = max((g for g in range(1, num_layers + 1)
+                     if num_layers % g == 0 and g * g <= num_layers),
+                    default=1)
+    if group > 1:
+        n_groups = num_layers // group
+        gxs = jax.tree_util.tree_map(
+            lambda a: a.reshape(n_groups, group, *a.shape[1:]), xs)
+
+        @jax.checkpoint
+        def group_body(carry, ginp):
+            return jax.lax.scan(body, carry, ginp)
+
+        def run_layers(h, e):
+            (h, e), st = jax.lax.scan(group_body, (h, e), gxs)
+            st = jax.tree_util.tree_map(
+                lambda a: a.reshape(num_layers, *a.shape[2:]), st)
+            return (h, e), st
+        run_layers = jax.checkpoint(
+            run_layers, policy=jax.checkpoint_policies.nothing_saveable)
+    else:
+        def run_layers(h, e):
+            return jax.lax.scan(body, (h, e), xs)
+
+    (h, e), new_gnn_state = run_layers(h, e)
+
+    predict = partial(score_edges_dual, params["predictor"], gt, dtype=dtype)
+    if remat:
+        predict = jax.checkpoint(predict)
+    scores = predict(h, e)
+    if not slot_io:
+        scores = gt.slots_to_edges(scores)
+    return (scores[:, :1].astype(jnp.float32),
+            scores[:, 1:].astype(jnp.float32), {"gnn": new_gnn_state})
+
+
 # ----------------------------------------------------------------------- model
 def score_edges(p, gt: GraphTensors, h, e, *, flip: bool = False,
                 dtype=jnp.float32, backend: Optional[str] = None,

@@ -66,7 +66,12 @@ def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
                             bucket_growth=bucket_growth)
     if cfg.compute.backend == "pallas":
         from ..ops.graph_tensors import with_windowed_plans
-        gt = with_windowed_plans(gt, flip_too=cfg.train.use_symmetry_loss)
+        # the dual-pass fused mode (sym_gated_gcn.forward_dual) runs both
+        # symmetry passes against the ORG plan — flip plans are only needed
+        # when the fused path is off (non-batch normalization)
+        gt = with_windowed_plans(
+            gt, flip_too=(cfg.train.use_symmetry_loss
+                          and cfg.model.normalization != "batch"))
     zi, zo = _zscore(in_deg), _zscore(out_deg)
     x = gt.pad_nodes(np.stack([zi, zo], axis=1))
     x_rev = gt.pad_nodes(np.stack([zo, zi], axis=1))
@@ -223,21 +228,28 @@ def make_steps(cfg: Config):
         # the flagship forward does its edge IO in slot order (the example
         # builder pre-permuted e/labels on host); losses are order-invariant
         # as long as logits/labels/mask agree, and they do
-        k1, k2 = jax.random.split(rng)
-        logits_org, state = fwd(params, state, gt, x, e, model_cfg,
-                                training=training, flip=False, rng=k1,
-                                backend=backend, remat=(remat if training else False),
-                                dtype=dtype, gt_proc=gt_proc, slot_io=is_sym)
-        logits_org = logits_org[:, 0]
         if use_sym:
-            logits_rev, state = fwd(params, state, gt, x_rev, e, model_cfg,
-                                    training=training, flip=True, rng=k2,
-                                    backend=backend, remat=(remat if training else False),
-                                    dtype=dtype, gt_proc=gt_proc,
-                                    slot_io=is_sym)
+            # both symmetry passes in ONE dual-width fused pass (halves the
+            # kernel calls; falls back to two passes off the fused path) —
+            # models/sym_gated_gcn.forward_dual
+            from ..models.sym_gated_gcn import forward_dual
+            logits_org, logits_rev, state = forward_dual(
+                params, state, gt, x, x_rev, e, model_cfg,
+                training=training, rng=rng, backend=backend,
+                remat=(remat if training else False), dtype=dtype,
+                slot_io=is_sym)
+            logits_org = logits_org[:, 0]
             loss = symmetry_loss(logits_org, logits_rev[:, 0], labels,
                                  pos_weight, alpha=alpha, mask=mask)
         else:
+            k1, _ = jax.random.split(rng)
+            logits_org, state = fwd(params, state, gt, x, e, model_cfg,
+                                    training=training, flip=False, rng=k1,
+                                    backend=backend,
+                                    remat=(remat if training else False),
+                                    dtype=dtype, gt_proc=gt_proc,
+                                    slot_io=is_sym)
+            logits_org = logits_org[:, 0]
             loss = bce_with_logits(logits_org, labels, pos_weight, mask=mask)
         return loss, (logits_org, state)
 
