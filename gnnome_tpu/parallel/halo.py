@@ -278,7 +278,7 @@ def _psum_bn(p, s, x, mask, n_valid, training, repeat_updates=1):
 
 
 # ------------------------------------------------------------------ the model
-def _halo_layer(p, s, plan: HaloPlan, h, e_dev, nmask, n_nodes_real,
+def _halo_layer(p, s, plan: HaloPlan, h, fl, fr, e_dev, nmask, n_nodes_real,
                 n_edges_real, *, training, flip, dtype=jnp.float32):
     """One SymGatedGCN layer on a device's block (math identical to
     models/sym_gated_gcn.sym_gated_gcn_layer; reference
@@ -289,9 +289,12 @@ def _halo_layer(p, s, plan: HaloPlan, h, e_dev, nmask, n_nodes_real,
     one endpoint gathers from the halo-extended block and the other locally.
     The node update ``a1h + into_dst + into_src`` is role-symmetric.
 
-    Overlap structure: the boundary strips are projected and put on the wire
-    *before* the interior projection and all local math, so the exchange
-    rides ICI under the local compute.
+    Double-buffered overlap (see _halo_pass): ``fl``/``fr`` are the RAW
+    [K, d] boundary strips of THIS h, put on the wire at the END of the
+    previous layer (so the exchange spans the whole layer boundary, not one
+    projection matmul).  They are projected here on the receiving side —
+    parameters are replicated, so the [K, d] @ [d, 4d] matmul is bitwise the
+    one the owner would have run.
     """
     K, Nb, P, d = plan.K, plan.Nb, plan.P, h.shape[1]
     h_in, e_in = h, e_dev
@@ -301,13 +304,12 @@ def _halo_layer(p, s, plan: HaloPlan, h, e_dev, nmask, n_nodes_real,
     b = jnp.concatenate([p["B1"]["b"], p["A2"]["b"], p["B2"]["b"],
                          p["A3"]["b"], p["A1"]["b"]]).astype(dtype)
 
-    # ---- boundary-first projection: strips leave before interior compute
-    top = h[:K] @ w[:, : 4 * d] + b[: 4 * d]
-    bot = h[Nb - K:] @ w[:, : 4 * d] + b[: 4 * d]
-    from_left = jax.lax.ppermute(bot, GRAPH_AXIS, _perm_fwd(P))
-    from_right = jax.lax.ppermute(top, GRAPH_AXIS, _perm_bwd(P))
+    # receiver-side strip projection (strips arrived during the previous
+    # layer's tail compute)
+    from_left = fl @ w[:, : 4 * d] + b[: 4 * d]
+    from_right = fr @ w[:, : 4 * d] + b[: 4 * d]
 
-    proj = h @ w + b                       # interior + a1h (overlaps exchange)
+    proj = h @ w + b                       # interior + a1h
     a1h = proj[:, 4 * d:]
     b3e = e_dev @ p["B3"]["w"].astype(dtype) + p["B3"]["b"].astype(dtype)
 
@@ -387,11 +389,26 @@ def _halo_pass(params, state, plan_shard: HaloPlan, x_blk, *, flip, training,
                rng, model_cfg, dtype, remat, n_nodes_real, n_edges_real):
     """Full model pass on one device's shard: encoders -> lax.scan over the
     stacked GNN layers (optionally rematerialised) -> score predictor.
-    Returns (logits [Emax], new_state)."""
+    Returns (logits [Emax], new_state).
+
+    Software double-buffering: each layer's RAW [K, d] boundary strips go on
+    the wire at the layer's TAIL (as soon as the node update finishes) and
+    are consumed at the NEXT layer's head — the ppermute pair is structurally
+    separated from its consumer by the scan's back-edge, so the exchange
+    rides under the producing layer's predictor-side math and the consuming
+    layer's interior projection regardless of scheduler choices.  Raw strips
+    are d wide (the old in-layer exchange shipped 4d-wide projections); the
+    receiver projects them (replicated params => bitwise-identical values).
+    The final strips feed the score predictor directly — no extra exchange.
+    """
     from ..models.nn import mlp2, dropout as _dropout
 
+    K, Nb, Pn = plan_shard.K, plan_shard.Nb, plan_shard.P
     nmask = plan_shard.nmask[0]
     h = mlp2(params["node_encoder"], x_blk).astype(dtype)
+    # first strips leave while the edge encoder runs
+    fl = jax.lax.ppermute(h[Nb - K:], GRAPH_AXIS, _perm_fwd(Pn))
+    fr = jax.lax.ppermute(h[:K], GRAPH_AXIS, _perm_bwd(Pn))
     e_dev = mlp2(params["edge_encoder"], plan_shard.e_feat[0]).astype(dtype)
 
     num_layers = model_cfg.num_gnn_layers
@@ -399,13 +416,17 @@ def _halo_pass(params, state, plan_shard: HaloPlan, x_blk, *, flip, training,
     layer_fn = partial(_halo_layer, training=training, flip=flip, dtype=dtype)
 
     def body(carry, inp):
-        h, e_dev = carry
+        h, e_dev, fl, fr = carry
         p_l, s_l, key_l = inp
-        h, e_dev, ns = layer_fn(p_l, s_l, plan_shard, h, e_dev, nmask,
-                                n_nodes_real, n_edges_real)
+        h, e_dev, ns = layer_fn(p_l, s_l, plan_shard, h, fl, fr, e_dev,
+                                nmask, n_nodes_real, n_edges_real)
         if drop > 0.0:
             h = _dropout(key_l, h, drop)
-        return (h, e_dev), ns
+        # next layer's strips leave NOW (post-residual/dropout h is what the
+        # neighbour consumes); in flight across the scan back-edge
+        fl = jax.lax.ppermute(h[Nb - K:], GRAPH_AXIS, _perm_fwd(Pn))
+        fr = jax.lax.ppermute(h[:K], GRAPH_AXIS, _perm_bwd(Pn))
+        return (h, e_dev, fl, fr), ns
 
     if remat:
         body = jax.checkpoint(body)
@@ -417,13 +438,13 @@ def _halo_pass(params, state, plan_shard: HaloPlan, x_blk, *, flip, training,
     else:
         keys = jnp.zeros((num_layers, 2), jnp.uint32)
 
-    (h, e_dev), new_gnn = jax.lax.scan(
-        body, (h, e_dev), (params["gnn"], state["gnn"], keys))
+    (h, e_dev, fl, fr), new_gnn = jax.lax.scan(
+        body, (h, e_dev, fl, fr), (params["gnn"], state["gnn"], keys))
     new_state = {"gnn": new_gnn}
 
-    # score predictor: h[u] via halo + overflow buffer, h[v] local
-    K, Nb, Pn = plan_shard.K, plan_shard.Nb, plan_shard.P
-    h_ext = halo_extend(h, K, Pn)
+    # score predictor: h[u] via the final in-flight strips + overflow buffer,
+    # h[v] local
+    h_ext = jnp.concatenate([fl, h, fr], axis=0)
     h_pad = jnp.pad(h, ((0, 1), (0, 0)))
     buf_h = jax.lax.psum(jnp.take(h_pad, plan_shard.ovf_rows[0], axis=0),
                          GRAPH_AXIS)

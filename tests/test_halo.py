@@ -67,8 +67,14 @@ def test_halo_forward_matches_single_device():
 
 def test_halo_collective_footprint_and_overlap():
     """The halo path must move strips (collective-permute), not the full node
-    array (all-gather); the exchange must be issued asynchronously
-    (start/done pairs) so it can overlap local compute."""
+    array (all-gather), and the exchange must be double-buffered: RAW d-wide
+    strips leave at each layer's TAIL and are consumed at the next layer's
+    head (projected receiver-side), so the in-flight window spans the scan
+    back-edge structurally — not by scheduler luck.  (On TPU lowering these
+    become async start/done pairs; the CPU mesh lowers them synchronously,
+    so the structure is checked via count and width.)"""
+    import re
+
     g, cfg, gt = _setup()
     params, state = load_model_weights(WEIGHTS)
     mesh = make_mesh(8)
@@ -76,7 +82,14 @@ def test_halo_collective_footprint_and_overlap():
     txt = fwd.lower(params_r, state_r, ex.plan, ex.x,
                     ex.scalars).compile().as_text()
     assert txt.count("all-gather") == 0
-    assert txt.count("collective-permute") > 0
+    perms = re.findall(r"f32\[\d+,(\d+)\][^\n]*collective-permute\(", txt)
+    # exactly 6: 2 initial strips (pre-scan), 2 per-body strips (layer-tail
+    # raw h), 2 per-body aggregation returns; the predictor reuses the final
+    # in-flight strips (NO extra exchange).
+    assert len(perms) == 6, perms
+    d = cfg.model.dim_latent
+    # 4 strip permutes are RAW d-wide (not 4d projected), 2 returns are 2d
+    assert sorted(int(w) for w in perms) == [d, d, d, d, 2 * d, 2 * d]
 
 
 def test_score_graph_mesh_routes_through_halo(monkeypatch):
