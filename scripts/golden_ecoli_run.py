@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""The BASELINE golden run at E. coli scale: edge probabilities, AP, and
+greedy-decode contiguity of this framework vs the torch oracle loaded with
+the reference's released weights.pt, on the SAME graph.
+
+The reference's named artifact is the hifiasm E. coli example graph
+(reference README.md:85-109); hifiasm cannot run in this offline
+environment, so the graph is a synthetic E. coli-scale assembly graph
+(4.64 Mb genome, ~20 kb HiFi-like reads, ~30x coverage, 15% false edges) —
+same scale, same topology class, same feature pipeline.  The torch oracle
+(tests/torch_ref.py) is state-dict-compatible with the reference model
+(models/full_graph.py:9-31) and loads weights.pt verbatim.
+
+Writes GOLDEN_ECOLI.json at the repo root.  CPU-only; ~2-4 min.
+
+Usage: python scripts/golden_ecoli_run.py [--reads N] [--genome L]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# CPU-only parity run; sitecustomize pins the axon (TPU) platform, so the
+# config override must land before first backend use (see tests/conftest.py)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+WEIGHTS_PT = "/root/reference/weights/weights.pt"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=4800)
+    ap.add_argument("--genome", type=int, default=4_641_652)  # E. coli K-12
+    ap.add_argument("--read-len", type=int, default=20_000)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", default=os.path.join(ROOT, "GOLDEN_ECOLI.json"))
+    args = ap.parse_args()
+
+    import numpy as np
+    import torch
+
+    from gnnome_tpu.config import DecodeConfig, ModelConfig
+    from gnnome_tpu.decode.assembly import calculate_n50, calculate_ng50
+    from gnnome_tpu.decode.greedy import decode_greedy
+    from gnnome_tpu.graphs.synthetic import synthetic_assembly_graph
+    from gnnome_tpu.models import (edge_features, node_features,
+                                   sym_gated_gcn_forward, torch_to_pytree)
+    from gnnome_tpu.ops import GraphTensors
+    from gnnome_tpu.train.metrics import average_precision
+
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    from torch_ref import RefSymGatedGCNModel
+
+    t_all = time.perf_counter()
+    print(f"building E. coli-scale graph ({args.reads} reads, "
+          f"{args.genome/1e6:.2f} Mb genome)...", flush=True)
+    t0 = time.perf_counter()
+    g, reads, _, _ = synthetic_assembly_graph(
+        n_reads=args.reads, genome_len=args.genome, read_len=args.read_len,
+        seed=args.seed, with_labels=True, with_sequences=True,
+        false_edge_frac=0.15)
+    t_build = time.perf_counter() - t0
+    print(f"  {g.num_nodes} nodes / {g.num_edges} edges "
+          f"({g.y.sum():.0f} positive) in {t_build:.1f}s", flush=True)
+
+    x = node_features(g)
+    e = edge_features(g)
+
+    # ---------------------------------------------------------- ours (JAX)
+    cfg = ModelConfig()
+    params, state = torch_to_pytree(WEIGHTS_PT)
+    gt = GraphTensors.from_graph(g)
+    t0 = time.perf_counter()
+    logits_jax, _ = sym_gated_gcn_forward(
+        params, state, gt, gt.pad_nodes(x), gt.pad_edges(e), cfg,
+        training=False)
+    logits_jax = np.asarray(logits_jax)[: g.num_edges, 0].astype(np.float64)
+    t_jax = time.perf_counter() - t0
+
+    # -------------------------------------------------------- torch oracle
+    model = RefSymGatedGCNModel(normalization=cfg.normalization)
+    sd = torch.load(WEIGHTS_PT, map_location="cpu")
+    model.load_state_dict(sd)
+    model.eval()
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        logits_t = model(torch.from_numpy(g.src.astype(np.int64)),
+                         torch.from_numpy(g.dst.astype(np.int64)),
+                         torch.from_numpy(x), torch.from_numpy(e))
+    logits_torch = logits_t.numpy().reshape(-1).astype(np.float64)
+    t_torch = time.perf_counter() - t0
+
+    # ------------------------------------------------------------- parity
+    probs_jax = 1.0 / (1.0 + np.exp(-logits_jax))
+    probs_torch = 1.0 / (1.0 + np.exp(-logits_torch))
+    dl = np.abs(logits_jax - logits_torch)
+    dp = np.abs(probs_jax - probs_torch)
+    y = g.y.astype(np.int32)
+    ap_jax = float(average_precision(probs_jax, y))
+    ap_torch = float(average_precision(probs_torch, y))
+    try:
+        from sklearn.metrics import average_precision_score
+        ap_sklearn = float(average_precision_score(y, probs_torch))
+    except Exception:
+        ap_sklearn = None
+
+    # ------------------------------------------------------------- decode
+    dcfg = DecodeConfig(load_checkpoint=False)
+    results = {}
+    for name, sc in (("jax", logits_jax), ("torch", logits_torch),
+                     ("labels", None)):
+        t0 = time.perf_counter()
+        if sc is None:
+            res = decode_greedy(g, y.astype(np.float32), dcfg,
+                                rng=np.random.default_rng(args.seed),
+                                use_labels=True)
+        else:
+            res = decode_greedy(g, sc.astype(np.float32), dcfg,
+                                rng=np.random.default_rng(args.seed))
+        lens = res.contigs_len
+        results[name] = {
+            "contigs": len(lens),
+            "total_bases": int(sum(lens)),
+            "n50": int(calculate_n50(lens)),
+            "ng50": int(calculate_ng50(lens, args.genome)),
+            "longest": int(max(lens)) if lens else 0,
+            "decode_seconds": round(time.perf_counter() - t0, 2),
+        }
+        print(f"  decode[{name}]: {results[name]}", flush=True)
+
+    out = {
+        "graph": {"nodes": int(g.num_nodes), "edges": int(g.num_edges),
+                  "positives": int(y.sum()), "genome_bp": args.genome,
+                  "reads": args.reads, "seed": args.seed,
+                  "build_seconds": round(t_build, 2)},
+        "weights": "reference weights.pt (220,529 params), converted",
+        "edge_prob_parity": {
+            "max_abs_logit_diff": float(dl.max()),
+            "max_abs_prob_diff": float(dp.max()),
+            "mean_abs_prob_diff": float(dp.mean()),
+            "frac_prob_diff_gt_1e-5": float((dp > 1e-5).mean()),
+        },
+        "average_precision": {"jax": ap_jax, "torch_oracle": ap_torch,
+                              "sklearn_on_torch": ap_sklearn,
+                              "abs_diff": abs(ap_jax - ap_torch)},
+        "decode": results,
+        "score_seconds": {"jax_cpu": round(t_jax, 2),
+                          "torch_cpu": round(t_torch, 2)},
+        "total_seconds": round(time.perf_counter() - t_all, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
