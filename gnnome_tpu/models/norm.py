@@ -20,6 +20,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _unbiased_factor(n_valid):
+    """``n / (n - 1)`` accepting a python int OR a traced scalar (real counts
+    ride the pytree as 0-d f32 leaves so masked units share compiled
+    programs — GraphTensors.nn_valid/ne_valid)."""
+    if isinstance(n_valid, (int, float)):
+        return n_valid / (n_valid - 1) if n_valid > 1 else 1.0
+    return n_valid / jnp.maximum(n_valid - 1.0, 1.0)
+
+
 def norm_init(features: int) -> dict:
     return {"scale": jnp.ones((features,), jnp.float32),
             "bias": jnp.zeros((features,), jnp.float32)}
@@ -45,10 +54,7 @@ def batch_norm(p: dict, s: dict, x: jax.Array, mask: jax.Array, n_valid: int,
         var = (((x - mean) ** 2) * mask).sum(axis=0) / n_valid  # biased
         inv = jax.lax.rsqrt(var + eps)
         y = (x - mean) * inv
-        if n_valid > 1:
-            unbiased = var * (n_valid / (n_valid - 1))
-        else:
-            unbiased = var
+        unbiased = var * _unbiased_factor(n_valid)
         rm, rv = s["mean"], s["var"]
         for _ in range(repeat_updates):
             rm = (1.0 - momentum) * rm + momentum * mean
@@ -86,7 +92,7 @@ def batch_norm_dual(p: dict, s: dict, x2: jax.Array, mask: jax.Array,
         mean = xm.sum(axis=0) / n_valid
         var = (((x - mean) ** 2) * mask).sum(axis=0) / n_valid  # biased
         y = (x - mean) * jax.lax.rsqrt(var + eps)
-        unbiased = var * (n_valid / (n_valid - 1)) if n_valid > 1 else var
+        unbiased = var * _unbiased_factor(n_valid)
         rm, rv = s["mean"], s["var"]
         for half in (slice(0, d), slice(d, 2 * d)):     # org THEN flip
             for _ in range(repeat_updates):

@@ -41,6 +41,17 @@ from .norm import norm_init, bn_state_init, apply_norm
 GATE_EPS = 1e-6  # gated-mean denominator epsilon (reference gated_gcn_full.py:114)
 
 
+def _nn(gt: GraphTensors):
+    """Real node count for normalisation math — the TRACED 0-d leaf when the
+    graph carries one (so shape-bucketed units share compiled programs,
+    tests/test_compile_buckets.py), else the static int."""
+    return gt.nn_valid if gt.nn_valid is not None else gt.n_nodes
+
+
+def _ne(gt: GraphTensors):
+    return gt.ne_valid if gt.ne_valid is not None else gt.n_edges
+
+
 # ------------------------------------------------------------------------ init
 def init_params(rng: jax.Array, cfg: ModelConfig):
     """(params, state) pytrees.  GNN-layer leaves are stacked on axis 0."""
@@ -176,7 +187,7 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
                                                flip=flip, backend=backend)
 
         gate, s_bn_e = apply_norm(norm, p["bn_e"], s["bn_e"], gate,
-                                  gt.edge_mask, gt.n_edges, training,
+                                  gt.edge_mask, _ne(gt), training,
                                   repeat_updates=2)
         gate = jax.nn.relu(gate)
         e_out = gate + e_in          # residual (reference :108-109)
@@ -198,7 +209,7 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
             a1 = h_res @ p_a1["w"].astype(dtype) + p_a1["b"].astype(dtype)
         h_new = a1 + hf + hb
         h_new, s_bn_h = apply_norm(norm, p_bn_h, s_bn_h_in, h_new,
-                                   gt.node_mask, gt.n_nodes, training,
+                                   gt.node_mask, _nn(gt), training,
                                    repeat_updates=1)
         h_new = jax.nn.relu(h_new)
         h_new = h_new + h_res
@@ -318,7 +329,7 @@ def _layer_dual(p, s, gt: GraphTensors, h, e, *, training: bool,
             [p_a1["b"]] * 2).astype(dtype)
         h_new = a1 + hf + hb
         h_new, s_bn_h = batch_norm_dual(p_bn_h, s_bn_h_in, h_new,
-                                        gt.node_mask, gt.n_nodes, training,
+                                        gt.node_mask, _nn(gt), training,
                                         repeat_updates=1)
         h_new = jax.nn.relu(h_new)
         h_new = h_new + h_res

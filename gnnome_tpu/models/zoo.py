@@ -30,7 +30,8 @@ from ..config import ModelConfig
 from ..ops.graph_tensors import GraphTensors
 from .nn import linear, linear_init, mlp2, mlp2_init, dropout
 from .norm import norm_init, bn_state_init, apply_norm
-from .sym_gated_gcn import GATE_EPS, _stack, _predictor_init, score_edges
+from .sym_gated_gcn import (GATE_EPS, _ne, _nn, _stack, _predictor_init,
+                            score_edges)
 
 
 # ------------------------------------------------------------ graph transforms
@@ -117,7 +118,7 @@ def _gated_gcn_layer(p, s, gt, h, e, *, training, norm, drop_rate, rng):
     b1h_u, a2h_u = g_u[:, :d], g_u[:, d:]
     gate = b1h_u + b2h_v + linear(p["B3"], e)
     gate, s_bn_e = apply_norm(norm, p["bn_e"], s["bn_e"], gate, gt.edge_mask,
-                              gt.n_edges, training, repeat_updates=1)
+                              _ne(gt), training, repeat_updates=1)
     gate = jax.nn.relu(gate)
     e_out = gate + e_in
     sigma = jax.nn.sigmoid(e_out) * gt.edge_mask
@@ -125,7 +126,7 @@ def _gated_gcn_layer(p, s, gt, h, e, *, training, norm, drop_rate, rng):
     h_fwd = summed[:, :d] / (summed[:, d:] + GATE_EPS)
     h_new = a1h + h_fwd
     h_new, s_bn_h = apply_norm(norm, p["bn_h"], s["bn_h"], h_new, gt.node_mask,
-                               gt.n_nodes, training, repeat_updates=1)
+                               _nn(gt), training, repeat_updates=1)
     h_new = jax.nn.relu(h_new) + h_in
     if training and drop_rate > 0.0 and rng is not None:
         h_new = dropout(rng, h_new, drop_rate)

@@ -71,7 +71,18 @@ class GraphTensors:
     # optional Pallas windowed-kernel plans (ops/windowed.py); None = XLA path
     wplan: object = None
     wplan_flip: object = None
+    # exact REAL counts as 0-d f32 DATA leaves: normalisation math (BatchNorm
+    # statistics, unbiased-variance correction) must use the real counts, but
+    # as traced values — static ints would key the jit cache and recompile
+    # every masked/clustered unit (tests/test_compile_buckets.py).  Exact in
+    # f32 up to 2^24 (16.7M) nodes/edges.
+    nn_valid: object = None     # f32 [] = n_nodes (traced)
+    ne_valid: object = None     # f32 [] = n_edges (traced)
     # --- static aux (metadata, not traced) ---
+    # NOTE: the flagship example builder (train/step.make_example) rounds
+    # n_nodes/n_edges up to the padded sizes on the gt it feeds the jitted
+    # step, so one program serves every unit in a shape bucket; jit-side code
+    # must use nn_valid/ne_valid (or the masks) for real-count math.
     n_nodes: int = 0
     n_edges: int = 0
     n_nodes_pad: int = 0
@@ -130,6 +141,8 @@ class GraphTensors:
             eid_of_slot=jnp.asarray(order),
             edge_mask=jnp.asarray(edge_mask),
             node_mask=jnp.asarray(node_mask),
+            nn_valid=jnp.asarray(np.float32(n_nodes)),
+            ne_valid=jnp.asarray(np.float32(E)),
             n_nodes=n_nodes, n_edges=E, n_nodes_pad=Np, n_edges_pad=Ep,
         )
         # host-side copies for the windowed/halo planners and the example
@@ -186,7 +199,7 @@ class GraphTensors:
 jax.tree_util.register_dataclass(
     GraphTensors,
     data_fields=["src", "dst", "slot_of_eid", "eid_of_slot", "edge_mask",
-                 "node_mask", "wplan", "wplan_flip"],
+                 "node_mask", "wplan", "wplan_flip", "nn_valid", "ne_valid"],
     meta_fields=["n_nodes", "n_edges", "n_nodes_pad", "n_edges_pad"],
 )
 

@@ -346,12 +346,16 @@ def fused_train_stage(gt: GraphTensors, h, w_uv, b_uv, wbd3, b3b, e_p,
     no_grad)."""
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    return _train_stage(gt.n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
-                        wbd3, b3b, e_p, gamma, beta)
+    # real edge count as a TRACED f32 scalar (exact to 2^24): a static int
+    # here would recompile every masked/clustered unit
+    ne = (gt.ne_valid if gt.ne_valid is not None
+          else jnp.float32(gt.n_edges))
+    return _train_stage(plan, u_idx, v_idx, h, w_uv, b_uv,
+                        wbd3, b3b, e_p, gamma, beta, ne)
 
 
-def _train_stage_impl(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
-                      wbd3, b3b, e_p, gamma, beta):
+def _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
+                      wbd3, b3b, e_p, gamma, beta, n_edges):
     from .pallas_kernels import k7_gate_stats
 
     d = h.shape[1]
@@ -374,13 +378,13 @@ def _train_stage_impl(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
     s1 = s1 + xf_o.sum(axis=0)
     s2 = s2 + (xf_o * x_o.astype(jnp.float32)).sum(axis=0)
 
-    n = n_edges
+    n = n_edges                                     # traced f32 scalar
     mean = s1 / n
     var = s2 / n - mean * mean                      # biased (normalises)
     inv = jax.lax.rsqrt(var + 1e-5)
     scale_eff = gamma * inv
     bias_eff = beta - mean * scale_eff
-    unbiased = var * (n / (n - 1)) if n > 1 else var
+    unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
 
     e_out_p, sum_v, sum_u = _eval_edge_stage(plan, u_idx, v_idx, proj_u,
                                              proj_v, b3e_p, e_p,
@@ -392,29 +396,29 @@ def _train_stage_impl(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
     # remat="full" backward skip the per-layer K7/K3 replay on a 16 GB chip
     out = (e_out_p, sum_v.astype(dt), sum_u.astype(dt), mean, unbiased)
     res = (plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b, e_p, gamma,
-           mean, inv, scale_eff, bias_eff)
+           mean, inv, scale_eff, bias_eff, n)
     return out, res
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _train_stage(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b,
-                 e_p, gamma, beta):
-    out, _ = _train_stage_impl(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
-                               wbd3, b3b, e_p, gamma, beta)
+@jax.custom_vjp
+def _train_stage(plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b,
+                 e_p, gamma, beta, n_edges):
+    out, _ = _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
+                               wbd3, b3b, e_p, gamma, beta, n_edges)
     return out
 
 
-def _train_stage_fwd(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b,
-                     e_p, gamma, beta):
-    return _train_stage_impl(n_edges, plan, u_idx, v_idx, h, w_uv, b_uv,
-                             wbd3, b3b, e_p, gamma, beta)
+def _train_stage_fwd(plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b,
+                     e_p, gamma, beta, n_edges):
+    return _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
+                             wbd3, b3b, e_p, gamma, beta, n_edges)
 
 
-def _train_stage_bwd(n_edges, res, cots):
+def _train_stage_bwd(res, cots):
     from .pallas_kernels import k8_train_layer_bwd
 
     (plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b, e_p, gamma,
-     mean, inv, scale_eff, bias_eff) = res
+     mean, inv, scale_eff, bias_eff, n_edges) = res
     # mean/unbiased-var cotangents are dropped: running-stat updates carry no
     # gradient (torch semantics — they happen under no_grad)
     d_e_out_p, d_sum_v, d_sum_u, _dm, _dv = cots
@@ -491,8 +495,9 @@ def _train_stage_bwd(n_edges, res, cots):
     dy_p = deo_p.astype(jnp.float32) * relu_p
     rows_io = jax.lax.broadcasted_iota(jnp.int32, (Eh, 2 * d), 0)
     lane_io = jax.lax.broadcasted_iota(jnp.int32, (Eh, 2 * d), 1)
-    mvalid = ((2 * rows_io + (lane_io >= d).astype(jnp.int32))
-              < n_edges).astype(jnp.float32)
+    slot_f = (2 * rows_io + (lane_io >= d).astype(jnp.int32)
+              ).astype(jnp.float32)                 # exact to 2^24 slots
+    mvalid = (slot_f < n_edges).astype(jnp.float32)
     xf_p = x_p.astype(jnp.float32)
     dym = dy_p * mvalid
     a128 = dym.sum(axis=0)
@@ -535,7 +540,7 @@ def _train_stage_bwd(n_edges, res, cots):
     d_b3b = d_b3e_p.astype(jnp.float32).sum(axis=0).astype(b3b.dtype)
 
     return (None, None, None, d_h, d_w_uv, d_b_uv, d_wbd3, d_b3b, d_e_p,
-            d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype))
+            d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype), None)
 
 
 _train_stage.defvjp(_train_stage_fwd, _train_stage_bwd)

@@ -106,13 +106,21 @@ class WindowedPlan:
     window: int = WINDOW    # u-side block rows
     chunk: int = CHUNK
     n_tiles: int = 0
-    n_ovf: int = 0
     n_pad: int = 0          # padded node count of the owning GraphTensors
     u_all: bool = False     # every u block visited => combine can skip the
     v_all: bool = False     #   visited-mask pass (one full [NB*W, D] sweep)
     window_v: int = 0       # v-side block rows (0 => same as ``window``)
     k_u: int = 2            # u-side blocks per tile (coverage = k_u*window)
     k_v: int = 2            # v-side blocks per tile
+
+    @property
+    def n_ovf(self) -> int:
+        """Exact overflow-edge count (HOST-side diagnostic — ovf_mask's 1s).
+        Not a static field: exact counts vary per masked unit and would key
+        the jit cache, recompiling every unit (bounded-compile regression,
+        tests/test_compile_buckets.py)."""
+        import numpy as np
+        return int(np.asarray(self.ovf_mask).sum())
 
     @property
     def win_v(self) -> int:
@@ -159,7 +167,7 @@ jax.tree_util.register_dataclass(
                  "u_local_e", "u_local_o", "v_local_e", "v_local_o",
                  "u_visited", "v_visited", "ovf_slots", "ovf_mask",
                  "deg_u", "deg_v"],
-    meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_ovf", "n_pad",
+    meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_pad",
                  "u_all", "v_all", "window_v", "k_u", "k_v"],
 )
 
@@ -281,7 +289,9 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
 
     ovf_ids = np.nonzero(ovf)[0].astype(np.int32)
     n_ovf = int(ovf_ids.shape[0])
-    n_ovf_pad = max(8, -(-max(n_ovf, 1) // 8) * 8)
+    # next power of two: bounds the number of distinct overflow SHAPES (and
+    # hence compiled programs) across masked/clustered units
+    n_ovf_pad = max(8, 1 << (max(n_ovf, 1) - 1).bit_length())
     ovf_slots = np.full(n_ovf_pad, Ep - 1, dtype=np.int32)  # Ep-1 is padding
     ovf_slots[:n_ovf] = ovf_ids
     ovf_mask = np.zeros((n_ovf_pad, 1), dtype=np.float32)
@@ -324,6 +334,6 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
         deg_v=jnp.asarray(np.bincount(
             v[valid], minlength=Np).astype(np.float32)),
         tile_e=tile_e, window=wu, chunk=chunk, n_tiles=n_tiles,
-        n_ovf=n_ovf, n_pad=Np, window_v=wv, k_u=k_u, k_v=k_v,
+        n_pad=Np, window_v=wv, k_u=k_u, k_v=k_v,
         u_all=bool(u_visited.all()), v_all=bool(v_visited.all()),
     )

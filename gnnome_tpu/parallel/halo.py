@@ -47,18 +47,21 @@ from .mesh import GRAPH_AXIS
 
 
 class HostArray:
-    """Identity-hashed wrapper so host-side numpy metadata can live in a
-    pytree meta field (plain arrays break treedef equality checks)."""
+    """CACHE-NEUTRAL wrapper for host-side numpy metadata living in a pytree
+    meta field.  All instances compare equal and hash alike: the wrapped
+    array is never read inside traced code (host-side layout maps only), so
+    two plans differing only here must share one jit cache entry — identity
+    or content hashing would recompile every masked unit
+    (tests/test_compile_buckets.py)."""
 
     def __init__(self, a):
         self.a = a
 
     def __eq__(self, other):
-        return self is other or (isinstance(other, HostArray)
-                                 and self.a is other.a)
+        return isinstance(other, HostArray)
 
     def __hash__(self):
-        return id(self.a)
+        return 0x48414C4F
 
 
 @dataclass(frozen=True)
@@ -81,18 +84,28 @@ class HaloPlan:
     K: int = 0              # halo strip rows
     Emax: int = 0
     Rpad: int = 0           # padded overflow row count
-    n_ovf: int = 0
-    n_edges: int = 0
-    # host-side (numpy, not traced): (device, pos) per global edge slot
+    # host-side (numpy, not traced): (device, pos) per global edge slot.
+    # Cache-neutral (HostArray): exact per-unit layouts must not key the jit
+    # cache — shapes (P, Nb, K, Emax, Rpad) are the only real statics.
     slot_map: object = None
+
+    @property
+    def n_ovf(self) -> int:
+        """Exact overflow-row count (host-side diagnostic): columns of
+        ovf_rows owned by some device (padding is sentinel Nb everywhere)."""
+        return int((np.asarray(self.ovf_rows) != self.Nb).any(axis=0).sum())
+
+    @property
+    def n_edges(self) -> int:
+        """Exact real-edge count (host-side diagnostic; emask's 1s)."""
+        return int(np.asarray(self.emask).sum())
 
 
 jax.tree_util.register_dataclass(
     HaloPlan,
     data_fields=["src_ext", "dst_loc", "e_feat", "emask", "nmask",
                  "ovf_rows"],
-    meta_fields=["P", "Nb", "K", "Emax", "Rpad", "n_ovf", "n_edges",
-                 "slot_map"],
+    meta_fields=["P", "Nb", "K", "Emax", "Rpad", "slot_map"],
 )
 
 
@@ -170,7 +183,8 @@ def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
     R = int(ovf_src.shape[0])
     if R > max_ovf_frac * Nb:
         return None
-    Rpad = max(8, _round_up(R, 8))
+    # next power of two: bounds distinct overflow shapes across masked units
+    Rpad = max(8, 1 << (max(R, 1) - 1).bit_length())
     if bucket_growth and bucket_growth > 1.0 and R:
         Rpad = _round_up(_geom_bucket(Rpad, bucket_growth), 8)
     ovf_rows = np.full((P, Rpad), Nb, dtype=np.int32)       # sentinel
@@ -209,7 +223,7 @@ def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
         src_ext=src_ext, dst_loc=dst_loc,
         e_feat=e_dev, emask=emask,
         nmask=nmask, ovf_rows=ovf_rows,
-        P=P, Nb=Nb, K=K, Emax=Emax, Rpad=Rpad, n_ovf=R, n_edges=gt.n_edges,
+        P=P, Nb=Nb, K=K, Emax=Emax, Rpad=Rpad,
         slot_map=HostArray(slot_map),
     )
 

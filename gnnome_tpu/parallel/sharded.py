@@ -29,11 +29,13 @@ from .mesh import graph_sharding, replicated_sharding
 def shard_graph_tensors(gt: GraphTensors, mesh) -> GraphTensors:
     """device_put every leaf with leading-axis sharding over the mesh."""
     gshard = graph_sharding(mesh)
+    rshard = replicated_sharding(mesh)
     leaves = {}
     for f in dataclasses.fields(gt):
         v = getattr(gt, f.name)
         if isinstance(v, jax.Array):
-            leaves[f.name] = jax.device_put(v, gshard)
+            # 0-d leaves (real-count scalars) replicate; arrays shard
+            leaves[f.name] = jax.device_put(v, gshard if v.ndim else rshard)
         else:
             leaves[f.name] = v
     return GraphTensors(**leaves)

@@ -87,6 +87,18 @@ def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
         e_np = e_np[eid_of_slot]
         y_np = y_np[eid_of_slot]
     mask = jnp.asarray(gt.host("edge_mask")[:, 0])
+    if slot_io:
+        # round the gt's STATIC real counts up to the padded sizes: masked/
+        # clustered units then share one compiled program per shape bucket.
+        # All jit-side real-count math reads the traced nn_valid/ne_valid
+        # leaves (exact); host-side consumers use ex.n_edges.  (The zoo path
+        # keeps exact statics: its undirected transforms slice by gt.n_edges.)
+        import dataclasses
+        host_cache = getattr(gt, "_host", None)
+        gt = dataclasses.replace(gt, n_nodes=gt.n_nodes_pad,
+                                 n_edges=gt.n_edges_pad)
+        if host_cache is not None:
+            object.__setattr__(gt, "_host", host_cache)
     return TrainExample(gt=gt, x=x, x_rev=x_rev, e=jnp.asarray(e_np),
                         labels=jnp.asarray(y_np), mask=mask,
                         n_edges=int(y.shape[0]), slot_io=slot_io)
