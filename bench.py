@@ -41,21 +41,39 @@ _BASELINE_CACHE = {
 }
 
 
-def probe_tpu(timeout_s: int = 120) -> bool:
-    """Check the TPU tunnel in a subprocess (a wedged claim must not hang us)."""
+def probe_tpu(timeout_s: int = 120, attempts: int = 3,
+              backoff_s: float = 20.0) -> bool:
+    """Check the TPU tunnel in a subprocess (a wedged claim must not hang us).
+
+    True ONLY if the probe process exits 0 AND prints platform ``tpu`` — on a
+    TPU-less host JAX silently initialises the CPU backend and rc==0 lies
+    (this cost round 3 its headline number).  The tunnel also wedges
+    transiently, so retry with backoff before giving up.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() in ("cpu",):
+        return False  # caller explicitly forced CPU; don't fight it
     code = ("import jax, jax.numpy as jnp;"
             "x=(jnp.ones((256,256))@jnp.ones((256,256))).block_until_ready();"
-            "print(jax.devices()[0].platform)")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           timeout=timeout_s, text=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+            "print('PLATFORM=' + jax.devices()[0].platform)")
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout_s,
+                               text=True)
+            if r.returncode == 0 and "PLATFORM=tpu" in r.stdout:
+                return True
+            if r.returncode == 0:
+                return False  # healthy backend, but it isn't a TPU
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < attempts:
+            time.sleep(backoff_s * (attempt + 1))
+    return False
 
 
 def bench_tpu(n_nodes: int, avg_degree: float, iters: int, warmup: int,
-              train: bool = True, dtype: str = "bfloat16"):
+              train: bool = True, dtype: str = "bfloat16",
+              backend: str = "pallas"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -68,7 +86,9 @@ def bench_tpu(n_nodes: int, avg_degree: float, iters: int, warmup: int,
     cfg.model.dropout = 0.2
     cfg.compute.matmul_precision = "default"   # bench at standard precision
     cfg.compute.dtype = dtype
-    cfg.compute.backend = "pallas"             # fastest verified path
+    # "pallas" is the fastest verified path on TPU; Pallas kernels cannot run
+    # (non-interpret) on the CPU backend, so the fallback MUST use "xla".
+    cfg.compute.backend = backend
 
     src, dst = random_bench_graph(n_nodes, avg_degree, seed=0)
     n_edges = src.shape[0]
@@ -191,20 +211,25 @@ def main():
         return
 
     if not probe_tpu():
-        # fall back to CPU so the bench always reports something
+        # fall back to CPU so the bench always reports something; the Pallas
+        # kernels are TPU-only, so the fallback must route through XLA ops
         import jax
         jax.config.update("jax_platforms", "cpu")
         platform = "cpu-fallback"
+        backend = "xla"
     else:
         import jax
         platform = jax.devices()[0].platform
+        backend = "pallas" if platform == "tpu" else "xla"
 
     edges_per_s, step_s, n_edges = bench_tpu(args.nodes, args.degree,
-                                             args.iters, args.warmup)
+                                             args.iters, args.warmup,
+                                             backend=backend)
     extra = {}
     if not args.skip_eval:
         eval_eps, eval_s, _ = bench_tpu(args.nodes, args.degree, args.iters,
-                                        args.warmup, train=False)
+                                        args.warmup, train=False,
+                                        backend=backend)
         extra["eval_edges_per_s"] = round(eval_eps, 1)
         extra["eval_seconds"] = round(eval_s, 5)
 
@@ -256,6 +281,7 @@ def main():
         "unit": "edges/s/chip",
         "vs_baseline": round(vs_baseline, 2),
         "platform": platform,
+        "backend": backend,
         "n_edges": n_edges,
         "step_seconds": round(step_s, 5),
         **extra,

@@ -325,7 +325,11 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
         # per-iteration thread spawn/join dominated threshold-0 decode
         # (~0.6 ms/round of pure overhead at 131k nodes).  Seed sampling
         # consumes rng.random(chunk * k) row-by-row, the same stream order as
-        # the per-iteration path.
+        # the per-iteration path, so sampled CONTIGS are bitwise identical
+        # across paths; but the batch draw may over-consume up to
+        # (chunk-1)*k uniforms on the terminating chunk, so the CALLER's
+        # Generator ends in a different state than the pure-python path —
+        # don't rely on ``rng`` state after decode_greedy returns.
         chunk = 10
         k = cfg.num_decoding_paths
         absorb_epoch_a = np.zeros(1, dtype=np.int32)
@@ -374,23 +378,16 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
                 break
         return result
 
+    # native_sample never reaches here — the chunked gn_decode_chunk driver
+    # above returns unconditionally, and it is the only native-sampler path.
     while True:
-        if native_sample:
-            uniforms = rng.random(cfg.num_decoding_paths)
-            got = lib.gn_sample_seed_edges_inc(
-                s_alive, s_weight, s_bsum, s_blast, s_count, E, uniforms,
-                cfg.num_decoding_paths, seeds_buf)
-            if got == 0:       # no edge with both endpoints unvisited remains
-                break
-            seeds = seeds_buf
-        else:
-            ok = (visited == 0)
-            eligible = np.nonzero(ok[graph.src] & ok[graph.dst])[0]
-            if eligible.size == 0:
-                break
-            seeds = _sample_seed_edges(probs, eligible,
-                                       cfg.num_decoding_paths, rng,
-                                       cfg.random_baseline)
+        ok = (visited == 0)
+        eligible = np.nonzero(ok[graph.src] & ok[graph.dst])[0]
+        if eligible.size == 0:
+            break
+        seeds = _sample_seed_edges(probs, eligible,
+                                   cfg.num_decoding_paths, rng,
+                                   cfg.random_baseline)
 
         if native_round:
             clen_out = ctypes.c_int64(0)

@@ -77,17 +77,22 @@ def _gt_for_single_strand(src: np.ndarray, dst: np.ndarray,
 
     all_nodes = set(node_list)
     accepted: list[set[int]] = []
+    # key ties broken by smallest node id, matching the native gn_gt_sweep
+    # (set iteration order is arbitrary, so a bare min/max could legitimately
+    # diverge from the pinned-equality oracle on equal read_start/read_end)
     while all_nodes:
         if positive:
-            start_node = min(all_nodes, key=lambda x: start_of[x])
+            start_node = min(all_nodes, key=lambda x: (start_of[x], x))
         else:
-            start_node = max(all_nodes, key=lambda x: end_of[x])
+            start_node = max(all_nodes, key=lambda x: (end_of[x], -x))
 
         full_component = _reachable(fwd, start_node, all_nodes)
         if positive:
-            highest_in_comp = max(full_component, key=lambda x: end_of[x])
+            highest_in_comp = max(full_component,
+                                  key=lambda x: (end_of[x], -x))
         else:
-            highest_in_comp = min(full_component, key=lambda x: start_of[x])
+            highest_in_comp = min(full_component,
+                                  key=lambda x: (start_of[x], x))
 
         component = _reachable(rev, highest_in_comp, full_component)
 

@@ -24,23 +24,56 @@ def random_genome(length: int, rng: np.random.Generator) -> str:
     return _BASES[rng.integers(0, 4, size=length)].tobytes().decode("ascii")
 
 
+def _apply_read_errors(seq: str, rng: np.random.Generator,
+                       error_rate: float) -> str:
+    """Substitution errors at the given per-base rate (PBSIM-like HiFi error
+    profile, substitutions only — reference generate_data.py:129-134 samples
+    a real profile; here a flat rate is enough to spread the
+    overlap-similarity feature below 1.0)."""
+    arr = np.frombuffer(seq.encode("ascii"), dtype=np.uint8).copy()
+    n_err = int(rng.binomial(arr.size, error_rate))
+    if n_err == 0:
+        return seq
+    pos = rng.choice(arr.size, size=n_err, replace=False)
+    # substitute with a uniformly-random DIFFERENT base: new = cur + 1..3 mod 4
+    cur = np.searchsorted(_BASES, arr[pos])  # ACGT are sorted ascii
+    arr[pos] = _BASES[(cur + rng.integers(1, 4, size=n_err)) % 4]
+    return arr.tobytes().decode("ascii")
+
+
 def simulate_reads_from_genome(genome: str, n_reads: int, read_len: int,
-                               rng: np.random.Generator, chrom: int = 1):
+                               rng: np.random.Generator, chrom: int = 1,
+                               error_rate: float = 0.0,
+                               start_gaps=()):
     """Evenly-ish spaced reads with random strands.
 
     Returns (records, starts, ends, strands): record ``i`` covers
     ``genome[starts[i]:ends[i]]`` (RC'd when ``strands[i] == -1``), with
     training headers in the PBSIM-rewritten convention
     (reference generate_data.py:43-60).
+
+    ``error_rate`` applies substitution errors to the sequences (GT positions
+    stay exact, as PBSIM's MAF does).  ``start_gaps`` is a list of genome
+    intervals ``(lo, hi)``: no read may start in ``(lo - read_len, hi)``, so
+    no read spans the interval and the assembly graph splits there —
+    guarantees a multi-contig decode.
     """
     L = len(genome)
     max_start = max(1, L - read_len)
-    starts = np.sort(rng.integers(0, max_start, size=n_reads))
+    starts = rng.integers(0, max_start, size=n_reads)
+    for lo, hi in start_gaps:
+        bad = (starts > lo - read_len) & (starts < hi)
+        while bad.any():
+            starts[bad] = rng.integers(0, max_start, size=int(bad.sum()))
+            bad = (starts > lo - read_len) & (starts < hi)
+    starts = np.sort(starts)
     ends = np.minimum(starts + read_len, L)
     strands = rng.choice([1, -1], size=n_reads)
     records = []
     for i in range(n_reads):
         seq = genome[starts[i]:ends[i]]
+        if error_rate > 0.0:
+            seq = _apply_read_errors(seq, rng, error_rate)
         if strands[i] == -1:
             seq = reverse_complement(seq)
         rid = f"read{i}"
@@ -68,6 +101,34 @@ def _add_false_edges(src, dst, ol, n_reads: int, n_false: int,
         L = int(rng.integers(max(1, typical_ol // 4), typical_ol))
         existing.add((u, v)); existing.add((v ^ 1, u ^ 1))
         f_src.extend((u, v ^ 1)); f_dst.extend((v, u ^ 1)); f_ol.extend((L, L))
+    return (np.concatenate([src, np.asarray(f_src, dtype=np.int32)]),
+            np.concatenate([dst, np.asarray(f_dst, dtype=np.int32)]),
+            np.concatenate([ol, np.asarray(f_ol, dtype=np.int64)]))
+
+
+def _add_wrong_strand_edges(src, dst, ol, n_hard: int,
+                            rng: np.random.Generator):
+    """Hard negatives: take genuinely-overlapping edges and flip the TARGET
+    orientation — the reads DO overlap on the genome (so the overlap-length
+    feature is indistinguishable from a true edge) but the strands disagree,
+    so the sequences don't align and the GT sweep rejects them.  Real
+    assembler graphs are full of these (inverted-repeat artifacts); they are
+    what makes the score distributions overlap instead of being separable by
+    a single feature."""
+    if src.size == 0 or n_hard <= 0:
+        return src, dst, ol
+    existing = set(zip(src.tolist(), dst.tolist()))
+    # true layout edges come in (fwd, twin) pairs at (2k, 2k+1)
+    cand = rng.permutation(src.size // 2)
+    f_src, f_dst, f_ol = [], [], []
+    for k in cand:
+        if len(f_src) >= 2 * n_hard:
+            break
+        u, v, L = int(src[2 * k]), int(dst[2 * k]), int(ol[2 * k])
+        if (u, v ^ 1) in existing or (v, u ^ 1) in existing:
+            continue
+        existing.add((u, v ^ 1)); existing.add((v, u ^ 1))
+        f_src.extend((u, v)); f_dst.extend((v ^ 1, u ^ 1)); f_ol.extend((L, L))
     return (np.concatenate([src, np.asarray(f_src, dtype=np.int32)]),
             np.concatenate([dst, np.asarray(f_dst, dtype=np.int32)]),
             np.concatenate([ol, np.asarray(f_ol, dtype=np.int64)]))
@@ -106,13 +167,35 @@ def synthetic_assembly_graph(n_reads: int = 200, genome_len: int = 20_000,
                              read_len: int = 300, seed: int = 0,
                              with_labels: bool = True,
                              with_sequences: bool = True,
-                             false_edge_frac: float = 0.15):
-    """In-memory synthetic AssemblyGraph (+ReadStore) with GT attributes."""
+                             false_edge_frac: float = 0.15,
+                             error_rate: float = 0.0,
+                             hard_false_frac: float = 0.0,
+                             n_coverage_gaps: int = 0):
+    """In-memory synthetic AssemblyGraph (+ReadStore) with GT attributes.
+
+    With the defaults the graph is error-free and its ~15% random false edges
+    are trivially separable (the round-3 golden run's AP was degenerately 1.0
+    for every score set).  ``error_rate`` (substitutions) spreads true-edge
+    overlap similarities below 1, ``hard_false_frac`` adds wrong-strand
+    overlaps whose length feature matches true edges, and
+    ``n_coverage_gaps`` splits the genome so decode must emit >1 contig —
+    together they make AP/NG50 comparisons discriminating.
+    """
     rng = np.random.default_rng(seed)
     genome = random_genome(genome_len, rng)
+    gaps = []
+    if n_coverage_gaps > 0:
+        # evenly-spaced zero-coverage bands, each a read-length wide
+        for k in range(1, n_coverage_gaps + 1):
+            mid = genome_len * k // (n_coverage_gaps + 1)
+            gaps.append((mid, min(genome_len, mid + read_len)))
     records, starts, ends, strands = simulate_reads_from_genome(
-        genome, n_reads, read_len, rng)
+        genome, n_reads, read_len, rng, error_rate=error_rate,
+        start_gaps=gaps)
     src, dst, ol = _layout_edges(starts, ends, strands)
+    if hard_false_frac > 0 and src.size:
+        n_hard = max(1, int(hard_false_frac * src.size / 2))
+        src, dst, ol = _add_wrong_strand_edges(src, dst, ol, n_hard, rng)
     if false_edge_frac > 0 and src.size:
         n_false = max(1, int(false_edge_frac * src.size / 2))
         src, dst, ol = _add_false_edges(src, dst, ol, n_reads, n_false, rng,

@@ -119,6 +119,17 @@ class GraphTensors:
                 node_pad_multiple)
         dummy = n_nodes
 
+        # nn_valid/ne_valid ride the jit as 0-d f32 leaves, and the K8
+        # backward masks padded slots via an f32 compare (slot < n_edges) —
+        # both exact only up to 2^24.  Beyond that a graph would silently get
+        # wrong BatchNorm statistics and wrong gradient masks, so refuse
+        # loudly (the decode path has the analogous explicit 2^24 fallback).
+        if Ep > 2 ** 24 or Np > 2 ** 24:
+            raise ValueError(
+                f"GraphTensors supports at most 2^24 padded nodes/edges "
+                f"(f32-exact count leaves); got Np={Np}, Ep={Ep}. "
+                f"Partition the graph (parallel/) before building.")
+
         src_p = np.full(Ep, dummy, dtype=np.int32)
         dst_p = np.full(Ep, dummy, dtype=np.int32)
         src_p[:E] = src
