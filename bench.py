@@ -204,6 +204,9 @@ def main():
     ap.add_argument("--skip-decode", action="store_true",
                     help="skip the greedy-decode (host CPU) metric")
     ap.add_argument("--decode-nodes", type=int, default=131_072)
+    ap.add_argument("--skip-labels", action="store_true",
+                    help="skip the GT-label sweep (host CPU) metric")
+    ap.add_argument("--labels-nodes", type=int, default=1_048_576)
     args = ap.parse_args()
 
     if args.mesh_worker:
@@ -269,11 +272,25 @@ def main():
         except Exception as e:  # the headline metric must still be reported
             extra["mesh_error"] = str(e)[:300]
 
+    # analytic multi-chip projection anchored on THIS measured step time and
+    # the real halo plan for the bench graph (strip width K, overflow Rpad);
+    # wire model + interconnect assumptions: gnnome_tpu/parallel/projection.py
+    try:
+        extra.update(bench_projection(args.nodes, args.degree, step_s))
+    except Exception as e:
+        extra["projection_error"] = str(e)[:300]
+
     if not args.skip_decode:
         try:
             extra.update(bench_decode(args.decode_nodes, args.degree))
         except Exception as e:
             extra["decode_error"] = str(e)[:300]
+
+    if not args.skip_labels:
+        try:
+            extra.update(bench_labels(args.labels_nodes, args.degree))
+        except Exception as e:
+            extra["labels_error"] = str(e)[:300]
 
     print(json.dumps({
         "metric": "symgatedgcn_train_step_edges_per_s",
@@ -286,6 +303,48 @@ def main():
         "step_seconds": round(step_s, 5),
         **extra,
     }))
+
+
+def bench_projection(n_nodes: int, avg_degree: float,
+                     step_s: float) -> dict:
+    """Projected multi-chip train efficiency for the bench graph from the
+    measured single-chip step time (host-side numpy; see
+    parallel/projection.py for the wire model and assumptions)."""
+    import numpy as np
+    from gnnome_tpu.graphs.synthetic import random_bench_graph
+    from gnnome_tpu.ops import GraphTensors
+    from gnnome_tpu.parallel.projection import project_curve
+
+    src, dst = random_bench_graph(n_nodes, avg_degree, seed=0)
+    gt = GraphTensors.build(src, dst, n_nodes, divisible_by=32)
+    e_feat = np.zeros((gt.n_edges_pad, 2), dtype=np.float32)
+    curve = project_curve(gt, e_feat, step_s, device_counts=(8, 32))
+    out = {}
+    for p in curve:
+        if p.P > 1:
+            out[f"projected_eff_overlap_{p.P}dev"] = p.eff_overlap
+            out[f"projected_eff_serial_{p.P}dev"] = p.eff_serial
+            out[f"projected_halo_k_{p.P}dev"] = p.K
+    return out
+
+
+def bench_labels(n_nodes: int, avg_degree: float) -> dict:
+    """GT-label generation throughput (host CPU, native gn_gt_sweep) on a
+    positional assembly-shaped graph — the reference's per-graph labelling
+    cost (utils/labels.py:129-179, DFS over networkx)."""
+    import numpy as np
+    from gnnome_tpu.graphs.labels import compute_gt_labels
+    from gnnome_tpu.graphs.synthetic import positional_bench_graph
+
+    src, dst, strand, start, end, chrom = positional_bench_graph(
+        n_nodes, avg_degree, seed=0)
+    t0 = time.perf_counter()
+    y = compute_gt_labels(src, dst, strand, start, end, chrom)
+    dt = time.perf_counter() - t0
+    return {"labels_seconds": round(dt, 2),
+            "labels_edges_per_s": round(src.shape[0] / dt, 1),
+            "labels_nodes": n_nodes, "labels_edges": int(src.shape[0]),
+            "labels_pos_frac": round(float(y.mean()), 4)}
 
 
 def bench_decode(n_nodes: int, avg_degree: float) -> dict:

@@ -262,6 +262,52 @@ def random_bench_graph(num_nodes: int, avg_degree: float, seed: int = 0,
     return src[keep].astype(np.int32), dst[keep].astype(np.int32)
 
 
+def positional_bench_graph(num_nodes: int, avg_degree: float = 6.0,
+                           seed: int = 0, read_len: int = 20_000,
+                           false_frac: float = 0.15):
+    """Assembly-shaped graph WITH positional ground truth (read_start/end/
+    strand/chr) at arbitrary scale, fully vectorised — for benchmarking the
+    GT-label sweep (reference utils/labels.py:129-179) where
+    ``synthetic_assembly_graph``'s per-read Python loop would dominate.
+
+    Returns (src, dst, read_strand, read_start, read_end, read_chr)."""
+    n_reads = num_nodes // 2
+    k = max(1, int(round(avg_degree / 2)))   # true successor links per read
+    genome_len = max(read_len + 1, int(n_reads * read_len / (k + 1)))
+    rng = np.random.default_rng(seed)
+    starts = np.sort(rng.integers(0, max(1, genome_len - read_len), n_reads))
+    ends = np.minimum(starts + read_len, genome_len)
+    strands = rng.choice(np.asarray([1, -1], dtype=np.int8), n_reads)
+    node_fwd = (2 * np.arange(n_reads, dtype=np.int64)
+                + (strands == -1)).astype(np.int64)
+    srcs, dsts = [], []
+    for j in range(1, 4 * k + 1):
+        i = np.arange(n_reads - j, dtype=np.int64)
+        m = (starts[i + j] < ends[i]) & (starts[i + j] > starts[i])
+        i = i[m]
+        if i.size == 0:
+            continue
+        u, v = node_fwd[i], node_fwd[i + j]
+        srcs += [u, v ^ 1]
+        dsts += [v, u ^ 1]
+    if false_frac > 0:
+        n_false = int(false_frac * sum(a.size for a in srcs) / 2)
+        u = rng.integers(0, num_nodes, n_false).astype(np.int64)
+        v = rng.integers(0, num_nodes, n_false).astype(np.int64)
+        keep = (v != u) & (v != (u ^ 1))
+        u, v = u[keep], v[keep]
+        srcs += [u, v ^ 1]
+        dsts += [v, u ^ 1]
+    src = np.concatenate(srcs).astype(np.int32)
+    dst = np.concatenate(dsts).astype(np.int32)
+    read_strand = np.repeat(strands, 2).copy()
+    read_strand[1::2] *= -1
+    return (src, dst, read_strand,
+            np.repeat(starts.astype(np.int64), 2),
+            np.repeat(ends.astype(np.int64), 2),
+            np.full(num_nodes, 1, dtype=np.int16))
+
+
 def random_rc_bench_graph(num_nodes: int, avg_degree: float, seed: int = 0,
                           locality: int = 64):
     """Assembly-shaped AssemblyGraph with the RC-twin invariant (edge u->v
