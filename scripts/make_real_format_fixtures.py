@@ -177,7 +177,123 @@ def main():
         f.writelines(raven_fa)
     with open(os.path.join(OUT, "mini_genome.txt"), "w") as f:
         f.write(genome)
+
+    make_multichr(rng)
+    make_circular(rng)
+    make_p_ctg(genome)
     print("fixtures written to", OUT)
+
+
+def make_multichr(rng):
+    """Multi-chromosome training fixture with a planted-repeat FALSE link.
+
+    chr1: three '+' unitigs tiling a 4 kb genome; utg1 additionally carries a
+    CONTAINED '-'-orientation read (A-line whose interval sits strictly inside
+    the unitig — exercises the majority-vote strand collapse and the min/max
+    position union, reference graph_parser.py:231-266).  chr2: a 3 kb genome
+    whose first 350 bp are a REPEAT copied from the tail of chr1's last
+    unitig, tiled by two '+' unitigs.  The repeat makes the cross-chromosome
+    link utg3->utg4 sequence-exact (a real assembler would emit it) while its
+    GT label must be 0 (different chromosome, reference labels.py:80-93 /
+    process_graph_combo labels.py:152-179).  Reads FASTA is written both
+    plain and gzipped (reference graph_parser.py:124-128 reads .gz directly).
+    """
+    import gzip
+
+    g1 = random_genome(4000, rng)
+    # chr2 begins with the 350 bp repeat that ends chr1's utg3
+    g2 = g1[3650:4000] + random_genome(2650, rng)
+
+    utgs = [  # (chr, genome, g0, g1)
+        (1, g1, 0, 1400), (1, g1, 1000, 2600), (1, g1, 2200, 4000),
+        (2, g2, 0, 1600), (2, g2, 1200, 3000),
+    ]
+    # reads per unitig: (utg-relative start, length, A orient); utg1's second
+    # read is CONTAINED (400..1000 strictly inside 0..1400) on '-'
+    reads_per_utg = [
+        [(0, 1400, "+"), (400, 600, "-")],
+        [(0, 1600, "+")],
+        [(0, 1800, "+")],
+        [(0, 1600, "+")],
+        [(0, 1000, "+"), (700, 1100, "+")],
+    ]
+    hifi_name = "m64012_200430_101212/{}/ccs".format
+    gfa, fa = [], []
+    rid = 0
+    for t, (chrom, gg, a0, a1) in enumerate(utgs):
+        name = f"utg{t + 1:06d}l"
+        useq = gg[a0:a1]
+        gfa.append(f"S\t{name}\t{useq}\tLN:i:{len(useq)}\trd:i:"
+                   f"{int(rng.integers(28, 64))}\n")
+        for off, ln, a_o in reads_per_utg[t]:
+            rname = hifi_name(5000 + 3 * rid)
+            r0, r1 = a0 + off, a0 + off + ln
+            strand = a_o                        # all unitigs are '+' strand
+            rseq = gg[r0:r1]
+            gfa.append(f"A\t{name}\t{off}\t{a_o}\t{rname}\t0\t{ln}"
+                       f"\tid:i:{rid}\tHG:A:a\n")
+            fa.append(f">{rname} strand={strand} start={r0} end={r1} "
+                      f"chr={chrom}\n{wrap(rseq if strand == '+' else rc(rseq))}\n")
+            rid += 1
+
+    def link(a, b, ol):
+        la = utgs[a][3] - utgs[a][2]
+        lb = utgs[b][3] - utgs[b][2]
+        gfa.append(f"L\tutg{a + 1:06d}l:0-{la}\t+\tutg{b + 1:06d}l:0-{lb}\t+"
+                   f"\t{ol}M\tL1:i:{la - ol}\n")
+
+    link(0, 1, 1400 - 1000)       # chr1 chain
+    link(1, 2, 2600 - 2200)
+    link(3, 4, 1600 - 1200)       # chr2 chain
+    link(2, 3, 350)               # FALSE cross-chromosome repeat link
+
+    with open(os.path.join(OUT, "hifiasm_multichr_r_utg.gfa"), "w") as f:
+        f.writelines(gfa)
+    reads = "".join(fa)
+    with open(os.path.join(OUT, "hifi_reads_multichr.fasta"), "w") as f:
+        f.write(reads)
+    # deterministic gzip bytes (mtime=0) so the fixture is stable
+    with open(os.path.join(OUT, "hifi_reads_multichr.fasta.gz"), "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as z:
+            z.write(reads.encode("ascii"))
+    with open(os.path.join(OUT, "mini_genome_chr1.txt"), "w") as f:
+        f.write(g1)
+    with open(os.path.join(OUT, "mini_genome_chr2.txt"), "w") as f:
+        f.write(g2)
+
+
+def make_circular(rng):
+    """Circular-unitig fixture: hifiasm names circular unitigs ``utg%06dc``
+    and links them to themselves (end-to-start overlap).  The unitig sequence
+    is a 1.2 kb plasmid plus its own first 300 bp, so the self-link's overlap
+    is sequence-exact (suffix == prefix).  The reference parser treats the
+    self-link like any L record — it becomes a self-loop edge pair
+    (graph_parser.py:300-326)."""
+    plasmid = random_genome(1200, rng)
+    useq = plasmid + plasmid[:300]
+    name = "utg000001c"
+    gfa = [f"S\t{name}\t{useq}\tLN:i:{len(useq)}\trd:i:41\n"]
+    for i, (off, ln) in enumerate([(0, 800), (600, 900)]):
+        gfa.append(f"A\t{name}\t{off}\t+\tplasmid_read_{i}\t0\t{ln}"
+                   f"\tid:i:{i}\tHG:A:a\n")
+    gfa.append(f"L\t{name}:0-{len(useq)}\t+\t{name}:0-{len(useq)}\t+\t300M"
+               f"\tL1:i:{len(useq) - 300}\n")
+    with open(os.path.join(OUT, "hifiasm_circular_utg.gfa"), "w") as f:
+        f.writelines(gfa)
+    with open(os.path.join(OUT, "mini_plasmid.txt"), "w") as f:
+        f.write(plasmid)
+
+
+def make_p_ctg(genome):
+    """hifiasm primary-contig file (``*.bp.p_ctg.gfa``): S records only, as
+    consumed by the contig extraction (reference utils/data_utils.py:13-27)."""
+    with open(os.path.join(OUT, "hifiasm_p_ctg.gfa"), "w") as f:
+        for n, (a, b) in enumerate([(0, 3500), (3200, 6000)]):
+            seq = genome[a:b]
+            f.write(f"S\tptg{n + 1:06d}l\t{seq}\tLN:i:{len(seq)}"
+                    f"\trd:i:33\n")
+            f.write(f"A\tptg{n + 1:06d}l\t0\t+\tm64011_190830_220126/"
+                    f"{4000 + n}/ccs\t0\t{b - a}\tid:i:{n}\tHG:A:a\n")
 
 
 if __name__ == "__main__":
