@@ -51,8 +51,17 @@ def edit_distance(a: str, b: str) -> int:
 
 
 def overlap_similarities(src: np.ndarray, dst: np.ndarray, ol: np.ndarray,
-                         reads: ReadStore, n_threads: int | None = None) -> np.ndarray:
-    """Per-edge ``overlap_similarity`` (reference graph_parser.py:101-117)."""
+                         reads: ReadStore, n_threads: int | None = None,
+                         max_k_frac: float = 0.0) -> np.ndarray:
+    """Per-edge ``overlap_similarity`` (reference graph_parser.py:101-117).
+
+    ``max_k_frac > 0`` caps each edge's Ukkonen band at that fraction of the
+    overlap length: similarities >= 1 - max_k_frac stay EXACT, heavily
+    diverged pairs (random/wrong-strand overlaps, whose banded cost is
+    O(L * trueED)) report a clamped value ~<= 1 - max_k_frac instead.  A
+    speed knob for synthetic-graph generation; the product GFA path keeps the
+    default exact semantics (reference parity).  Native path only — the
+    numpy fallback always computes exact distances."""
     n_edges = src.shape[0]
     sims = np.full(n_edges, 0.5, dtype=np.float32)
     if n_edges == 0:
@@ -69,12 +78,12 @@ def overlap_similarities(src: np.ndarray, dst: np.ndarray, ol: np.ndarray,
     lib = get_lib()
     if lib is not None and canon_ids.size:
         n_threads = n_threads or max(1, (os.cpu_count() or 1))
-        lib.gn_overlap_edit_distance_batch(
+        lib.gn_overlap_edit_distance_batch_capped(
             reads._blob, reads._offsets,
             np.ascontiguousarray(src[canon_ids], dtype=np.int32),
             np.ascontiguousarray(dst[canon_ids], dtype=np.int32),
             np.ascontiguousarray(ol[canon_ids], dtype=np.int64),
-            canon_ids.shape[0], n_threads, dists)
+            canon_ids.shape[0], n_threads, float(max_k_frac), dists)
     else:
         for i, e in enumerate(canon_ids.tolist()):
             L = int(ol[e])

@@ -134,6 +134,66 @@ def _add_wrong_strand_edges(src, dst, ol, n_hard: int,
             np.concatenate([ol, np.asarray(f_ol, dtype=np.int64)]))
 
 
+def _plant_repeats(genome: str, n_pairs: int, repeat_len: int,
+                   rng: np.random.Generator):
+    """Copy ``n_pairs`` segments of the genome to distant second locations.
+
+    Returns (genome, pairs) with ``pairs = [(a1, a2, L)]``: ``genome[a1:a1+L]
+    == genome[a2:a2+L]``.  This is THE mechanism behind real assembler false
+    edges — reads from the two copies overlap in sequence (the assembler
+    emits the link, similarity ~1) but not in genome position (GT label 0).
+    Band positions keep the pairs disjoint: copy 1 of pair k lives in band k
+    of the genome's first half, copy 2 in band k of the second half."""
+    G = len(genome)
+    arr = list(genome)
+    pairs = []
+    half = G // 2
+    band = half // max(1, n_pairs)
+    for k in range(n_pairs):
+        lo1, lo2 = k * band, half + k * band
+        a1 = int(rng.integers(lo1, max(lo1 + 1, lo1 + band - repeat_len)))
+        a2 = int(rng.integers(lo2, max(lo2 + 1, min(lo2 + band, G) - repeat_len)))
+        arr[a2:a2 + repeat_len] = arr[a1:a1 + repeat_len]
+        pairs.append((a1, a2, repeat_len))
+    return "".join(arr), pairs
+
+
+def _add_repeat_edges(src, dst, ol, starts, ends, strands, pairs,
+                      min_overlap: int = 500):
+    """Sequence-exact cross-copy edges for each planted repeat pair: read i
+    whose suffix lies inside one copy -> read j whose prefix lies inside the
+    other, overlap = their repeat-relative interval overlap.  These edges are
+    what make AP discriminating: similarity ~1 like a true edge, GT label 0."""
+    existing = set(zip(src.tolist(), dst.tolist()))
+    f_src, f_dst, f_ol = [], [], []
+    for a1, a2, Lr in pairs:
+        for sa, sb in ((a1, a2), (a2, a1)):
+            I = np.nonzero((ends > sa) & (ends <= sa + Lr))[0]
+            J = np.nonzero((starts >= sb) & (starts < sb + Lr))[0]
+            for i in I.tolist():
+                p = int(ends[i] - sa)
+                for j in J.tolist():
+                    q = int(starts[j] - sb)
+                    o = p - q
+                    if (o < min_overlap or o >= ends[i] - starts[i]
+                            or o >= ends[j] - starts[j]):
+                        continue
+                    u = 2 * i if strands[i] == 1 else 2 * i + 1
+                    v = 2 * j if strands[j] == 1 else 2 * j + 1
+                    if j == i or v in (u, u ^ 1) or (u, v) in existing:
+                        continue
+                    existing.add((u, v))
+                    existing.add((v ^ 1, u ^ 1))
+                    f_src.extend((u, v ^ 1))
+                    f_dst.extend((v, u ^ 1))
+                    f_ol.extend((o, o))
+    if not f_src:
+        return src, dst, ol
+    return (np.concatenate([src, np.asarray(f_src, dtype=np.int32)]),
+            np.concatenate([dst, np.asarray(f_dst, dtype=np.int32)]),
+            np.concatenate([ol, np.asarray(f_ol, dtype=np.int64)]))
+
+
 def _layout_edges(starts, ends, strands, min_overlap: int = 1):
     """True suffix-prefix overlaps implied by the genome layout.
 
@@ -170,19 +230,30 @@ def synthetic_assembly_graph(n_reads: int = 200, genome_len: int = 20_000,
                              false_edge_frac: float = 0.15,
                              error_rate: float = 0.0,
                              hard_false_frac: float = 0.0,
-                             n_coverage_gaps: int = 0):
+                             n_coverage_gaps: int = 0,
+                             n_repeat_pairs: int = 0,
+                             repeat_len: Optional[int] = None,
+                             sim_band_frac: float = 0.0):
     """In-memory synthetic AssemblyGraph (+ReadStore) with GT attributes.
 
     With the defaults the graph is error-free and its ~15% random false edges
     are trivially separable (the round-3 golden run's AP was degenerately 1.0
     for every score set).  ``error_rate`` (substitutions) spreads true-edge
     overlap similarities below 1, ``hard_false_frac`` adds wrong-strand
-    overlaps whose length feature matches true edges, and
+    overlaps whose length feature matches true edges, ``n_repeat_pairs``
+    plants genome repeats whose cross-copy edges have similarity ~1 but GT
+    label 0 (the REAL mechanism behind assembler false edges), and
     ``n_coverage_gaps`` splits the genome so decode must emit >1 contig —
     together they make AP/NG50 comparisons discriminating.
+    ``sim_band_frac`` caps the similarity aligner's band (see
+    similarity.overlap_similarities) — a pure build-speed knob.
     """
     rng = np.random.default_rng(seed)
     genome = random_genome(genome_len, rng)
+    repeat_pairs = []
+    if n_repeat_pairs > 0:
+        genome, repeat_pairs = _plant_repeats(
+            genome, n_repeat_pairs, repeat_len or read_len * 3 // 5, rng)
     gaps = []
     if n_coverage_gaps > 0:
         # evenly-spaced zero-coverage bands, each a read-length wide
@@ -193,6 +264,9 @@ def synthetic_assembly_graph(n_reads: int = 200, genome_len: int = 20_000,
         genome, n_reads, read_len, rng, error_rate=error_rate,
         start_gaps=gaps)
     src, dst, ol = _layout_edges(starts, ends, strands)
+    if repeat_pairs and src.size:
+        src, dst, ol = _add_repeat_edges(src, dst, ol, starts, ends, strands,
+                                         repeat_pairs)
     if hard_false_frac > 0 and src.size:
         n_hard = max(1, int(hard_false_frac * src.size / 2))
         src, dst, ol = _add_wrong_strand_edges(src, dst, ol, n_hard, rng)
@@ -226,7 +300,8 @@ def synthetic_assembly_graph(n_reads: int = 200, genome_len: int = 20_000,
     if with_sequences:
         from .similarity import overlap_similarities
         reads = ReadStore.from_sequences([r.seq for r in records])
-        graph.overlap_similarity = overlap_similarities(src, dst, ol, reads)
+        graph.overlap_similarity = overlap_similarities(
+            src, dst, ol, reads, max_k_frac=sim_band_frac)
     return graph, reads, records, genome
 
 

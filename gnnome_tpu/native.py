@@ -67,6 +67,17 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int32,
             np.ctypeslib.ndpointer(np.int64),    # out
         ]
+        lib.gn_overlap_edit_distance_batch_capped.restype = None
+        lib.gn_overlap_edit_distance_batch_capped.argtypes = [
+            ctypes.c_char_p,                     # blob
+            np.ctypeslib.ndpointer(np.int64),    # offsets
+            np.ctypeslib.ndpointer(np.int32),    # src
+            np.ctypeslib.ndpointer(np.int32),    # dst
+            np.ctypeslib.ndpointer(np.int64),    # ol
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_double,                     # max_k_frac (0 = exact)
+            np.ctypeslib.ndpointer(np.int64),    # out
+        ]
         lib.gn_greedy_walk.restype = ctypes.c_int64
         lib.gn_greedy_walk.argtypes = [
             np.ctypeslib.ndpointer(np.int64),    # row_ptr

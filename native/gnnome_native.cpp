@@ -91,16 +91,25 @@ extern "C" {
 
 // Exact global edit distance (Ukkonen band doubling).  High-identity overlap
 // pairs (the common case in assembly graphs) exit in the first narrow band;
-// identical strings short-circuit entirely.
-int64_t gn_edit_distance(const char* a, int64_t n, const char* b, int64_t m) {
+// identical strings short-circuit entirely.  ``kcap > 0`` bounds the band:
+// the result is exact when <= kcap, otherwise a band-limited LOWER-ish value
+// (~kcap + 1) — callers that only need "similarity is at most 1 - kcap/L"
+// (feature clamping) save the O(L * trueED) cost of diverged pairs.
+static int64_t edit_distance_impl(const char* a, int64_t n, const char* b,
+                                  int64_t m, int64_t kcap) {
   if (n == m && std::memcmp(a, b, n) == 0) return 0;
   int64_t k = std::max<int64_t>(std::llabs(n - m) + 8, 16);
   int64_t cap = std::max<int64_t>(std::max(n, m), 1);
+  if (kcap > 0) cap = std::min(cap, std::max(k, kcap));
   while (true) {
     int64_t d = banded_levenshtein(a, n, b, m, k);
     if (d <= k || k >= cap) return d;
     k = std::min(cap, k * 4);
   }
+}
+
+int64_t gn_edit_distance(const char* a, int64_t n, const char* b, int64_t m) {
+  return edit_distance_impl(a, n, b, m, 0);
 }
 
 // Batch overlap edit distances for assembly-graph edges.
@@ -109,10 +118,13 @@ int64_t gn_edit_distance(const char* a, int64_t n, const char* b, int64_t m) {
 //   ol:           overlap length per edge; comparison is
 //                 seq(src)[-ol:] vs seq(dst)[:ol]  (reference graph_parser.py:110)
 //   out:          edit distance per edge (-1 where ol <= 0)
-void gn_overlap_edit_distance_batch(const char* blob, const int64_t* offsets,
-                                    const int32_t* src, const int32_t* dst,
-                                    const int64_t* ol, int64_t n_edges,
-                                    int32_t n_threads, int64_t* out) {
+// ``max_k_frac > 0`` caps each edge's band at max_k_frac * max(La, Lb):
+// exact below the cap, band-limited (similarity clamp) above it — diverged
+// pairs (random/wrong-strand overlaps) stop costing O(L * trueED).
+void gn_overlap_edit_distance_batch_capped(
+    const char* blob, const int64_t* offsets, const int32_t* src,
+    const int32_t* dst, const int64_t* ol, int64_t n_edges,
+    int32_t n_threads, double max_k_frac, int64_t* out) {
   if (n_threads < 1) n_threads = 1;
   auto worker = [&](int64_t tid) {
     std::vector<char> abuf, bbuf;
@@ -125,16 +137,27 @@ void gn_overlap_edit_distance_batch(const char* blob, const int64_t* offsets,
       // Python-slice semantics: seq[-L:] / seq[:L] clamp at the string ends
       // (reference graph_parser.py:110 relies on this when ol > read length).
       int64_t La = std::min(L, slen), Lb = std::min(L, dlen);
+      int64_t kcap = max_k_frac > 0.0
+          ? std::max<int64_t>(16, (int64_t)(max_k_frac * std::max(La, Lb)))
+          : 0;
       abuf.resize(La); bbuf.resize(Lb);
       node_slice(blob, offsets, s, slen - La, La, abuf.data());
       node_slice(blob, offsets, d, 0, Lb, bbuf.data());
-      out[e] = gn_edit_distance(abuf.data(), La, bbuf.data(), Lb);
+      out[e] = edit_distance_impl(abuf.data(), La, bbuf.data(), Lb, kcap);
     }
   };
   std::vector<std::thread> threads;
   for (int64_t t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
   worker(0);
   for (auto& th : threads) th.join();
+}
+
+void gn_overlap_edit_distance_batch(const char* blob, const int64_t* offsets,
+                                    const int32_t* src, const int32_t* dst,
+                                    const int64_t* ol, int64_t n_edges,
+                                    int32_t n_threads, int64_t* out) {
+  gn_overlap_edit_distance_batch_capped(blob, offsets, src, dst, ol, n_edges,
+                                        n_threads, 0.0, out);
 }
 
 // Greedy walk (reference inference.py:70-111 greedy_forwards /

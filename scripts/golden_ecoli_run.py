@@ -41,7 +41,19 @@ def main():
     ap.add_argument("--genome", type=int, default=4_641_652)  # E. coli K-12
     ap.add_argument("--read-len", type=int, default=20_000)
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--out", default=os.path.join(ROOT, "GOLDEN_ECOLI.json"))
+    # discriminating-graph knobs (round-3 verdict: the error-free graph's AP
+    # was degenerately 1.0 for every score set — read errors spread true-edge
+    # similarities below 1, wrong-strand hard negatives overlap the score
+    # distributions, coverage gaps force >1 contig)
+    ap.add_argument("--error-rate", type=float, default=0.02)
+    ap.add_argument("--hard-false-frac", type=float, default=0.10)
+    ap.add_argument("--coverage-gaps", type=int, default=3)
+    ap.add_argument("--repeat-pairs", type=int, default=4)
+    # band-capped aligner: everything above 75% identity stays exact;
+    # diverged pairs (random/wrong-strand) clamp instead of costing O(L*ED)
+    ap.add_argument("--sim-band-frac", type=float, default=0.25)
+    ap.add_argument("--out",
+                    default=os.path.join(ROOT, "GOLDEN_ECOLI_r04.json"))
     args = ap.parse_args()
 
     import numpy as np
@@ -66,7 +78,11 @@ def main():
     g, reads, _, _ = synthetic_assembly_graph(
         n_reads=args.reads, genome_len=args.genome, read_len=args.read_len,
         seed=args.seed, with_labels=True, with_sequences=True,
-        false_edge_frac=0.15)
+        false_edge_frac=0.15, error_rate=args.error_rate,
+        hard_false_frac=args.hard_false_frac,
+        n_coverage_gaps=args.coverage_gaps,
+        n_repeat_pairs=args.repeat_pairs,
+        sim_band_frac=args.sim_band_frac)
     t_build = time.perf_counter() - t0
     print(f"  {g.num_nodes} nodes / {g.num_edges} edges "
           f"({g.y.sum():.0f} positive) in {t_build:.1f}s", flush=True)
@@ -97,6 +113,14 @@ def main():
                          torch.from_numpy(x), torch.from_numpy(e))
     logits_torch = logits_t.numpy().reshape(-1).astype(np.float64)
     t_torch = time.perf_counter() - t0
+
+    # -------------------------------------- per-layer activation max-diff
+    # (both stacks stepped layer-by-layer from the same encoder outputs; the
+    # jax layers run the XLA path — no windowed plan on from_graph tensors)
+    print("per-layer activation parity...", flush=True)
+    per_layer = _per_layer_diffs(params, state, cfg, gt, g, x, e, model)
+    for row in per_layer:
+        print(f"  {row}", flush=True)
 
     # ------------------------------------------------------------- parity
     probs_jax = 1.0 / (1.0 + np.exp(-logits_jax))
@@ -151,6 +175,7 @@ def main():
         "average_precision": {"jax": ap_jax, "torch_oracle": ap_torch,
                               "sklearn_on_torch": ap_sklearn,
                               "abs_diff": abs(ap_jax - ap_torch)},
+        "per_layer_max_abs_diff": per_layer,
         "decode": results,
         "score_seconds": {"jax_cpu": round(t_jax, 2),
                           "torch_cpu": round(t_torch, 2)},
@@ -159,6 +184,49 @@ def main():
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
+
+
+def _per_layer_diffs(params, state, cfg, gt, g, x, e, torch_model):
+    """Step both stacks one GNN layer at a time from identical encoder
+    outputs; return per-layer max|Δh| / max|Δe| (h node space, e edge space,
+    first N real rows).  The jax side runs eval-mode XLA layers (the parity
+    path); the torch side iterates the oracle's conv list."""
+    import numpy as np
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from gnnome_tpu.models.nn import mlp2
+    from gnnome_tpu.models.sym_gated_gcn import sym_gated_gcn_layer
+
+    n, m = g.num_nodes, g.num_edges
+    xt = torch.from_numpy(x)
+    et = torch.from_numpy(e)
+    src = torch.from_numpy(g.src.astype(np.int64))
+    dst = torch.from_numpy(g.dst.astype(np.int64))
+    with torch.no_grad():
+        h_t = torch_model.linear2_node(torch.relu(torch_model.linear1_node(xt)))
+        e_t = torch_model.linear2_edge(torch.relu(torch_model.linear1_edge(et)))
+
+    h_j = mlp2(params["node_encoder"], jnp.asarray(gt.pad_nodes(x)))
+    e_j = gt.edges_to_slots(mlp2(params["edge_encoder"],
+                                 jnp.asarray(gt.pad_edges(e))))
+
+    num_layers = jax.tree_util.tree_leaves(params["gnn"])[0].shape[0]
+    rows = []
+    for i in range(num_layers):
+        p_l = jax.tree_util.tree_map(lambda a: a[i], params["gnn"])
+        s_l = jax.tree_util.tree_map(lambda a: a[i], state["gnn"])
+        h_j, e_j, _ = sym_gated_gcn_layer(
+            p_l, s_l, gt, h_j, e_j, training=False, flip=False,
+            norm=cfg.normalization, drop_rate=0.0, rng=None, backend="xla")
+        with torch.no_grad():
+            h_t, e_t = torch_model.gnn.convs[i](src, dst, h_t, e_t)
+        e_host = np.asarray(gt.slots_to_edges(e_j))[:m]
+        dh = float(np.abs(np.asarray(h_j)[:n] - h_t.numpy()).max())
+        de = float(np.abs(e_host - e_t.numpy()).max())
+        rows.append({"layer": i, "max_abs_dh": dh, "max_abs_de": de})
+    return rows
 
 
 if __name__ == "__main__":

@@ -289,3 +289,65 @@ def test_bfs_order_native_matches_python():
     with mock.patch.object(N, "get_lib", lambda: None):
         want = H.band_order(src, dst, 2 * n_pairs)
     np.testing.assert_array_equal(got, want)
+
+
+def test_capped_aligner_exact_below_band_clamped_above():
+    """gn_overlap_edit_distance_batch_capped: distances whose true value fits
+    the band are EXACT; diverged pairs return a band-limited value <= the
+    true distance (a similarity clamp, never an underestimate of identity)."""
+    from gnnome_tpu.graphs.container import ReadStore
+    from gnnome_tpu.graphs.similarity import overlap_similarities
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    g = bases[rng.integers(0, 4, 3000)].tobytes().decode()
+    # read pair with a real 1500-bp overlap + ~2% substitutions
+    a = list(g[:2000])
+    for p in rng.choice(2000, 40, replace=False):
+        a[p] = "ACGT"[(("ACGT".index(a[p])) + 1) % 4]
+    a = "".join(a)
+    b = g[500:2500]
+    # diverged pair: random vs random
+    c = bases[rng.integers(0, 4, 2000)].tobytes().decode()
+    reads = ReadStore.from_sequences([a, b, c])
+    src = np.array([0, 0], dtype=np.int32)   # real nodes 0, 0
+    dst = np.array([2, 4], dtype=np.int32)   # b, c
+    ol = np.array([1500, 1500], dtype=np.int64)
+    exact = overlap_similarities(src, dst, ol, reads)
+    capped = overlap_similarities(src, dst, ol, reads, max_k_frac=0.25)
+    # high-identity edge: identical under the cap
+    assert abs(float(exact[0]) - float(capped[0])) < 1e-7
+    assert float(exact[0]) > 0.9
+    # diverged edge: clamped at ~1 - 0.25, never ABOVE... i.e. the capped
+    # similarity over-reports identity only up to the clamp line
+    assert float(exact[1]) < 0.6
+    assert float(capped[1]) >= float(exact[1]) - 1e-7
+    assert float(capped[1]) <= 1 - 0.25 + 0.05
+
+
+def test_repeat_pairs_make_high_similarity_false_edges():
+    """n_repeat_pairs plants cross-copy edges: similarity ~1 (sequence-exact
+    modulo read errors) with GT label 0 — the score distributions overlap, so
+    AP on such a graph can discriminate (round-3 verdict: the error-free
+    graph's AP was degenerately 1.0)."""
+    from gnnome_tpu.graphs.synthetic import synthetic_assembly_graph
+
+    g, reads, _, _ = synthetic_assembly_graph(
+        n_reads=300, genome_len=120_000, read_len=6_000, seed=3,
+        false_edge_frac=0.0, error_rate=0.01, n_repeat_pairs=2,
+        sim_band_frac=0.25)
+    sim = g.overlap_similarity
+    y = g.y.astype(bool)
+    hard_false = (~y) & (sim > 0.9)
+    assert hard_false.sum() >= 4, "no high-similarity false edges planted"
+    # true edges stay high-identity (tiny overlaps can dip: one mismatch in a
+    # 7-bp overlap is sim 0.857)
+    assert sim[y].mean() > 0.95 and sim[y].min() > 0.7
+    # every planted edge is a REAL sequence overlap: suffix ~= prefix
+    idx = np.nonzero(hard_false)[0][:3]
+    for i in idx.tolist():
+        u, v = int(g.src[i]), int(g.dst[i])
+        L = int(g.overlap_length[i])
+        su, sv = reads.get(u)[-L:], reads.get(v)[:L]
+        mism = sum(x != z for x, z in zip(su, sv)) / L
+        assert mism < 0.05
