@@ -287,6 +287,7 @@ def train(train_path: str, valid_path: str, assembler: str,
             log = {f"train/{k}": v for k, v in m_train.items()}
             log["lr_value"] = scheduler.lr
             log["epoch"] = epoch
+            log["train_epoch_wall_s"] = round(time.time() - t0, 2)
 
             if overfit:
                 # select on train loss; no validation (train.py:361-372)
@@ -308,6 +309,7 @@ def train(train_path: str, valid_path: str, assembler: str,
                 halo_runner=halo_runner)
             loss_valid_hist.append(m_valid["loss"])
             log.update({f"valid/{k}": v for k, v in m_valid.items()})
+            log["epoch_wall_s"] = round(time.time() - t0, 2)
 
             if len(loss_valid_hist) == 1 or \
                     loss_valid_hist[-1] < min(loss_valid_hist[:-1]):

@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""The recorded multi-epoch PRODUCT-SURFACE training run (round-4 ask #4).
+
+Drives ``gnnome_tpu.train.loop.train`` — the real CLI path, not a bench
+harness — over a multi-graph masked+clustered dataset, exactly the
+reference protocol (train.py:188-494: per-epoch shuffle, strandwise masking,
+METIS-style clustering, symmetry loss, plateau scheduler, per-epoch
+checkpoint), and records:
+
+* per-epoch wall-clock;
+* the COMPILE COUNT (bucketed shapes must bound it; a compile per unit
+  would be the reference-protocol killer on TPU);
+* that ``--resume`` bit-reproduces: two identical resumed continuations end
+  in bitwise-identical model weights.
+
+Modes (pick with --mode):
+  cpu-mesh     multi-graph masked+clustered dataset on an 8-virtual-device
+               CPU mesh (compute.mesh=8, the halo-exchange path + GSPMD
+               fallback) — the multi-chip product surface without hardware.
+  cpu          same dataset, single-device CPU (fast sanity).
+  tpu-full     one ~1M-node/6M-edge graph, single real TPU chip,
+               remat='full' (the chromosome-scale memory mode), 2 epochs.
+
+Writes TRAIN_RUN_<mode>.json at the repo root.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+class CompileCounter(logging.Handler):
+    """Counts XLA compiles via jax's own 'Finished XLA compilation' logs."""
+
+    def __init__(self):
+        super().__init__()
+        self.count = 0
+
+    def emit(self, record):
+        if "Finished XLA compilation" in record.getMessage():
+            self.count += 1
+
+
+def build_dataset(root: str, mode: str, seed: int = 20260820) -> None:
+    """Multi-graph training dataset in the real on-disk layout."""
+    import numpy as np
+    from gnnome_tpu.graphs.synthetic import synthetic_assembly_graph
+
+    os.makedirs(os.path.join(root, "hifiasm", "processed"), exist_ok=True)
+    os.makedirs(os.path.join(root, "hifiasm", "info"), exist_ok=True)
+    if mode == "tpu-full":
+        # one chromosome-scale graph: ~1M nodes / ~6M edges (positional
+        # builder; full-graph training unit, remat='full')
+        from gnnome_tpu.graphs.synthetic import positional_bench_graph
+        from gnnome_tpu.graphs.container import AssemblyGraph
+        from gnnome_tpu.graphs.labels import compute_gt_labels
+        n_nodes = 1_048_576
+        src, dst, strand, start, end, chrom = positional_bench_graph(
+            n_nodes, 6.0, seed=seed)
+        g = AssemblyGraph(
+            num_nodes=n_nodes, src=src, dst=dst,
+            read_length=np.repeat(end[::2] - start[::2], 2),
+            prefix_length=np.maximum(
+                1, (end[src] - start[src]) // 2).astype(np.int64),
+            overlap_length=np.maximum(
+                1, (end[src] - start[src]) // 3).astype(np.int64))
+        g.read_strand, g.read_start, g.read_end, g.read_chr = (
+            strand, start, end, chrom)
+        g.y = compute_gt_labels(src, dst, strand, start, end, chrom)
+        g.overlap_similarity = np.random.default_rng(seed).uniform(
+            0.9, 1.0, src.shape[0]).astype(np.float32)
+        g.save(os.path.join(root, "hifiasm", "processed", "0.npz"))
+        return
+    # three graphs straddling the cluster threshold so epochs mix full-graph
+    # units with clustered ones (reference train.py:324-348 both paths)
+    specs = [(600, 60_000), (900, 90_000), (1400, 140_000)]
+    for i, (n_reads, genome) in enumerate(specs):
+        g, _, _, _ = synthetic_assembly_graph(
+            n_reads=n_reads, genome_len=genome, read_len=900,
+            seed=seed + i, with_sequences=False, false_edge_frac=0.15)
+        g.overlap_similarity = np.random.default_rng(seed + i).uniform(
+            0.95, 1.0, g.num_edges).astype(np.float32)
+        g.save(os.path.join(root, "hifiasm", "processed", f"{i}.npz"))
+
+
+def run_training(root: str, mode: str, epochs: int, resume_from: str | None,
+                 out_name: str):
+    import jax
+    from gnnome_tpu.config import Config
+    from gnnome_tpu.train.loop import train
+
+    cfg = Config()
+    cfg.paths.models_path = os.path.join(root, "models")
+    cfg.paths.checkpoints_path = os.path.join(root, "checkpoints")
+    cfg.train.num_epochs = epochs
+    cfg.train.seed = 1
+    if mode == "tpu-full":
+        cfg.compute.remat = "full"
+        cfg.compute.dtype = "bfloat16"
+        cfg.train.masking = False          # full-graph unit each epoch
+        cfg.train.num_nodes_per_cluster = 10**9
+    else:
+        cfg.train.masking = True
+        cfg.train.num_nodes_per_cluster = 1000   # reference default
+        cfg.compute.bucket_growth = 1.2
+        if mode == "cpu-mesh":
+            cfg.compute.mesh = 8
+        cfg.compute.backend = "xla" if jax.default_backend() == "cpu" \
+            else "pallas"
+
+    counter = CompileCounter()
+    logging.getLogger("jax._src.interpreters.pxla").addHandler(counter)
+    logging.getLogger("jax._src.dispatch").addHandler(counter)
+    for name in ("jax._src.interpreters.pxla", "jax._src.dispatch"):
+        logging.getLogger(name).setLevel(logging.DEBUG)
+    jax.config.update("jax_log_compiles", True)
+
+    t0 = time.time()
+    # full reference protocol incl. the validation epoch on the CPU modes;
+    # overfit (train-set selection, no validation) for the big TPU graph
+    model_path = train(root, root, "hifiasm", out_name=out_name,
+                       overfit=(mode == "tpu-full"),
+                       resume=bool(resume_from), cfg=cfg)
+    wall = time.time() - t0
+    return model_path, wall, counter.count
+
+
+def epoch_walls(log_path: str):
+    walls = []
+    # the loop prints wall clock; re-derive from the jsonl timestamps instead
+    with open(log_path) as f:
+        for line in f:
+            walls.append(json.loads(line))
+    return walls
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="cpu-mesh",
+                    choices=["cpu-mesh", "cpu", "tpu-full"])
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--root", default="")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    if args.mode in ("cpu-mesh", "cpu"):
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        if args.mode == "cpu-mesh":
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8")
+
+    import tempfile
+    root = args.root or tempfile.mkdtemp(prefix=f"train_run_{args.mode}_")
+    print(f"dataset root: {root}", flush=True)
+    build_dataset(root, args.mode)
+
+    t0 = time.time()
+    model_path, wall, compiles = run_training(root, args.mode, args.epochs,
+                                              None, "r04")
+    ck = os.path.join(root, "checkpoints")
+    log_file = [f for f in os.listdir(ck) if f.startswith("log_r04")][0]
+    epochs_log = epoch_walls(os.path.join(ck, log_file))
+
+    # ---- resume reproducibility: continue the SAME checkpoint twice for
+    # one extra epoch; both continuations must end bitwise-identical
+    import numpy as np
+    finals = []
+    for attempt in range(2):
+        mp, _, _ = run_training(root, args.mode, args.epochs + 1, "resume",
+                                "r04")
+        with np.load(mp) as z:
+            finals.append({k: z[k].copy() for k in z.files})
+        # remove the resumed artifacts so the second attempt is identical
+        for f in os.listdir(ck):
+            if "resumed" in f:
+                os.remove(os.path.join(ck, f))
+        models = os.path.join(root, "models")
+        for f in os.listdir(models):
+            if "resumed" in f:
+                os.remove(os.path.join(models, f))
+    bit_identical = (sorted(finals[0]) == sorted(finals[1]) and all(
+        np.array_equal(finals[0][k], finals[1][k]) for k in finals[0]))
+
+    out = {
+        "mode": args.mode,
+        "epochs": args.epochs,
+        "platform": os.environ.get("JAX_PLATFORMS", "axon(tpu)"),
+        "total_wall_s": round(wall, 1),
+        "compile_count": compiles,
+        "epoch_metrics": epochs_log,
+        "resume_bit_identical": bit_identical,
+        "dataset_root": root if args.keep else "(removed)",
+    }
+    path = os.path.join(ROOT, f"TRAIN_RUN_{args.mode}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, default=float)
+    print(json.dumps(out, indent=2, default=float))
+    if not args.keep:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
