@@ -449,15 +449,21 @@ def _train_stage_bwd(res, cots):
     d_pu, xsum_u = cu[:, : 2 * d], cu[:, 2 * d:]
     d_pv, xsum_v = cv[:, : 2 * d], cv[:, 2 * d:]
 
-    # ---- overflow patch: recompute forward + adjoint with direct gathers.
-    # K8 destroyed b3e_p / d_e_out_p in place (aliased outputs), but at
-    # overflow rows it wrote x = b3e and deo = d_e_out verbatim (sentinel
-    # selects contribute zero), so the PRE-patch outputs serve as the inputs.
+    # ---- overflow handling, DE-SERIALISED: K8 left x/deo unpatched at
+    # overflow rows (x = b3e, deo = d_e_out verbatim — sentinel selects
+    # contribute zero).  Instead of repairing both big packed arrays in HBM
+    # (a gather + full-array scatter-add each, serialised BEFORE the
+    # batch-statistics chain could start), the chain below runs on the
+    # UNPATCHED arrays and every overflow effect is applied as a small dense
+    # correction — the only remaining full-array scatter is ONE add into
+    # d_e_p at the very end, independent of the statistics chain.
     sl, m = plan.ovf_slots, plan.ovf_mask
     uo, vo = jnp.take(u_idx, sl), jnp.take(v_idx, sl)
     gu = jnp.take(proj_u, uo, axis=0)
     gv = jnp.take(proj_v, vo, axis=0)
-    x_o = (gu[:, :d] + gv[:, :d]).astype(dt) + _ovf_take(plan, x_p, d)
+    x_uo = _ovf_take(plan, x_p, d)                  # unpatched row = b3e
+    deo_uo = _ovf_take(plan, deo_p, d)              # unpatched row = d_e_out
+    x_o = (gu[:, :d] + gv[:, :d]).astype(dt) + x_uo
     xf_o = x_o.astype(jnp.float32) * m
     xsum_u = (xsum_u.astype(jnp.float32)
               + jax.ops.segment_sum(xf_o, uo, num_segments=n_pad))
@@ -474,10 +480,13 @@ def _train_stage_bwd(res, cots):
     d_sigma = (dv_o[:, :d] * a2u + dv_o[:, d:]
                + du_o[:, :d] * a3v + du_o[:, d:])
     d_eo_x = d_sigma * sigma * (1.0 - sigma)
-    d_eo_full = (_ovf_take(plan, deo_p, d).astype(jnp.float32) + d_eo_x)
-    d_y_o = d_eo_full * relu_m * m
-    x_p = _ovf_apply(plan, x_p, x_o, m, "set")
-    deo_p = _ovf_apply(plan, deo_p, d_eo_x, m, "add")
+    d_eo_full = (deo_uo.astype(jnp.float32) + d_eo_x)
+    d_y_o = d_eo_full * relu_m * m                  # TRUE dy at ovf rows
+    # what the unpatched chain will (wrongly) contribute at those rows
+    gaff_uo = (x_uo * scale_eff.astype(dt)
+               + bias_eff.astype(dt)).astype(jnp.float32)
+    dy_uo = deo_uo.astype(jnp.float32) * (gaff_uo > 0) * m
+    xf_uo = x_uo.astype(jnp.float32) * m
     d_pu = d_pu + jax.ops.segment_sum(
         jnp.concatenate([d_y_o * scale_eff, m * sigma * dv_o[:, :d]],
                         axis=1), uo, num_segments=n_pad)
@@ -485,9 +494,10 @@ def _train_stage_bwd(res, cots):
         jnp.concatenate([d_y_o * scale_eff, m * sigma * du_o[:, :d]],
                         axis=1), vo, num_segments=n_pad)
 
-    # ---- batch-statistics chain, closed from the PATCHED packed x / d_eo
-    # (the relu mask is recomputed from x exactly as the kernel did; slot
-    # validity comes from iotas — padded slots sort last, so slot < n_edges)
+    # ---- batch-statistics chain over the UNPATCHED packed x / d_eo (the
+    # relu mask is recomputed from x exactly as the kernel did; slot validity
+    # comes from iotas — padded slots sort last, so slot < n_edges); the
+    # global sums swap each overflow row's unpatched term for its true one
     scale2_dt = jnp.concatenate([scale_eff, scale_eff]).astype(dt)
     bias2_dt = jnp.concatenate([bias_eff, bias_eff]).astype(dt)
     gaff_p = x_p * scale2_dt + bias2_dt
@@ -502,8 +512,10 @@ def _train_stage_bwd(res, cots):
     dym = dy_p * mvalid
     a128 = dym.sum(axis=0)
     b128 = (dym * xf_p).sum(axis=0)
-    A = a128[:d] + a128[d:]                         # d_bias_eff
-    B = b128[:d] + b128[d:]                         # d_scale_eff (pre-chain)
+    A = (a128[:d] + a128[d:]
+         + (d_y_o - dy_uo).sum(axis=0))             # d_bias_eff
+    B = (b128[:d] + b128[d:]
+         + (d_y_o * xf_o - dy_uo * xf_uo).sum(axis=0))  # d_scale_eff pre
     g_term = B - mean * A
     d_gamma = inv * g_term
     d_beta = A
@@ -515,6 +527,10 @@ def _train_stage_bwd(res, cots):
     c22 = jnp.concatenate([c2, c2])
     scale2_f = jnp.concatenate([scale_eff, scale_eff])
     d_b3e_p = (dy_p * scale2_f + mvalid * (c12 + c22 * xf_p)).astype(dt)
+    # per-slot d_b3e correction at overflow rows (true minus unpatched)
+    db3e_true = d_y_o * scale_eff + m * (c1 + c2 * xf_o)
+    db3e_uo = dy_uo * scale_eff + m * (c1 + c2 * xf_uo)
+    db3e_delta = db3e_true - db3e_uo
     # node-space stats term: sum_e m*(c1 + c2*x) into each endpoint =
     # c1*deg + c2*xsum (K8's x-sums; deg comes exact from the host plan)
     zu = c2 * xsum_u + c1 * plan.deg_u[:, None]
@@ -531,13 +547,34 @@ def _train_stage_bwd(res, cots):
                         preferred_element_type=jnp.float32
                         ).astype(w_uv.dtype)
     d_b_uv = d_proj.astype(jnp.float32).sum(axis=0).astype(b_uv.dtype)
-    d_e_p = (deo_p.astype(jnp.float32)
-             + jnp.matmul(d_b3e_p, wbd3.T,
-                          preferred_element_type=jnp.float32)).astype(dt)
-    d_wbd3 = jnp.matmul(e_p.T, d_b3e_p,
-                        preferred_element_type=jnp.float32
-                        ).astype(wbd3.dtype)
-    d_b3b = d_b3e_p.astype(jnp.float32).sum(axis=0).astype(b3b.dtype)
+    # e/B3 closes from the unpatched d_b3e_p + small per-parity corrections:
+    # a packed slot only touches its parity's diagonal block of wbd3, whose
+    # per-slot transform is the top-left [d, d] block (blockdiag structure)
+    w3d = wbd3[:d, :d].astype(jnp.float32)
+    d_e_base = (deo_p.astype(jnp.float32)
+                + jnp.matmul(d_b3e_p, wbd3.T,
+                             preferred_element_type=jnp.float32)).astype(dt)
+    delta_e = d_eo_x * m + jnp.matmul(db3e_delta, w3d.T,
+                                      preferred_element_type=jnp.float32)
+    d_e_p = _ovf_apply(plan, d_e_base, delta_e, m, "add")
+    even = (sl % 2 == 0).astype(jnp.float32)[:, None] * m
+    odd = m - even
+    e_of = _ovf_take(plan, e_p, d).astype(jnp.float32)
+    ce = jnp.matmul((e_of * even).T, db3e_delta * even,
+                    preferred_element_type=jnp.float32)
+    co = jnp.matmul((e_of * odd).T, db3e_delta * odd,
+                    preferred_element_type=jnp.float32)
+    zblk = jnp.zeros_like(ce)
+    corr_w = jnp.concatenate(
+        [jnp.concatenate([ce, zblk], axis=1),
+         jnp.concatenate([zblk, co], axis=1)], axis=0)
+    d_wbd3 = (jnp.matmul(e_p.T, d_b3e_p,
+                         preferred_element_type=jnp.float32)
+              + corr_w).astype(wbd3.dtype)
+    db3b_corr = jnp.concatenate([(db3e_delta * even).sum(axis=0),
+                                 (db3e_delta * odd).sum(axis=0)])
+    d_b3b = (d_b3e_p.astype(jnp.float32).sum(axis=0)
+             + db3b_corr).astype(b3b.dtype)
 
     return (None, None, None, d_h, d_w_uv, d_b_uv, d_wbd3, d_b3b, d_e_p,
             d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype), None)

@@ -65,9 +65,19 @@ K_ROWS = 128
 # 384-row windows whenever Np % 384 == 0 (the builder checks)
 _CONFIGS = ((128, 2), (128, 3), (256, 2), (128, 4), (384, 2), (256, 3),
             (512, 2), (256, 4), (384, 3), (512, 3), (512, 4))
-# probe overrides: force one side's (window, k) in auto mode
-FORCE_U: tuple[int, int] | None = None
-FORCE_V: tuple[int, int] | None = None
+# probe overrides: force one side's (window, k) in auto mode; settable via
+# env for on-chip sweeps (GN_FORCE_U="256,3" GN_FORCE_V="128,4")
+def _force_env(name):
+    import os
+    s = os.environ.get(name, "")
+    if not s:
+        return None
+    w, k = s.split(",")
+    return int(w), int(k)
+
+
+FORCE_U: tuple[int, int] | None = _force_env("GN_FORCE_U")
+FORCE_V: tuple[int, int] | None = _force_env("GN_FORCE_V")
 
 
 @dataclass(frozen=True)

@@ -118,8 +118,8 @@ def run_training(root: str, mode: str, epochs: int, resume_from: str | None,
     counter = CompileCounter()
     logging.getLogger("jax._src.interpreters.pxla").addHandler(counter)
     logging.getLogger("jax._src.dispatch").addHandler(counter)
-    for name in ("jax._src.interpreters.pxla", "jax._src.dispatch"):
-        logging.getLogger(name).setLevel(logging.DEBUG)
+    # jax_log_compiles raises the per-compile messages to WARNING — the
+    # counter sees them without turning on the firehose DEBUG stream
     jax.config.update("jax_log_compiles", True)
 
     t0 = time.time()
@@ -151,11 +151,15 @@ def main():
     args = ap.parse_args()
 
     if args.mode in ("cpu-mesh", "cpu"):
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # sitecustomize pins JAX_PLATFORMS=axon (tunneled TPU); the config
+        # update below overrides it BEFORE first backend use — the env var
+        # alone is re-pinned (see .claude/skills/verify: environment gotchas)
         if args.mode == "cpu-mesh":
             os.environ["XLA_FLAGS"] = (
                 os.environ.get("XLA_FLAGS", "")
                 + " --xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import tempfile
     root = args.root or tempfile.mkdtemp(prefix=f"train_run_{args.mode}_")
