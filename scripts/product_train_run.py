@@ -193,10 +193,12 @@ def main():
     bit_identical = (sorted(finals[0]) == sorted(finals[1]) and all(
         np.array_equal(finals[0][k], finals[1][k]) for k in finals[0]))
 
+    import jax
     out = {
         "mode": args.mode,
         "epochs": args.epochs,
-        "platform": os.environ.get("JAX_PLATFORMS", "axon(tpu)"),
+        "platform": jax.default_backend(),
+        "n_devices": jax.device_count(),
         "total_wall_s": round(wall, 1),
         "compile_count": compiles,
         "epoch_metrics": epochs_log,
