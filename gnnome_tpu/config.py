@@ -111,6 +111,22 @@ class ComputeConfig:
     donate_state: bool = True
 
 
+def resolve_backend(compute: "ComputeConfig") -> str:
+    """Concrete kernel backend for ``backend='auto'``: the Pallas windowed
+    kernels on a real TPU, the XLA segment-sum path elsewhere.  Callers on
+    the train/infer entries assign the result back to ``compute.backend`` so
+    every downstream ``== 'pallas'`` gate (plan building, fused paths) sees
+    a concrete value — 'auto' left unresolved silently meant XLA even on
+    TPU (round-4 fix)."""
+    if compute.backend != "auto":
+        return compute.backend
+    try:
+        import jax
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 @dataclass
 class Config:
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -61,6 +61,8 @@ def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
     from .models.zoo import get_model, processor_graph_for
 
     cfg = cfg or Config()
+    from .config import resolve_backend
+    cfg.compute.backend = resolve_backend(cfg.compute)
     if cfg.compute.mesh > 1:
         from .parallel import make_mesh
         from .parallel.sharded import sharded_score_graph
@@ -103,6 +105,8 @@ def run_inference(data_path: str, model_path: str, assembler: str,
     """Full inference over every graph in a dataset directory
     (reference inference.py:364-501)."""
     cfg = cfg or Config()
+    from .config import resolve_backend
+    cfg.compute.backend = resolve_backend(cfg.compute)
     enable_compilation_cache()
     rng_np, _ = set_seed(cfg.train.seed)
     timer = Timer()

@@ -198,3 +198,16 @@ def test_train_partition_path_and_resume(tmp_path):
     import json
     epochs = [json.loads(l)["epoch"] for l in open(log_path)]
     assert epochs == [0, 1, 2]
+
+
+def test_backend_auto_resolves_concrete():
+    """'auto' must resolve to a concrete backend at the train/infer entries —
+    unresolved 'auto' silently meant the XLA path even on TPU (round-4 fix).
+    On the CPU test platform it must resolve to 'xla'."""
+    from gnnome_tpu.config import ComputeConfig, resolve_backend
+
+    c = ComputeConfig()
+    assert c.backend == "auto"
+    assert resolve_backend(c) == "xla"          # tests pin JAX_PLATFORMS=cpu
+    c.backend = "pallas"
+    assert resolve_backend(c) == "pallas"       # explicit wins
