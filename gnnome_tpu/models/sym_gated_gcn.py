@@ -368,6 +368,25 @@ def score_edges_dual(p, gt: GraphTensors, h, e, *, dtype=jnp.float32):
     return lp.reshape(lp.shape[0] * 2, 2)
 
 
+# above this padded edge count the dual pass's doubled carry width
+# ([Ep/2, 4d] per layer) no longer fits the sqrt(L)-group remat="full"
+# memory model on a 16 GB chip (measured: 4.8M edges wants ~26 GB); the two
+# sequential passes (outer nothing-saveable checkpoint => only ONE pass's
+# carries alive at a time) hold 6.3M edges there (round-2 measurement)
+DUAL_FULL_REMAT_MAX_EDGES = 3_000_000
+_DECLINE_WARNED: set = set()
+
+
+def _warn_dual_decline(reason: str) -> None:
+    """One-line, once-per-reason notice when the fused dual-pass path is
+    declined — without it a config like norm='layer' silently loses the
+    fused speedup and perf triage at user sites is guesswork."""
+    if reason not in _DECLINE_WARNED:
+        _DECLINE_WARNED.add(reason)
+        print(f"[gnnome_tpu] fused dual-pass path declined: {reason} "
+              "(running the two sequential symmetry passes)")
+
+
 def forward_dual(params, state, gt: GraphTensors, x, x_rev, e,
                  cfg: ModelConfig, *, training: bool = False,
                  rng: Optional[jax.Array] = None,
@@ -380,13 +399,31 @@ def forward_dual(params, state, gt: GraphTensors, x, x_rev, e,
     draw instead of two per-pass draws) and f32 reduction fusion order.
 
     Falls back to the two sequential passes whenever the fused path is
-    unavailable (non-pallas backend, layer norm, no windowed plan)."""
+    unavailable (non-pallas backend, layer norm, no windowed plan) or would
+    not fit (remat='full' beyond DUAL_FULL_REMAT_MAX_EDGES)."""
     from ..ops.message import _plan_for, pack_edges
     from ..ops.pallas_kernels import _interpret
 
-    fused = (backend == "pallas" and cfg.normalization == "batch"
-             and (dtype in (jnp.bfloat16, jnp.float32) or _interpret())
-             and _plan_for(gt, False) is not None)
+    fused = True
+    if backend != "pallas":
+        fused = False
+        _warn_dual_decline(f"backend={backend!r} (pallas required)")
+    elif cfg.normalization != "batch":
+        fused = False
+        _warn_dual_decline(f"normalization={cfg.normalization!r} "
+                           "(batch required)")
+    elif not (dtype in (jnp.bfloat16, jnp.float32) or _interpret()):
+        fused = False
+        _warn_dual_decline(f"dtype={dtype} unsupported on hardware")
+    elif _plan_for(gt, False) is None:
+        fused = False
+        _warn_dual_decline("graph has no windowed plan")
+    elif remat == "full" and gt.n_edges_pad > DUAL_FULL_REMAT_MAX_EDGES:
+        fused = False
+        _warn_dual_decline(
+            f"remat='full' at {gt.n_edges_pad} padded edges exceeds the "
+            f"dual carry budget ({DUAL_FULL_REMAT_MAX_EDGES}); sequential "
+            "passes keep the proven single-pass memory model")
     if not fused:
         k1, k2 = (jax.random.split(rng) if rng is not None else (None, None))
         lo, st = forward(params, state, gt, x, e, cfg, training=training,

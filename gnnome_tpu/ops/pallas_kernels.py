@@ -504,16 +504,14 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     d_y = d_eo * relu_mask, and closes the batch-statistics chain
     (d_gamma/d_beta/d_b3e and the c1+c2*x node-space correction via K8's
     deg/xsum partials).  Edge arrays are PACKED [Ep/2, 2d] (_k3_kernel)."""
-    # cus/cvs are CONCATENATED [W, 4d] windows [proj | d_sum]: one select dot
-    # per side yields both the recomputed forward operands and the node
-    # cotangents (same MACs as separate dots, HALF the dot count — per-dot
-    # overhead is what holds these kernels at ~40% MXU)
-    cus = refs[:ku]
-    cvs = refs[ku:ku + kv]
+    dus = refs[:ku]
+    dvs = refs[ku:ku + kv]
+    uws = refs[ku + kv:2 * ku + kv]
+    vws = refs[2 * ku + kv:2 * ku + 2 * kv]
     (ule, ulo, vle, vlo, b3e, e_in, d_e_out, affine,
-     x_out, deo_out) = refs[ku + kv:ku + kv + 10]
-    pu = refs[ku + kv + 10:ku + kv + 10 + ku]
-    pv = refs[ku + kv + 10 + ku:]
+     x_out, deo_out) = refs[2 * ku + 2 * kv:2 * ku + 2 * kv + 10]
+    pu = refs[2 * ku + 2 * kv + 10:2 * ku + 2 * kv + 10 + ku]
+    pv = refs[2 * ku + 2 * kv + 10 + ku:]
     io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
     io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
     scale1 = affine[0:1, :d]                 # stacked rows: d-wide affine
@@ -526,17 +524,21 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     for c in range(tile_e // chunk):
         psl = pl.ds(c * hc, hc)
         dt = x_out.dtype
-        pr = _prec(cus[0].dtype)
-        # parity-merged one-hots + concatenated windows: 2 selects + 2
-        # scatters per chunk where the per-parity split form needed 8 + 4
-        # (same MACs, a quarter of the dot count); all per-edge tensors live
-        # ROW-STACKED [2hc, d] (even rows | odd rows)
-        ohT_u = _ohT2(io2u, ule, ulo, c, cus[0].dtype)
-        ohT_v = _ohT2(io2v, vle, vlo, c, cus[0].dtype)
-        su = _selT(ohT_u, cus, pr)           # [2hc, 4d] = [gu | du]
-        sv = _selT(ohT_v, cvs, pr)
-        gu, du = su[:, : 2 * d], su[:, 2 * d:]
-        gv, dv = sv[:, : 2 * d], sv[:, 2 * d:]
+        pr = _prec(uws[0].dtype)
+        # parity-merged one-hots: 4 selects + 2 scatters per chunk where the
+        # per-parity form needed 8 + 4 (same MACs, half the dot count); all
+        # per-edge tensors live ROW-STACKED [2hc, d] (even rows | odd rows).
+        # (A round-4 experiment selected [proj | d_sum] from ONE concatenated
+        # [W, 4d] window per side — measured ZERO step gain, and the node-
+        # space concat costs 2 x [Np, 4d] extra HBM at chromosome scale,
+        # which is what OOMed the 1M-node remat='full' run.  Separate window
+        # refs reuse the arrays the step already holds.)
+        ohT_u = _ohT2(io2u, ule, ulo, c, uws[0].dtype)
+        ohT_v = _ohT2(io2v, vle, vlo, c, uws[0].dtype)
+        gu = _selT(ohT_u, uws, pr)           # [2hc, 2d]
+        gv = _selT(ohT_v, vws, pr)
+        du = _selT(ohT_u, dus, pr)
+        dv = _selT(ohT_v, dvs, pr)
         # recomputed forward, bit-matching the K3/K7 dtype discipline
         x = (gu[:, :d] + gv[:, :d]).astype(dt) + _stack_p(b3e[psl, :], d)
         gaff = x * scale1 + bias1
@@ -614,15 +616,12 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
         jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
     ] + ([jax.ShapeDtypeStruct((plan.n_blocks * Wu, pd), dtype)] * ku
          + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, pd), dtype)] * kv)
-    # concatenated [proj | d_sum] windows: one select dot per side in-kernel
-    # (see _k8_kernel); the concat is one fused XLA pass in node space
-    cat_u = jnp.concatenate([proj_u, d_sum_u.astype(dtype)], axis=1)
-    cat_v = jnp.concatenate([proj_v, d_sum_v.astype(dtype)], axis=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=(
-            _win_specs(Wu, 4 * d, 0, ku) + _win_specs(Wv, 4 * d, 1, kv)
+            _win_specs(Wu, 2 * d, 0, ku) + _win_specs(Wv, 2 * d, 1, kv)
+            + _win_specs(Wu, 2 * d, 0, ku) + _win_specs(Wv, 2 * d, 1, kv)
             + [pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
@@ -640,12 +639,13 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     # writes x = b3e and deo = d_e_out verbatim (sentinel selects are zero),
     # so the caller's overflow patches read the outputs in place of the
     # destroyed inputs.  Alias indices count scalar-prefetch args too.
-    pos_b3e = 2 + ku + kv + 4
+    pos_b3e = 2 + 2 * ku + 2 * kv + 4
     out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         input_output_aliases={pos_b3e: 0, pos_b3e + 2: 1},
         interpret=_interpret(), compiler_params=_CPARAMS,
-    )(plan.u_blk, plan.v_blk, *([cat_u] * ku), *([cat_v] * kv),
+    )(plan.u_blk, plan.v_blk, *([d_sum_u] * ku), *([d_sum_v] * kv),
+      *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
       b3e_p, e_in_p, d_e_out_p, affine)
     return out[0], out[1], out[2:2 + ku], out[2 + ku:]

@@ -66,12 +66,18 @@ def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
                             bucket_growth=bucket_growth)
     if cfg.compute.backend == "pallas":
         from ..ops.graph_tensors import with_windowed_plans
+        from ..models.sym_gated_gcn import DUAL_FULL_REMAT_MAX_EDGES
         # the dual-pass fused mode (sym_gated_gcn.forward_dual) runs both
         # symmetry passes against the ORG plan — flip plans are only needed
-        # when the fused path is off (non-batch normalization)
+        # when the fused path declines (non-batch normalization, or
+        # remat='full' beyond the dual carry budget) and the sequential
+        # flip=True pass runs its own windowed kernels
+        dual_declines = (
+            cfg.model.normalization != "batch"
+            or (cfg.compute.remat == "full"
+                and gt.n_edges_pad > DUAL_FULL_REMAT_MAX_EDGES))
         gt = with_windowed_plans(
-            gt, flip_too=(cfg.train.use_symmetry_loss
-                          and cfg.model.normalization != "batch"))
+            gt, flip_too=(cfg.train.use_symmetry_loss and dual_declines))
     zi, zo = _zscore(in_deg), _zscore(out_deg)
     x = gt.pad_nodes(np.stack([zi, zo], axis=1))
     x_rev = gt.pad_nodes(np.stack([zo, zi], axis=1))
