@@ -56,12 +56,15 @@ def build_dataset(root: str, mode: str, seed: int = 20260820) -> None:
     os.makedirs(os.path.join(root, "hifiasm", "processed"), exist_ok=True)
     os.makedirs(os.path.join(root, "hifiasm", "info"), exist_ok=True)
     if mode == "tpu-full":
-        # one chromosome-scale graph: ~1M nodes / ~6M edges (positional
-        # builder; full-graph training unit, remat='full')
+        # one chromosome-scale full-graph training unit (remat='full').
+        # Size note: the symmetry-loss step at 1M nodes / 4.8M edges needs
+        # ~18.5 GB on today's code (measured OOM logs, 2026-08-20) — the
+        # round-2 "6.3M edges on 16 GB" claim predates the dual-era carries.
+        # 768k nodes / ~3.5M edges is the largest that holds on one chip.
         from gnnome_tpu.graphs.synthetic import positional_bench_graph
         from gnnome_tpu.graphs.container import AssemblyGraph
         from gnnome_tpu.graphs.labels import compute_gt_labels
-        n_nodes = 1_048_576
+        n_nodes = 786_432
         src, dst, strand, start, end, chrom = positional_bench_graph(
             n_nodes, 6.0, seed=seed)
         g = AssemblyGraph(

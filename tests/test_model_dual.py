@@ -110,3 +110,44 @@ def test_dual_fallback_without_plan():
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lrd)[:n], np.asarray(lr2)[:n],
                                rtol=0, atol=1e-5)
+
+
+def test_dual_declines_full_remat_beyond_edge_budget(capsys):
+    """remat='full' beyond DUAL_FULL_REMAT_MAX_EDGES must take the
+    sequential-pass path (the dual carries would blow a 16 GB chip — round-4
+    OOM) and say so once; the example builder must provision flip plans for
+    exactly that condition."""
+    import dataclasses
+    import gnnome_tpu.models.sym_gated_gcn as S
+    from gnnome_tpu.config import Config
+    from gnnome_tpu.train.step import make_example
+
+    cfg, gt, x, x_rev, e, params, state, y, g = _setup(layers=2)
+    # pretend the graph is beyond the budget (the gate reads n_edges_pad)
+    big = dataclasses.replace(gt, n_edges_pad=S.DUAL_FULL_REMAT_MAX_EDGES + 1)
+    object.__setattr__(big, "_host", getattr(gt, "_host", None))
+    S._DECLINE_WARNED.clear()
+    lo, lr, _ = forward_dual(params, state, big, x, x_rev, e, cfg,
+                             training=False, rng=None, backend="pallas",
+                             remat="full")
+    out = capsys.readouterr().out
+    assert "declined" in out and "remat='full'" in out
+    # same call again: warned once only
+    forward_dual(params, state, big, x, x_rev, e, cfg, training=False,
+                 rng=None, backend="pallas", remat="full")
+    assert capsys.readouterr().out == ""
+    n = g.num_edges
+    lo2, lr2, _ = _two_pass(params, state, gt, x, x_rev, e, cfg, False)
+    np.testing.assert_allclose(np.asarray(lo)[:n], np.asarray(lo2)[:n],
+                               rtol=0, atol=1e-4)
+
+    # the example builder provisions flip plans iff the dual path declines
+    c = Config()
+    c.compute.backend = "pallas"
+    c.compute.remat = "full"
+    ex_small = make_example(c, np.ones(g.num_nodes), np.ones(g.num_nodes),
+                            np.zeros((g.num_edges, 2), np.float32),
+                            np.zeros(g.num_edges, np.float32),
+                            g.src, g.dst, g.num_nodes)
+    # a small graph keeps the dual path: no flip plan needed
+    assert ex_small.gt.wplan_flip is None
