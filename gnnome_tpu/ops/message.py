@@ -436,7 +436,7 @@ def _train_stage_bwd(res, cots):
 
     # cast BEFORE the kernel: bf16 node-window DMAs are ~2x cheaper (no-op in
     # f32 mode); padded slots carry sentinel one-hots -> zero selects
-    x_p, deo_p, pu_parts, pv_parts = k8_train_layer_bwd(
+    x_p, deo_p, pu_parts, pv_parts, k8_stats = k8_train_layer_bwd(
         plan, d_sum_u.astype(dt), d_sum_v.astype(dt), proj_u, proj_v,
         b3e_p, e_p, d_e_out_p.astype(dt), scale_eff, bias_eff,
         with_xsum=True)
@@ -494,10 +494,12 @@ def _train_stage_bwd(res, cots):
         jnp.concatenate([d_y_o * scale_eff, m * sigma * du_o[:, :d]],
                         axis=1), vo, num_segments=n_pad)
 
-    # ---- batch-statistics chain over the UNPATCHED packed x / d_eo (the
-    # relu mask is recomputed from x exactly as the kernel did; slot validity
-    # comes from iotas — padded slots sort last, so slot < n_edges); the
-    # global sums swap each overflow row's unpatched term for its true one
+    # ---- batch-statistics chain.  The global [sum(dy) | sum(dy*x)] sums
+    # ride K8 itself (per-tile stats, sentinel slots excluded in-kernel —
+    # no separate full-edge reduction pass); only the TRUE overflow terms
+    # are added here.  The per-edge d_b3e still closes from the unpatched
+    # packed x / d_eo below (relu mask recomputed exactly as the kernel
+    # did; slot validity from iotas — padded slots sort last).
     scale2_dt = jnp.concatenate([scale_eff, scale_eff]).astype(dt)
     bias2_dt = jnp.concatenate([bias_eff, bias_eff]).astype(dt)
     gaff_p = x_p * scale2_dt + bias2_dt
@@ -509,13 +511,9 @@ def _train_stage_bwd(res, cots):
               ).astype(jnp.float32)                 # exact to 2^24 slots
     mvalid = (slot_f < n_edges).astype(jnp.float32)
     xf_p = x_p.astype(jnp.float32)
-    dym = dy_p * mvalid
-    a128 = dym.sum(axis=0)
-    b128 = (dym * xf_p).sum(axis=0)
-    A = (a128[:d] + a128[d:]
-         + (d_y_o - dy_uo).sum(axis=0))             # d_bias_eff
-    B = (b128[:d] + b128[d:]
-         + (d_y_o * xf_o - dy_uo * xf_uo).sum(axis=0))  # d_scale_eff pre
+    s = k8_stats.reshape(plan.n_tiles, 8, 2 * d)[:, 0, :].sum(axis=0)
+    A = s[:d] + d_y_o.sum(axis=0)                   # d_bias_eff
+    B = s[d:] + (d_y_o * xf_o).sum(axis=0)          # d_scale_eff (pre-chain)
     g_term = B - mean * A
     d_gamma = inv * g_term
     d_beta = A

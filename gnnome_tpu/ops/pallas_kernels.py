@@ -511,7 +511,8 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     (ule, ulo, vle, vlo, b3e, e_in, d_e_out, affine,
      x_out, deo_out) = refs[2 * ku + 2 * kv:2 * ku + 2 * kv + 10]
     pu = refs[2 * ku + 2 * kv + 10:2 * ku + 2 * kv + 10 + ku]
-    pv = refs[2 * ku + 2 * kv + 10 + ku:]
+    pv = refs[2 * ku + 2 * kv + 10 + ku:2 * ku + 2 * kv + 10 + ku + kv]
+    stats_out = refs[-1]
     io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
     io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
     scale1 = affine[0:1, :d]                 # stacked rows: d-wide affine
@@ -519,6 +520,12 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     scale1_f = scale1.astype(jnp.float32)
     _zero_on_run_change(u_blk_ref, pu)
     _zero_on_run_change(v_blk_ref, pv)
+    # per-tile [sum(d_y) | sum(d_y * x)] — the batch-statistics chain's
+    # global reductions ride the kernel (d_y and x are already in registers)
+    # instead of a separate full-edge XLA reduction pass; sentinel
+    # (padded/overflow) slots are excluded via the mask dot, exactly like K7
+    acc = jnp.zeros((1, 2 * d), jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
 
     hc = chunk // 2
     for c in range(tile_e // chunk):
@@ -555,6 +562,14 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
         d_eo = (_stack_p(d_e_out[psl, :], d).astype(jnp.float32)
                 + d_sigma * sigma * (1.0 - sigma))
         d_y = d_eo * relu_m
+        mrow = jnp.concatenate([ule[c, :][None, :], ulo[c, :][None, :]],
+                               axis=1)
+        mrow = (mrow != ku * wu).astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            mrow, jnp.concatenate([d_y, d_y * x.astype(jnp.float32)],
+                                  axis=1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp)
         x_out[psl, :] = _unstack_p(x, hc)
         deo_out[psl, :] = _unstack_p(d_eo.astype(dt), hc)
         dys = d_y * scale1_f
@@ -576,6 +591,9 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
             _scatT(ohT_v, jnp.concatenate(
                 [dys, sdu], axis=1).astype(dt), pv)
 
+    stats_out[:] = jnp.concatenate(
+        [acc, jnp.zeros((7, 2 * d), jnp.float32)], axis=0)
+
 
 def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
                        b3e_p, e_in_p, d_e_out_p, scale_eff, bias_eff,
@@ -584,7 +602,9 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     ``d_sum_v`` are the node cotangent arrays [Np, 2d] (caller casts to the
     compute dtype); returns (x_p [Ep/2, 2d] recomputed gate_raw,
     deo_p [Ep/2, 2d] residual cotangent (= d_e_in), pu_parts, pv_parts
-    window-partial tuples keyed by u / v).  The partials are [NB*W, 2d]
+    window-partial tuples keyed by u / v, stats [T*8, 2d] f32 — per tile,
+    row 0 holds [sum(d_y) | sum(d_y * x)] over non-sentinel slots, the
+    batch-statistics chain's global reductions).  The partials are [NB*W, 2d]
     ([d_gate | d_msg]); with ``with_xsum`` they widen to [NB*W, 3d]
     ([d_gate | d_msg | x]) — the x-sums for the batch-statistics chain ride
     the same scatter dots.  Overflow edges select zero everywhere (sentinel
@@ -607,7 +627,8 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     out_specs = (
         [pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
          pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0))]
-        + _first_blk_specs(Wu, pd, 0, ku) + _first_blk_specs(Wv, pd, 1, kv))
+        + _first_blk_specs(Wu, pd, 0, ku) + _first_blk_specs(Wv, pd, 1, kv)
+        + [pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (t, 0))])
     # d_proj partials ride the payload dtype (see k7_gate_stats: block
     # accumulation depth is 1-3 tiles; the combined sums are cast to the
     # compute dtype anyway) — halves another 2 GB at 6.3M edges
@@ -615,7 +636,8 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
         jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
         jax.ShapeDtypeStruct((Eh, 2 * d), dtype),
     ] + ([jax.ShapeDtypeStruct((plan.n_blocks * Wu, pd), dtype)] * ku
-         + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, pd), dtype)] * kv)
+         + [jax.ShapeDtypeStruct((plan.n_blocks_v * Wv, pd), dtype)] * kv
+         + [jax.ShapeDtypeStruct((T * 8, 2 * d), jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -648,7 +670,8 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
       *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
       b3e_p, e_in_p, d_e_out_p, affine)
-    return out[0], out[1], out[2:2 + ku], out[2 + ku:]
+    return (out[0], out[1], out[2:2 + ku], out[2 + ku:2 + ku + kv],
+            out[2 + ku + kv])
 
 
 # ------------------------------------------- K6: score-predictor first layer

@@ -137,7 +137,7 @@ def main():
 
     def k8_body(i, b3, ei, de, pu, pv, pl):
         from gnnome_tpu.ops.pallas_kernels import k8_train_layer_bwd
-        xp, dp, pu_parts, pv_parts = k8_train_layer_bwd(
+        xp, dp, pu_parts, pv_parts, _st = k8_train_layer_bwd(
             pl, pu, pv, pu, pv, b3, ei, de,
             scale.astype(jnp.float32), bias.astype(jnp.float32),
             with_xsum=True)
