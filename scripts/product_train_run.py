@@ -136,12 +136,9 @@ def run_training(root: str, mode: str, epochs: int, resume_from: str | None,
 
 
 def epoch_walls(log_path: str):
-    walls = []
-    # the loop prints wall clock; re-derive from the jsonl timestamps instead
+    """Per-epoch metric records (incl. the loop's epoch_wall_s fields)."""
     with open(log_path) as f:
-        for line in f:
-            walls.append(json.loads(line))
-    return walls
+        return [json.loads(line) for line in f]
 
 
 def main():
