@@ -113,18 +113,33 @@ class ComputeConfig:
 
 def resolve_backend(compute: "ComputeConfig") -> str:
     """Concrete kernel backend for ``backend='auto'``: the Pallas windowed
-    kernels on a real TPU, the XLA segment-sum path elsewhere.  Callers on
-    the train/infer entries assign the result back to ``compute.backend`` so
-    every downstream ``== 'pallas'`` gate (plan building, fused paths) sees
-    a concrete value — 'auto' left unresolved silently meant XLA even on
-    TPU (round-4 fix)."""
+    kernels on a real TPU, the XLA segment-sum path elsewhere.  The probe
+    matches the device *platform string* against {'tpu', 'axon'} — tunneled
+    TPUs register as 'axon', not 'tpu', so a default_backend()=='tpu' check
+    silently resolved to XLA on this project's own hardware (round-5 fix;
+    same probe as tests_tpu/conftest.py and bench.py)."""
     if compute.backend != "auto":
         return compute.backend
     try:
         import jax
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        plat = jax.devices()[0].platform.lower()
+        return "pallas" if plat in ("tpu", "axon") else "xla"
     except Exception:
         return "xla"
+
+
+def with_resolved_backend(cfg: "Config") -> "Config":
+    """Copy of ``cfg`` whose ``compute.backend`` is concrete.
+
+    Never mutates the caller's config: a shared cfg resolved once on CPU must
+    not stay pinned to 'xla' for later calls on other platforms (advisor
+    finding, round 4)."""
+    backend = resolve_backend(cfg.compute)
+    if backend == cfg.compute.backend:
+        return cfg
+    out = dataclasses.replace(cfg)
+    out.compute = dataclasses.replace(cfg.compute, backend=backend)
+    return out
 
 
 @dataclass

@@ -149,6 +149,10 @@ def _plant_repeats(genome: str, n_pairs: int, repeat_len: int,
     pairs = []
     half = G // 2
     band = half // max(1, n_pairs)
+    # a repeat longer than its band would make the list-slice assignment
+    # below silently EXTEND the genome and break band-disjointness of the
+    # copies (advisor finding, round 4)
+    repeat_len = max(1, min(repeat_len, band))
     for k in range(n_pairs):
         lo1, lo2 = k * band, half + k * band
         a1 = int(rng.integers(lo1, max(lo1 + 1, lo1 + band - repeat_len)))

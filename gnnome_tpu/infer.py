@@ -60,9 +60,8 @@ def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
     import jax.numpy as jnp
     from .models.zoo import get_model, processor_graph_for
 
-    cfg = cfg or Config()
-    from .config import resolve_backend
-    cfg.compute.backend = resolve_backend(cfg.compute)
+    from .config import with_resolved_backend
+    cfg = with_resolved_backend(cfg or Config())
     if cfg.compute.mesh > 1:
         from .parallel import make_mesh
         from .parallel.sharded import sharded_score_graph
@@ -104,9 +103,8 @@ def run_inference(data_path: str, model_path: str, assembler: str,
                   verbose: bool = True) -> dict:
     """Full inference over every graph in a dataset directory
     (reference inference.py:364-501)."""
-    cfg = cfg or Config()
-    from .config import resolve_backend
-    cfg.compute.backend = resolve_backend(cfg.compute)
+    from .config import with_resolved_backend
+    cfg = with_resolved_backend(cfg or Config())
     enable_compilation_cache()
     rng_np, _ = set_seed(cfg.train.seed)
     timer = Timer()

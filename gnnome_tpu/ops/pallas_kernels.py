@@ -137,6 +137,12 @@ def _scatT(ohT, pay, outs):
                   precision=_prec(pay.dtype))
     W = outs[0].shape[0]
     for i, o in enumerate(outs):
+        # partials ride the payload dtype: in bf16 mode each per-chunk
+        # `o += acc` rounds, so effective accumulation depth is the per-node
+        # in-run DEGREE (not just the 1-3-tile block depth) — high-degree
+        # nodes lose more precision than low-degree ones.  Covered by the
+        # loose bf16 eval tolerances; switch partials back to f32 if those
+        # ever tighten (advisor note, round 4).
         o[:] += acc[i * W:(i + 1) * W].astype(o.dtype)
 
 

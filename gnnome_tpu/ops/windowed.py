@@ -72,8 +72,12 @@ def _force_env(name):
     s = os.environ.get(name, "")
     if not s:
         return None
-    w, k = s.split(",")
-    return int(w), int(k)
+    try:
+        w, k = s.split(",")
+        return int(w), int(k)
+    except ValueError:
+        raise ValueError(
+            f"{name} must be 'W,K' (e.g. '256,3'), got {s!r}") from None
 
 
 FORCE_U: tuple[int, int] | None = _force_env("GN_FORCE_U")

@@ -182,9 +182,8 @@ def train(train_path: str, valid_path: str, assembler: str,
     from ..infer import enable_compilation_cache
     enable_compilation_cache()   # same-shape epochs skip recompiles entirely
 
-    cfg = cfg or Config()
-    from ..config import resolve_backend
-    cfg.compute.backend = resolve_backend(cfg.compute)
+    from ..config import with_resolved_backend
+    cfg = with_resolved_backend(cfg or Config())
     rng_np, rng_key = set_seed(cfg.train.seed)
 
     timestamp = datetime.now().strftime("%Y-%b-%d-%H-%M-%S")

@@ -52,8 +52,17 @@ def main():
     # band-capped aligner: everything above 75% identity stays exact;
     # diverged pairs (random/wrong-strand) clamp instead of costing O(L*ED)
     ap.add_argument("--sim-band-frac", type=float, default=0.25)
+    # The built graph is a versioned fixture: the 40-minute synthetic-graph
+    # construction (round-4 verdict: build_seconds 2547 of total 2566) runs
+    # ONCE; --cached reloads it and the parity/AP/decode content takes
+    # minutes.  A build always refreshes the fixture.
+    ap.add_argument("--fixture", default=os.path.join(
+        ROOT, "tests", "fixtures", "golden_ecoli_v1.npz"))
+    ap.add_argument("--cached", action="store_true",
+                    help="load the graph from --fixture when present "
+                         "instead of rebuilding")
     ap.add_argument("--out",
-                    default=os.path.join(ROOT, "GOLDEN_ECOLI_r04.json"))
+                    default=os.path.join(ROOT, "GOLDEN_ECOLI_r05.json"))
     args = ap.parse_args()
 
     import numpy as np
@@ -72,20 +81,35 @@ def main():
     from torch_ref import RefSymGatedGCNModel
 
     t_all = time.perf_counter()
-    print(f"building E. coli-scale graph ({args.reads} reads, "
-          f"{args.genome/1e6:.2f} Mb genome)...", flush=True)
-    t0 = time.perf_counter()
-    g, reads, _, _ = synthetic_assembly_graph(
-        n_reads=args.reads, genome_len=args.genome, read_len=args.read_len,
-        seed=args.seed, with_labels=True, with_sequences=True,
-        false_edge_frac=0.15, error_rate=args.error_rate,
-        hard_false_frac=args.hard_false_frac,
-        n_coverage_gaps=args.coverage_gaps,
-        n_repeat_pairs=args.repeat_pairs,
-        sim_band_frac=args.sim_band_frac)
-    t_build = time.perf_counter() - t0
-    print(f"  {g.num_nodes} nodes / {g.num_edges} edges "
-          f"({g.y.sum():.0f} positive) in {t_build:.1f}s", flush=True)
+    from gnnome_tpu.graphs.container import AssemblyGraph
+    cached = False
+    if args.cached and os.path.isfile(args.fixture):
+        t0 = time.perf_counter()
+        g = AssemblyGraph.load(args.fixture)
+        t_build = time.perf_counter() - t0
+        cached = True
+        print(f"loaded cached golden fixture {args.fixture}: "
+              f"{g.num_nodes} nodes / {g.num_edges} edges in {t_build:.1f}s",
+              flush=True)
+    else:
+        print(f"building E. coli-scale graph ({args.reads} reads, "
+              f"{args.genome/1e6:.2f} Mb genome)...", flush=True)
+        t0 = time.perf_counter()
+        g, reads, _, _ = synthetic_assembly_graph(
+            n_reads=args.reads, genome_len=args.genome, read_len=args.read_len,
+            seed=args.seed, with_labels=True, with_sequences=True,
+            false_edge_frac=0.15, error_rate=args.error_rate,
+            hard_false_frac=args.hard_false_frac,
+            n_coverage_gaps=args.coverage_gaps,
+            n_repeat_pairs=args.repeat_pairs,
+            sim_band_frac=args.sim_band_frac)
+        t_build = time.perf_counter() - t0
+        print(f"  {g.num_nodes} nodes / {g.num_edges} edges "
+              f"({g.y.sum():.0f} positive) in {t_build:.1f}s", flush=True)
+        os.makedirs(os.path.dirname(args.fixture), exist_ok=True)
+        g.save(args.fixture)
+        print(f"  fixture saved: {args.fixture} "
+              f"({os.path.getsize(args.fixture)/1e6:.1f} MB)", flush=True)
 
     x = node_features(g)
     e = edge_features(g)
@@ -164,6 +188,7 @@ def main():
         "graph": {"nodes": int(g.num_nodes), "edges": int(g.num_edges),
                   "positives": int(y.sum()), "genome_bp": args.genome,
                   "reads": args.reads, "seed": args.seed,
+                  "cached_fixture": cached,
                   "build_seconds": round(t_build, 2)},
         "weights": "reference weights.pt (220,529 params), converted",
         "edge_prob_parity": {

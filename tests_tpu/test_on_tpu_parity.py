@@ -108,3 +108,13 @@ def test_pallas_matches_xla_on_tpu(dtype, tol_logit, tol_grad, training):
                        + 1e-12))
         assert cos > 0.999, f"grad cosine {cos}"
         assert gerr < tol_grad, f"grad rel err {gerr}"
+
+
+def test_backend_auto_resolves_pallas_on_this_hardware():
+    """backend='auto' must resolve to the Pallas kernels on the attached
+    accelerator — tunneled TPUs register platform 'axon', not 'tpu', and a
+    default_backend() check silently picked XLA here (advisor finding,
+    round 4)."""
+    from gnnome_tpu.config import ComputeConfig, resolve_backend
+
+    assert resolve_backend(ComputeConfig()) == "pallas"
