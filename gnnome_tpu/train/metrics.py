@@ -45,7 +45,12 @@ def compute_fp_fn_rates(tp, tn, fp, fn):
 
 
 def compute_metrics(logits, labels, loss: float) -> dict:
-    """Per-graph/partition metric dict (reference train.py:30-54)."""
+    """Per-graph/partition metric dict (reference train.py:30-54), plus the
+    threshold-free AP.  With pos_weight = 1/(pos:neg) on the ~85%-positive
+    assembly graphs, the loss optimum pins uninformative edges at p=0.5, so
+    threshold-0.5 metrics swing wildly early in training while ranking
+    quality improves monotonically — AP is the signal that matters (the
+    reference has the helper, utils/metrics.py:67-71, but never logs it)."""
     tp, tn, fp, fn = calculate_tfpn(logits, labels)
     acc, precision, recall, f1 = calculate_metrics(tp, tn, fp, fn)
     acc_i, precision_i, recall_i, f1_i = calculate_metrics_inverse(tp, tn, fp, fn)
@@ -55,6 +60,7 @@ def compute_metrics(logits, labels, loss: float) -> dict:
         "acc": acc, "precision": precision, "recall": recall, "f1": f1,
         "acc_inv": acc_i, "precision_inv": precision_i,
         "recall_inv": recall_i, "f1_inv": f1_i,
+        "ap": get_aps(logits, labels),
     }
 
 
