@@ -42,6 +42,21 @@ from .labels import compute_gt_labels
 from .similarity import overlap_similarities
 
 _HIFIASM_ID_RE = re.compile(r"(.*):\d-\d*")
+_CIGAR_RE = re.compile(r"^(\d+)M$")
+
+
+class GFAFormatError(ValueError):
+    """Malformed/truncated GFA input, with file position context.  The
+    reference crashes with bare unpack/KeyError on such input
+    (graph_parser.py:153-341); a truncated download or a mid-write snapshot
+    should fail with a diagnosable message instead."""
+
+
+def _fail(path: str, lineno: int, raw: str, msg: str):
+    snippet = raw.rstrip("\n")
+    if len(snippet) > 120:
+        snippet = snippet[:117] + "..."
+    raise GFAFormatError(f"{path}:{lineno}: {msg} (line: {snippet!r})")
 
 
 @dataclass

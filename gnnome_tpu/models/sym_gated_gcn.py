@@ -41,6 +41,40 @@ from .norm import norm_init, bn_state_init, apply_norm
 GATE_EPS = 1e-6  # gated-mean denominator epsilon (reference gated_gcn_full.py:114)
 
 
+def _unroll_layers(backend, remat) -> bool:
+    """Python-unrolled layer loop instead of ``lax.scan`` on the hot path.
+
+    A scan's autodiff saves per-layer residuals by dynamic-update-slicing
+    them into stacked ``[L, ...]`` buffers and re-slicing per iteration in
+    the backward — at bench scale that is ~[L, Ep/2, 2d] of pure stacking
+    DMA (the "scan carry DUS" glue in the round-4 device trace).  Unrolling
+    keeps each layer's residuals as separate buffers: same memory, zero
+    stacking traffic, and XLA fuses across layer boundaries.  Off for
+    remat='full' (the sqrt(L) group schedule needs the scan's O(G+g) carry
+    memory) and for the XLA backend (CPU tests/product keep the
+    bounded-compile-size scan).  GN_UNROLL_LAYERS=0/1 overrides."""
+    if remat == "full":
+        return False
+    import os
+    v = os.environ.get("GN_UNROLL_LAYERS", "auto")
+    if v in ("0", "false"):
+        return False
+    if v in ("1", "true"):
+        return True
+    return backend == "pallas"
+
+
+def _scan_unrolled(body, carry, xs, n: int):
+    """``lax.scan(body, carry, xs)`` as a Python loop (static trip count)."""
+    sts = []
+    for i in range(n):
+        inp = jax.tree_util.tree_map(lambda a: a[i], xs)
+        carry, st = body(carry, inp)
+        sts.append(st)
+    st = jax.tree_util.tree_map(lambda *a: jnp.stack(a, axis=0), *sts)
+    return carry, st
+
+
 def _nn(gt: GraphTensors):
     """Real node count for normalisation math — the TRACED 0-d leaf when the
     graph carries one (so shape-bucketed units share compiled programs,
@@ -480,6 +514,9 @@ def forward_dual(params, state, gt: GraphTensors, x, x_rev, e,
             return (h, e), st
         run_layers = jax.checkpoint(
             run_layers, policy=jax.checkpoint_policies.nothing_saveable)
+    elif _unroll_layers("pallas", remat):
+        def run_layers(h, e):
+            return _scan_unrolled(body, (h, e), xs, num_layers)
     else:
         def run_layers(h, e):
             return jax.lax.scan(body, (h, e), xs)
@@ -654,6 +691,9 @@ def forward(params, state, gt: GraphTensors, x, e, cfg: ModelConfig, *,
             st = jax.tree_util.tree_map(
                 lambda a: a.reshape(num_layers, *a.shape[2:]), st)
             return (h, e), st
+    elif _unroll_layers(backend, remat):
+        def run_layers(h, e):
+            return _scan_unrolled(body, (h, e), xs, num_layers)
     else:
         def run_layers(h, e):
             return jax.lax.scan(body, (h, e), xs)
