@@ -106,14 +106,22 @@ def parse_gfa(gfa_path: str, reads_path: Optional[str] = None,
         if ids:
             node_to_read[2 * t] = ids
             node_to_read[2 * t + 1] = ids
+        def _header(id_r):
+            try:
+                return read_headers[id_r]
+            except KeyError:
+                raise GFAFormatError(
+                    f"{gfa_path}: GFA references read {id_r!r} but "
+                    f"{reads_path} has no record with that id") from None
+
         if training:
             if not ids:
-                strand, start, end, chrom = parse_training_header(read_headers[rid])
+                strand, start, end, chrom = parse_training_header(_header(rid))
             else:
                 # collapse multi-read unitig (graph_parser.py:231-266)
                 c_strands, c_starts, c_ends, c_chrs = [], [], [], []
                 for id_r, id_o in ids:
-                    s_f, st, en, ch = parse_training_header(read_headers[id_r])
+                    s_f, st, en, ch = parse_training_header(_header(id_r))
                     s_g = 1 if id_o == "+" else -1
                     c_strands.append(s_f * s_g)
                     c_starts.append(st)
@@ -128,11 +136,14 @@ def parse_gfa(gfa_path: str, reads_path: Optional[str] = None,
             chrs.extend((chrom, chrom))
 
     with open(gfa_path) as f:
-        for raw in f:
+        for lineno, raw in enumerate(f, 1):
             head = raw[0] if raw else ""
             if head == "A":
                 if pending is not None and pending[2] is not None:
                     aline = raw.split()
+                    if len(aline) < 5:
+                        _fail(gfa_path, lineno, raw,
+                              f"A record needs >=5 fields, got {len(aline)}")
                     utg_to_read, read_orientation = aline[4], aline[3]
                     pending[2].append((utg_to_read, read_orientation))
                     t = pending[1]
@@ -142,8 +153,18 @@ def parse_gfa(gfa_path: str, reads_path: Optional[str] = None,
             if head != "S":
                 continue
             line = raw.split()
+            if len(line) < 4:
+                _fail(gfa_path, lineno, raw,
+                      f"S record needs 4 fields (id, seq, LN tag), "
+                      f"got {len(line)} — truncated file?")
             _, rid, sequence, length = line[:4]
-            length = int(length[5:])  # 'LN:i:<len>'
+            if not length.startswith("LN:i:"):
+                _fail(gfa_path, lineno, raw,
+                      f"S record field 4 must be an LN:i: tag, got {length!r}")
+            try:
+                length = int(length[5:])
+            except ValueError:
+                _fail(gfa_path, lineno, raw, f"bad LN tag value {length!r}")
 
             t = len(node_lengths)
             real_idx, virt_idx = 2 * t, 2 * t + 1
@@ -170,7 +191,7 @@ def parse_gfa(gfa_path: str, reads_path: Optional[str] = None,
     e_ol = array("q")
 
     with open(gfa_path) as f:
-        for raw in f:
+        for lineno, raw in enumerate(f, 1):
             if not raw or raw[0] != "L":
                 continue
             line = raw.split()
@@ -178,17 +199,35 @@ def parse_gfa(gfa_path: str, reads_path: Optional[str] = None,
                 _, id1, o1, id2, o2, cigar = line
             elif len(line) == 7:                # hifiasm (ids carry :start-end)
                 _, id1, o1, id2, o2, cigar, _x = line
-                id1 = _HIFIASM_ID_RE.findall(id1)[0]
-                id2 = _HIFIASM_ID_RE.findall(id2)[0]
+                m1 = _HIFIASM_ID_RE.findall(id1)
+                m2 = _HIFIASM_ID_RE.findall(id2)
+                if not m1 or not m2:
+                    _fail(gfa_path, lineno, raw,
+                          "7-field L record ids must carry ':start-end' "
+                          "ranges (hifiasm dialect)")
+                id1, id2 = m1[0], m2[0]
             elif len(line) == 8:                # newer hifiasm
                 _, id1, o1, id2, o2, cigar, _x, _y = line
             else:
-                raise ValueError("Unknown GFA format (L record with "
-                                 f"{len(line)} fields)")
-            ol_length = int(cigar[:-1])         # '1234M'
+                _fail(gfa_path, lineno, raw,
+                      f"L record with {len(line)} fields (expected 6/7/8) "
+                      "— unknown dialect or truncated file?")
+            if o1 not in ("+", "-") or o2 not in ("+", "-"):
+                _fail(gfa_path, lineno, raw,
+                      f"L record orientations must be +/-, got {o1!r}/{o2!r}")
+            m = _CIGAR_RE.match(cigar)
+            if m is None:
+                _fail(gfa_path, lineno, raw,
+                      f"L record overlap must be a '<n>M' cigar, got {cigar!r}")
+            ol_length = int(m.group(1))
             if ol_length == 0:                  # degenerate (graph_parser.py:297)
                 continue
-            n1, n2 = read_to_node[id1], read_to_node[id2]
+            try:
+                n1, n2 = read_to_node[id1], read_to_node[id2]
+            except KeyError as e:
+                _fail(gfa_path, lineno, raw,
+                      f"L record references unknown segment {e.args[0]!r} "
+                      "(no S record)")
             if o1 == "+":
                 if o2 == "+":
                     src_real, dst_real, src_virt, dst_virt = n1[0], n2[0], n2[1], n1[1]
