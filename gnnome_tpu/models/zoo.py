@@ -62,10 +62,11 @@ def transformed_graph_tensors(graph, directed: bool, self_loops: bool,
 
 # ------------------------------------------------------------- shared plumbing
 def _agg_sum(gt: GraphTensors, edge_vals):
-    """Sorted segment-sum into destinations (edge_vals in slot order)."""
+    """Segment-sum into destinations (edge_vals in slot order; sorted hint
+    only when the gt kept the canonical dst order)."""
     return jax.ops.segment_sum(edge_vals, gt.dst,
                                num_segments=gt.n_nodes_pad,
-                               indices_are_sorted=True)
+                               indices_are_sorted=gt.dst_sorted)
 
 
 def _in_degrees(gt: GraphTensors):
@@ -264,16 +265,16 @@ def _gat_layer(p, gt: GraphTensors, h, heads: int, *, training, feat_drop,
     # per-destination softmax over in-edges (sorted segment ops)
     seg_max = jax.ops.segment_max(jnp.where(gt.edge_mask > 0, logit, -jnp.inf),
                                   gt.dst, num_segments=gt.n_nodes_pad,
-                                  indices_are_sorted=True)
+                                  indices_are_sorted=gt.dst_sorted)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     expv = jnp.exp(logit - jnp.take(seg_max, gt.dst, axis=0)) * gt.edge_mask
     denom = jax.ops.segment_sum(expv, gt.dst, num_segments=gt.n_nodes_pad,
-                                indices_are_sorted=True)
+                                indices_are_sorted=gt.dst_sorted)
     alpha = expv / jnp.clip(jnp.take(denom, gt.dst, axis=0), 1e-9)
     msg = jnp.take(feat, gt.src, axis=0) * alpha[:, :, None]  # [E, H, D]
     out = jax.ops.segment_sum(msg.reshape(-1, heads * d), gt.dst,
                               num_segments=gt.n_nodes_pad,
-                              indices_are_sorted=True)
+                              indices_are_sorted=gt.dst_sorted)
     return out + p["bias"]                                  # [N, H*D]
 
 

@@ -87,6 +87,10 @@ class GraphTensors:
     n_edges: int = 0
     n_nodes_pad: int = 0
     n_edges_pad: int = 0
+    # False after the tail-overflow reslot (windowed plans): dst is then
+    # sorted except for the overflow tail region, so sorted-segment-sum
+    # hints must be dropped (wrong results otherwise, not just slow)
+    dst_sorted: bool = True
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -211,14 +215,77 @@ jax.tree_util.register_dataclass(
     GraphTensors,
     data_fields=["src", "dst", "slot_of_eid", "eid_of_slot", "edge_mask",
                  "node_mask", "wplan", "wplan_flip", "nn_valid", "ne_valid"],
-    meta_fields=["n_nodes", "n_edges", "n_nodes_pad", "n_edges_pad"],
+    meta_fields=["n_nodes", "n_edges", "n_nodes_pad", "n_edges_pad",
+                 "dst_sorted"],
 )
+
+
+def _tailed_layout(gt: GraphTensors, ovf_slot_mask: np.ndarray,
+                   Ep2: int, R: int) -> GraphTensors:
+    """New GraphTensors with the overflow edges moved into the contiguous
+    region ``[Ep2 - R, Ep2)`` and their old interior slots turned into pad
+    slots — interior slot POSITIONS are preserved (crucial: shifting them
+    would re-plan every tile and spawn new overflow), and the edge padding
+    grows from ``n_edges_pad`` to ``Ep2`` to make room.
+
+    Marks ``dst_sorted=False`` (the region breaks global dst order)."""
+    import dataclasses
+
+    Ep, E = gt.n_edges_pad, gt.n_edges
+    dummy = gt.n_nodes
+    src = gt.host("src")
+    dst = gt.host("dst")
+    emask = gt.host("edge_mask")
+    eos = gt.host("eid_of_slot")
+    ovf_pos = np.nonzero(ovf_slot_mask)[0]
+    n_ovf = int(ovf_pos.shape[0])
+    E0 = Ep2 - R
+
+    src2 = np.full(Ep2, dummy, dtype=src.dtype)
+    dst2 = np.full(Ep2, dummy, dtype=dst.dtype)
+    em2 = np.zeros((Ep2, 1), dtype=np.float32)
+    eid2 = np.empty(Ep2, dtype=eos.dtype)
+    src2[:Ep], dst2[:Ep], em2[:Ep], eid2[:Ep] = src, dst, emask, eos
+    # region: the overflow edges in their original relative order, then pads
+    src2[E0:E0 + n_ovf] = src[ovf_pos]
+    dst2[E0:E0 + n_ovf] = dst[ovf_pos]
+    em2[E0:E0 + n_ovf] = 1.0
+    eid2[E0:E0 + n_ovf] = eos[ovf_pos]
+    # vacated interior slots become pads; forward-fill their endpoint values
+    # so the tile-median window planning is not skewed by dummy ids (the
+    # values are never read with a non-zero mask)
+    em2[ovf_pos] = 0.0
+    ffill = np.maximum.accumulate(
+        np.where(ovf_slot_mask, -1, np.arange(Ep)))
+    ffill = np.maximum(ffill, 0)
+    src2[ovf_pos] = src[ffill[ovf_pos]]
+    dst2[ovf_pos] = dst[ffill[ovf_pos]]
+    # pad edge-ids: vacated slots + the new middle/region pads take the
+    # fresh ids [Ep, Ep2) (any bijection works for pad ids)
+    new_ids = np.arange(Ep, Ep2, dtype=eos.dtype)
+    eid2[ovf_pos] = new_ids[:n_ovf]
+    rest = np.concatenate([np.arange(Ep, E0), np.arange(E0 + n_ovf, Ep2)])
+    eid2[rest] = new_ids[n_ovf:]
+    soe2 = np.empty_like(eid2)
+    soe2[eid2] = np.arange(Ep2, dtype=eid2.dtype)
+
+    out = dataclasses.replace(
+        gt, src=jnp.asarray(src2), dst=jnp.asarray(dst2),
+        slot_of_eid=jnp.asarray(soe2), eid_of_slot=jnp.asarray(eid2),
+        edge_mask=jnp.asarray(em2), n_edges_pad=Ep2, dst_sorted=False)
+    object.__setattr__(out, "_host", {
+        "src": src2, "dst": dst2, "edge_mask": em2,
+        "node_mask": gt.host("node_mask"),
+        "eid_of_slot": eid2, "slot_of_eid": soe2,
+    })
+    return out
 
 
 def with_windowed_plans(gt: GraphTensors, flip_too: bool = True,
                         tile_e: int | None = None,
                         window: int | None = None,
-                        window_v: int | None = None) -> GraphTensors:
+                        window_v: int | None = None,
+                        divisible_by: int = 1) -> GraphTensors:
     """Attach Pallas windowed-kernel plans (enables backend='pallas').
 
     With no explicit ``window``/``window_v``, each side of each plan
@@ -243,6 +310,11 @@ def with_windowed_plans(gt: GraphTensors, flip_too: bool = True,
     plan = build_plan(gt, flip=False, tile_e=te, window=wu, window_v=wv)
     plan_flip = (build_plan(gt, flip=True, tile_e=te, window=wv,
                             window_v=wu) if flip_too else None)
+    # tail-overflow reslot: patched edges move into one contiguous region so
+    # the XLA patch paths are slices, not gathers + full-array scatters
+    gt, plan, plan_flip = W.plan_tail_overflow(gt, plan, plan_flip, flip_too,
+                                               te, wu, wv,
+                                               divisible_by=divisible_by)
     out = dataclasses.replace(gt, wplan=plan, wplan_flip=plan_flip)
     host = getattr(gt, "_host", None)
     if host is not None:      # dataclasses.replace drops non-field attrs

@@ -92,7 +92,9 @@ def fused_gate_gather(gt: GraphTensors, proj_u: jax.Array, proj_v: jax.Array,
         g3 = _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e)
         return g3[:, :d], g3[:, d: 2 * d], g3[:, 2 * d:]
     # v_idx is the slot-sort key when not flipped -> sorted adjoint
-    return _gate_gather_xla(u_idx, v_idx, not flip, proj_u, proj_v, b3e)
+    # (gt.dst_sorted is False after the tail-overflow reslot)
+    return _gate_gather_xla(u_idx, v_idx, (not flip) and gt.dst_sorted,
+                            proj_u, proj_v, b3e)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -158,7 +160,7 @@ def gather_uv_planned(gt: GraphTensors, flip: bool, h: jax.Array,
     plan = _plan_for(gt, flip)
     if backend == "pallas" and plan is not None:
         return _gather_uv_pallas(plan, u_idx, v_idx, h)
-    return gather_uv(u_idx, v_idx, not flip, h)
+    return gather_uv(u_idx, v_idx, (not flip) and gt.dst_sorted, h)
 
 
 @jax.custom_vjp
@@ -188,12 +190,16 @@ def _gate_gather_pallas(plan, u_idx, v_idx, proj_u, proj_v, b3e):
     g3 = k1_gather_gate(plan, proj_u, proj_v, b3e)
     # patch overflow edges with direct XLA gathers (mask cast keeps the
     # compute dtype — an f32 mask would silently promote the whole array)
-    sl = plan.ovf_slots
     m = plan.ovf_mask.astype(g3.dtype)
-    gu = jnp.take(proj_u, jnp.take(u_idx, sl), axis=0)
-    gv = jnp.take(proj_v, jnp.take(v_idx, sl), axis=0)
-    g3 = g3.at[sl].add(m * jnp.concatenate(
-        [gu[:, :d] + gv[:, :d], gu[:, d:], gv[:, d:]], axis=1))
+    gu = jnp.take(proj_u, _ovf_idx(plan, u_idx), axis=0)
+    gv = jnp.take(proj_v, _ovf_idx(plan, v_idx), axis=0)
+    patch = m * jnp.concatenate(
+        [gu[:, :d] + gv[:, :d], gu[:, d:], gv[:, d:]], axis=1)
+    if plan.ovf_start >= 0:
+        g3 = jax.lax.dynamic_update_slice_in_dim(
+            g3, _ovf_rows(plan, g3) + patch, plan.ovf_start, axis=0)
+    else:
+        g3 = g3.at[plan.ovf_slots].add(patch)
     return g3
 
 
@@ -237,9 +243,32 @@ def unpack_edges(a):
     return a.reshape(a.shape[0] * 2, a.shape[1] // 2)
 
 
+def _ovf_idx(plan, idx):
+    """Per-patch-slot values of a [Ep] slot-order index array: a static
+    slice in tail mode (contiguous region), a gather in scatter mode."""
+    if plan.ovf_start >= 0:
+        return jax.lax.slice_in_dim(idx, plan.ovf_start,
+                                    plan.ovf_start + plan.ovf_slots.shape[0])
+    return jnp.take(idx, plan.ovf_slots)
+
+
+def _ovf_rows(plan, arr):
+    """[n_ovf_pad, D] patch rows of an UNPACKED [Ep, D] slot-order array."""
+    if plan.ovf_start >= 0:
+        return jax.lax.slice_in_dim(arr, plan.ovf_start,
+                                    plan.ovf_start + plan.ovf_slots.shape[0])
+    return jnp.take(arr, plan.ovf_slots, axis=0)
+
+
 def _ovf_take(plan, packed, d):
-    """[n_ovf_pad, d] per-overflow-slot values from a packed edge array:
-    one row gather + a parity lane select."""
+    """[n_ovf_pad, d] per-overflow-slot values from a packed edge array.
+    Tail mode: the contiguous packed rows reshape EXACTLY to slot order
+    (row r holds slots 2r, 2r+1) — one static slice, no gather."""
+    R = plan.ovf_slots.shape[0]
+    if plan.ovf_start >= 0:
+        rows = jax.lax.slice_in_dim(packed, plan.ovf_start // 2,
+                                    (plan.ovf_start + R) // 2)
+        return rows.reshape(R, d)
     vals = jnp.take(packed, plan.ovf_slots // 2, axis=0)
     par = (plan.ovf_slots % 2)[:, None]
     return jnp.where(par == 0, vals[:, :d], vals[:, d:])
@@ -247,12 +276,29 @@ def _ovf_take(plan, packed, d):
 
 def _ovf_apply(plan, packed, new, mask, mode: str = "set"):
     """Masked per-overflow-slot write of [n_ovf_pad, d] values into the
-    parity lane half of a packed edge array.  Lowered as ONE scatter-add of
-    deltas: duplicate target rows (an even and an odd overflow slot sharing a
-    packed row) accumulate correctly, and masked pad entries contribute
-    zero.  ``set`` writes new - old (one extra rounding step in the array
-    dtype for overflow rows only); ``add`` accumulates ``new``."""
+    parity lane half of a packed edge array.
+
+    Tail mode: one static region slice + masked combine + one
+    dynamic-update-slice — no full-array scatter exists anywhere.
+
+    Scatter mode: lowered as ONE scatter-add of deltas — duplicate target
+    rows (an even and an odd overflow slot sharing a packed row) accumulate
+    correctly, and masked pad entries contribute zero.  ``set`` writes
+    new - old (one extra rounding step in the array dtype for overflow rows
+    only); ``add`` accumulates ``new``."""
     d = new.shape[1]
+    if plan.ovf_start >= 0:
+        R = plan.ovf_slots.shape[0]
+        start_r = plan.ovf_start // 2
+        old = jax.lax.slice_in_dim(packed, start_r,
+                                   start_r + R // 2).reshape(R, d)
+        if mode == "set":
+            upd = jnp.where(mask > 0, new.astype(packed.dtype), old)
+        else:
+            upd = (old.astype(jnp.float32)
+                   + new.astype(jnp.float32) * mask).astype(packed.dtype)
+        return jax.lax.dynamic_update_slice_in_dim(
+            packed, upd.reshape(R // 2, 2 * d), start_r, axis=0)
     rows = plan.ovf_slots // 2
     par = (plan.ovf_slots % 2)[:, None]
     if mode == "set":
@@ -298,9 +344,10 @@ def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p,
 
     # overflow edges: recompute the full edge stage with direct gathers,
     # matching the kernel's dtype discipline
-    sl, m = plan.ovf_slots, plan.ovf_mask
-    gu = jnp.take(proj_u, jnp.take(u_idx, sl), axis=0)
-    gv = jnp.take(proj_v, jnp.take(v_idx, sl), axis=0)
+    m = plan.ovf_mask
+    uo, vo = _ovf_idx(plan, u_idx), _ovf_idx(plan, v_idx)
+    gu = jnp.take(proj_u, uo, axis=0)
+    gv = jnp.take(proj_v, vo, axis=0)
     gate = (gu[:, :d] + gv[:, :d]).astype(dt) + _ovf_take(plan, b3e_p, d)
     gate = gate * bn_scale.astype(dt) + bn_bias.astype(dt)
     gate = jax.nn.relu(gate)
@@ -309,10 +356,10 @@ def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p,
     sigma = jax.nn.sigmoid(eo_ovf.astype(jnp.float32)) * m
     sum_v = sum_v + jax.ops.segment_sum(
         jnp.concatenate([sigma * gu[:, d:], sigma], axis=1),
-        jnp.take(v_idx, sl), num_segments=n_pad)
+        vo, num_segments=n_pad)
     sum_u = sum_u + jax.ops.segment_sum(
         jnp.concatenate([sigma * gv[:, d:], sigma], axis=1),
-        jnp.take(u_idx, sl), num_segments=n_pad)
+        uo, num_segments=n_pad)
     return e_out_p, sum_v, sum_u
 
 
@@ -350,12 +397,16 @@ def fused_train_stage(gt: GraphTensors, h, w_uv, b_uv, wbd3, b3b, e_p,
     # here would recompile every masked/clustered unit
     ne = (gt.ne_valid if gt.ne_valid is not None
           else jnp.float32(gt.n_edges))
+    # packed slot-validity mask [Ep/2, 2]: the batch-stat backward's c-term
+    # applies at VALID slots only, and slot validity is no longer
+    # position-derivable once the tail-overflow layout holes the interior
+    em_p = gt.edge_mask.reshape(-1, 2)
     return _train_stage(plan, u_idx, v_idx, h, w_uv, b_uv,
-                        wbd3, b3b, e_p, gamma, beta, ne)
+                        wbd3, b3b, e_p, gamma, beta, ne, em_p)
 
 
 def _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
-                      wbd3, b3b, e_p, gamma, beta, n_edges):
+                      wbd3, b3b, e_p, gamma, beta, n_edges, em_p):
     from .pallas_kernels import k7_gate_stats
 
     d = h.shape[1]
@@ -369,8 +420,8 @@ def _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
     s2 = stats[0, d:]
     # overflow edges: the kernel excluded them (sentinel); add their exact
     # contributions from direct gathers
-    sl, m = plan.ovf_slots, plan.ovf_mask
-    uo, vo = jnp.take(u_idx, sl), jnp.take(v_idx, sl)
+    m = plan.ovf_mask
+    uo, vo = _ovf_idx(plan, u_idx), _ovf_idx(plan, v_idx)
     gu = jnp.take(proj_u, uo, axis=0)
     gv = jnp.take(proj_v, vo, axis=0)
     x_o = (gu[:, :d] + gv[:, :d]).astype(dt) + _ovf_take(plan, b3e_p, d)
@@ -396,29 +447,29 @@ def _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
     # remat="full" backward skip the per-layer K7/K3 replay on a 16 GB chip
     out = (e_out_p, sum_v.astype(dt), sum_u.astype(dt), mean, unbiased)
     res = (plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b, e_p, gamma,
-           mean, inv, scale_eff, bias_eff, n)
+           mean, inv, scale_eff, bias_eff, n, em_p)
     return out, res
 
 
 @jax.custom_vjp
 def _train_stage(plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b,
-                 e_p, gamma, beta, n_edges):
+                 e_p, gamma, beta, n_edges, em_p):
     out, _ = _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
-                               wbd3, b3b, e_p, gamma, beta, n_edges)
+                               wbd3, b3b, e_p, gamma, beta, n_edges, em_p)
     return out
 
 
 def _train_stage_fwd(plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b,
-                     e_p, gamma, beta, n_edges):
+                     e_p, gamma, beta, n_edges, em_p):
     return _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
-                             wbd3, b3b, e_p, gamma, beta, n_edges)
+                             wbd3, b3b, e_p, gamma, beta, n_edges, em_p)
 
 
 def _train_stage_bwd(res, cots):
     from .pallas_kernels import k8_train_layer_bwd
 
     (plan, u_idx, v_idx, h, w_uv, b_uv, wbd3, b3b, e_p, gamma,
-     mean, inv, scale_eff, bias_eff, n_edges) = res
+     mean, inv, scale_eff, bias_eff, n_edges, em_p) = res
     # mean/unbiased-var cotangents are dropped: running-stat updates carry no
     # gradient (torch semantics — they happen under no_grad)
     d_e_out_p, d_sum_v, d_sum_u, _dm, _dv = cots
@@ -455,10 +506,11 @@ def _train_stage_bwd(res, cots):
     # (a gather + full-array scatter-add each, serialised BEFORE the
     # batch-statistics chain could start), the chain below runs on the
     # UNPATCHED arrays and every overflow effect is applied as a small dense
-    # correction — the only remaining full-array scatter is ONE add into
-    # d_e_p at the very end, independent of the statistics chain.
+    # correction — the only remaining full-array write is ONE add into
+    # d_e_p at the very end (a static region-slice update in tail mode),
+    # independent of the statistics chain.
     sl, m = plan.ovf_slots, plan.ovf_mask
-    uo, vo = jnp.take(u_idx, sl), jnp.take(v_idx, sl)
+    uo, vo = _ovf_idx(plan, u_idx), _ovf_idx(plan, v_idx)
     gu = jnp.take(proj_u, uo, axis=0)
     gv = jnp.take(proj_v, vo, axis=0)
     x_uo = _ovf_take(plan, x_p, d)                  # unpatched row = b3e
@@ -505,11 +557,13 @@ def _train_stage_bwd(res, cots):
     gaff_p = x_p * scale2_dt + bias2_dt
     relu_p = (gaff_p.astype(jnp.float32) > 0).astype(jnp.float32)
     dy_p = deo_p.astype(jnp.float32) * relu_p
-    rows_io = jax.lax.broadcasted_iota(jnp.int32, (Eh, 2 * d), 0)
-    lane_io = jax.lax.broadcasted_iota(jnp.int32, (Eh, 2 * d), 1)
-    slot_f = (2 * rows_io + (lane_io >= d).astype(jnp.int32)
-              ).astype(jnp.float32)                 # exact to 2^24 slots
-    mvalid = (slot_f < n_edges).astype(jnp.float32)
+    # slot validity from the packed edge mask (the tail-overflow layout
+    # holes the interior, so validity is not position-derivable); region
+    # rows count as valid here and their c-term closes via the delta
+    # corrections below, exactly like scatter-mode overflow rows
+    mvalid = jnp.concatenate(
+        [jnp.broadcast_to(em_p[:, :1], (Eh, d)),
+         jnp.broadcast_to(em_p[:, 1:], (Eh, d))], axis=1)
     xf_p = x_p.astype(jnp.float32)
     s = k8_stats.reshape(plan.n_tiles, 8, 2 * d)[:, 0, :].sum(axis=0)
     A = s[:d] + d_y_o.sum(axis=0)                   # d_bias_eff
@@ -575,7 +629,8 @@ def _train_stage_bwd(res, cots):
              + db3b_corr).astype(b3b.dtype)
 
     return (None, None, None, d_h, d_w_uv, d_b_uv, d_wbd3, d_b3b, d_e_p,
-            d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype), None)
+            d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype), None,
+            None)
 
 
 _train_stage.defvjp(_train_stage_fwd, _train_stage_bwd)
@@ -594,12 +649,12 @@ def _aggregate_pallas(plan, u_idx, v_idx, pay_u, pay_v):
     sum_f = combine_block_partials(pv_parts, plan.v_visited, n_pad,
                                    plan.win_v, plan.v_all)
     # overflow contributions
-    sl, m = plan.ovf_slots, plan.ovf_mask
+    m = plan.ovf_mask
     sum_b = sum_b + jax.ops.segment_sum(
-        jnp.take(pay_u, sl, axis=0) * m, jnp.take(u_idx, sl),
+        _ovf_rows(plan, pay_u) * m, _ovf_idx(plan, u_idx),
         num_segments=n_pad)
     sum_f = sum_f + jax.ops.segment_sum(
-        jnp.take(pay_v, sl, axis=0) * m, jnp.take(v_idx, sl),
+        _ovf_rows(plan, pay_v) * m, _ovf_idx(plan, v_idx),
         num_segments=n_pad)
     return sum_b, sum_f
 
@@ -643,9 +698,9 @@ def _score_gate_pallas(plan, u_idx, v_idx, puv, be_p):
     H = be_p.shape[1] // 2
     z_p = k6_score_gate(plan, puv, be_p)
     # overflow slots: recompute with direct gathers
-    sl, m = plan.ovf_slots, plan.ovf_mask
-    zo = jax.nn.relu(jnp.take(puv, jnp.take(u_idx, sl), axis=0)[:, :H]
-                     + jnp.take(puv, jnp.take(v_idx, sl), axis=0)[:, H:]
+    m = plan.ovf_mask
+    zo = jax.nn.relu(jnp.take(puv, _ovf_idx(plan, u_idx), axis=0)[:, :H]
+                     + jnp.take(puv, _ovf_idx(plan, v_idx), axis=0)[:, H:]
                      + _ovf_take(plan, be_p, H))
     return _ovf_apply(plan, z_p, zo, m, "set")
 
@@ -669,12 +724,12 @@ def _score_gate_bwd(res, dz_p):
                                   plan.window, plan.u_all)
     d_pv = combine_block_partials(pv_parts, plan.v_visited, n_pad,
                                   plan.win_v, plan.v_all)
-    sl, m = plan.ovf_slots, plan.ovf_mask
+    m = plan.ovf_mask
     dzo = _ovf_take(plan, dz_p, H).astype(jnp.float32) * m
     d_puv = jnp.concatenate(
-        [d_pu + jax.ops.segment_sum(dzo, jnp.take(u_idx, sl),
+        [d_pu + jax.ops.segment_sum(dzo, _ovf_idx(plan, u_idx),
                                     num_segments=n_pad),
-         d_pv + jax.ops.segment_sum(dzo, jnp.take(v_idx, sl),
+         d_pv + jax.ops.segment_sum(dzo, _ovf_idx(plan, v_idx),
                                     num_segments=n_pad)], axis=1)
     return (None, None, None, d_puv.astype(dz_p.dtype), dz_p)
 
@@ -726,12 +781,12 @@ def gated_mean_pair(gt: GraphTensors, sigma, a2h_src, a3h_dst,
     pay_b = jnp.concatenate([sigma * a3h_dst, sigma], axis=1).astype(acc)
     if not flip:
         sum_f = jax.ops.segment_sum(pay_f, gt.dst, num_segments=n,
-                                    indices_are_sorted=True)
+                                    indices_are_sorted=gt.dst_sorted)
         sum_b = jax.ops.segment_sum(pay_b, gt.src, num_segments=n)
     else:
         sum_f = jax.ops.segment_sum(pay_f, gt.src, num_segments=n)
         sum_b = jax.ops.segment_sum(pay_b, gt.dst, num_segments=n,
-                                    indices_are_sorted=True)
+                                    indices_are_sorted=gt.dst_sorted)
     h_fwd = (sum_f[:, :d] / (sum_f[:, d:] + eps)).astype(a2h_src.dtype)
     h_bwd = (sum_b[:, :d] / (sum_b[:, d:] + eps)).astype(a2h_src.dtype)
     return h_fwd, h_bwd

@@ -109,12 +109,17 @@ class WindowedPlan:
     u_visited: jax.Array    # float32 [NB] 1 where some tile wrote block b
     v_visited: jax.Array    # float32 [NB]
     ovf_slots: jax.Array    # int32 [n_ovf_pad] overflow edge slots (pad: Ep-1*)
+                            #   tail mode: ovf_start + arange(R), contiguous
     ovf_mask: jax.Array     # float32 [n_ovf_pad, 1] 1 for real overflow rows
     # exact valid-edge degree per node by endpoint role (host bincount; the
     # batch-stat backward's c1*deg term needs it exactly — the kernel's
     # summed counts may ride bf16 partials)
     deg_u: jax.Array = None  # float32 [n_pad]
     deg_v: jax.Array = None  # float32 [n_pad]
+    # real-edge count on the patch path, as a traced f32 scalar (tail mode:
+    # interior slot validity = slot < ne_valid - n_ovf_f; a static int would
+    # key the jit cache per masked unit)
+    n_ovf_f: jax.Array = None  # f32 []
     # --- static ---
     tile_e: int = TILE_E
     window: int = WINDOW    # u-side block rows
@@ -126,6 +131,11 @@ class WindowedPlan:
     window_v: int = 0       # v-side block rows (0 => same as ``window``)
     k_u: int = 2            # u-side blocks per tile (coverage = k_u*window)
     k_v: int = 2            # v-side blocks per tile
+    # tail-overflow mode: every patched edge lives in the contiguous slot
+    # region [ovf_start, ovf_start + len(ovf_slots)) at the very end of the
+    # padded slot space, so the XLA patch paths are static slices instead of
+    # gathers + full-array scatters (round-5; ovf_start < 0 = scatter mode)
+    ovf_start: int = -1
 
     @property
     def n_ovf(self) -> int:
@@ -180,9 +190,9 @@ jax.tree_util.register_dataclass(
     data_fields=["u_blk", "v_blk", "u_local", "v_local",
                  "u_local_e", "u_local_o", "v_local_e", "v_local_o",
                  "u_visited", "v_visited", "ovf_slots", "ovf_mask",
-                 "deg_u", "deg_v"],
+                 "deg_u", "deg_v", "n_ovf_f"],
     meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_pad",
-                 "u_all", "v_all", "window_v", "k_u", "k_v"],
+                 "u_all", "v_all", "window_v", "k_u", "k_v", "ovf_start"],
 )
 
 
@@ -248,13 +258,20 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
                         window: int | None = None,
                         chunk: int | None = None,
                         window_v: int | None = None,
-                        k_u: int = 2, k_v: int = 2) -> WindowedPlan | None:
+                        k_u: int = 2, k_v: int = 2,
+                        forced_region: tuple[int, int] | None = None):
     """Plan for the (src->dst) direction, or the reversed roles if ``flip``.
 
     ``window``/``window_v`` (with ``k_u``/``k_v`` blocks) size the u- and
     v-side coverage explicitly; ``window=None`` auto-selects each side's
     cheapest config from the graph's measured spans (exact overflow counts).
     Returns None when the graph is too small to be worth tiling.
+
+    ``forced_region=(start, R)`` (internal, tail-overflow mode): slots in
+    the region are unconditionally sentinel and the plan's patch path covers
+    exactly that contiguous region; returns ``(plan, stragglers)`` instead —
+    ``plan`` is None when interior edges still escape their windows
+    (``stragglers`` bool mask, caller iterates the reslot).
     """
     Ep, Np = gt.n_edges_pad, gt.n_nodes_pad
     chunk = min(chunk or CHUNK, tile_e)
@@ -274,14 +291,21 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
     u, v = (src, dst) if not flip else (dst, src)
     n_tiles = Ep // tile_e
     valid = emask[:, 0] > 0
+    cost_valid = valid
+    if forced_region is not None:
+        # region edges are patched regardless — don't let them charge the
+        # auto-select's overflow cost (they would only widen windows)
+        _start, _R = forced_region
+        cost_valid = valid.copy()
+        cost_valid[_start:_start + _R] = False
 
     if auto:
         fu, fv = (FORCE_U, FORCE_V) if not flip else (FORCE_V, FORCE_U)
         u64, v64 = u.astype(np.int64), v.astype(np.int64)
         got_u = (_forced_side(u64, n_tiles, tile_e, Np, fu) if fu
-                 else _auto_side(u64, valid, n_tiles, tile_e, Np))
+                 else _auto_side(u64, cost_valid, n_tiles, tile_e, Np))
         got_v = (_forced_side(v64, n_tiles, tile_e, Np, fv) if fv
-                 else _auto_side(v64, valid, n_tiles, tile_e, Np))
+                 else _auto_side(v64, cost_valid, n_tiles, tile_e, Np))
         if got_u is None or got_v is None:
             return None
         wu, k_u, u_blk, u_local, u_ovf = got_u
@@ -298,18 +322,34 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
     # slots likewise: sentinel one-hot columns (all-zero) make them inert in
     # every select AND scatter — kernels need no edge mask
     pad = ~valid
-    u_local = np.where(ovf | pad, k_u * wu, u_local).astype(np.int32)
-    v_local = np.where(ovf | pad, k_v * wv, v_local).astype(np.int32)
+    ovf_start = -1
+    if forced_region is not None:
+        start, R = forced_region
+        region = np.zeros(Ep, dtype=bool)
+        region[start:start + R] = True
+        stragglers = ovf & ~region
+        if stragglers.any():
+            return None, stragglers
+        sentinel = region | pad
+        u_local = np.where(sentinel, k_u * wu, u_local).astype(np.int32)
+        v_local = np.where(sentinel, k_v * wv, v_local).astype(np.int32)
+        ovf_slots = (start + np.arange(R)).astype(np.int32)
+        ovf_mask = valid[start:start + R].astype(np.float32)[:, None].copy()
+        n_ovf = int(ovf_mask.sum())
+        ovf_start = start
+    else:
+        u_local = np.where(ovf | pad, k_u * wu, u_local).astype(np.int32)
+        v_local = np.where(ovf | pad, k_v * wv, v_local).astype(np.int32)
 
-    ovf_ids = np.nonzero(ovf)[0].astype(np.int32)
-    n_ovf = int(ovf_ids.shape[0])
-    # next power of two: bounds the number of distinct overflow SHAPES (and
-    # hence compiled programs) across masked/clustered units
-    n_ovf_pad = max(8, 1 << (max(n_ovf, 1) - 1).bit_length())
-    ovf_slots = np.full(n_ovf_pad, Ep - 1, dtype=np.int32)  # Ep-1 is padding
-    ovf_slots[:n_ovf] = ovf_ids
-    ovf_mask = np.zeros((n_ovf_pad, 1), dtype=np.float32)
-    ovf_mask[:n_ovf] = 1.0
+        ovf_ids = np.nonzero(ovf)[0].astype(np.int32)
+        n_ovf = int(ovf_ids.shape[0])
+        # next power of two: bounds the number of distinct overflow SHAPES
+        # (and hence compiled programs) across masked/clustered units
+        n_ovf_pad = max(8, 1 << (max(n_ovf, 1) - 1).bit_length())
+        ovf_slots = np.full(n_ovf_pad, Ep - 1, dtype=np.int32)  # Ep-1 = pad
+        ovf_slots[:n_ovf] = ovf_ids
+        ovf_mask = np.zeros((n_ovf_pad, 1), dtype=np.float32)
+        ovf_mask[:n_ovf] = 1.0
 
     u_visited = np.zeros(Np // wu - (k_u - 1), dtype=np.float32)
     v_visited = np.zeros(Np // wv - (k_v - 1), dtype=np.float32)
@@ -333,7 +373,7 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
             a = np.concatenate([a, padr], axis=1)
         return a.reshape(n_tiles * rows_p, c)
 
-    return WindowedPlan(
+    plan = WindowedPlan(
         u_blk=jnp.asarray(u_blk), v_blk=jnp.asarray(v_blk),
         u_local=jnp.asarray(_lane_major(u_local, k_u * wu)),
         v_local=jnp.asarray(_lane_major(v_local, k_v * wv)),
@@ -347,7 +387,95 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
             u[valid], minlength=Np).astype(np.float32)),
         deg_v=jnp.asarray(np.bincount(
             v[valid], minlength=Np).astype(np.float32)),
+        n_ovf_f=jnp.asarray(np.float32(n_ovf)),
         tile_e=tile_e, window=wu, chunk=chunk, n_tiles=n_tiles,
         n_pad=Np, window_v=wv, k_u=k_u, k_v=k_v,
         u_all=bool(u_visited.all()), v_all=bool(v_visited.all()),
+        ovf_start=ovf_start,
     )
+    return (plan, None) if forced_region is not None else plan
+
+
+# ------------------------------------------------------------- tail overflow
+def _tail_enabled() -> bool:
+    import os
+    return os.environ.get("GN_TAIL_OVF", "1") not in ("0", "false")
+
+
+def plan_tail_overflow(gt, plan, plan_flip, flip_too: bool,
+                       tile_e: int, wu, wv, divisible_by: int = 1):
+    """Move every patched (overflow) edge into ONE contiguous region at the
+    very end of a GROWN padded slot space, then rebuild the plans in
+    forced-region mode: the XLA patch paths become static slices instead of
+    gathers + full-array scatter-adds (round-5 perf lever; measured ~22 ms
+    of scatter ops per bench train step in scatter mode).
+
+    Interior slot positions are PRESERVED — vacated overflow slots become
+    pad slots and the padding grows by a tile multiple to hold the region —
+    so re-planning cannot spawn overflow in tiles the move never touched,
+    and the straggler iteration (window medians shift slightly where pads
+    replaced edges) converges in one or two rounds.
+
+    Returns (gt, plan, plan_flip) — the originals when tail mode is
+    infeasible or stragglers persist after 4 rounds.
+    """
+    if (not _tail_enabled() or plan is None
+            or (flip_too and plan_flip is None)):
+        return gt, plan, plan_flip
+    from .graph_tensors import _tailed_layout
+
+    Ep, E = gt.n_edges_pad, gt.n_edges
+    orig = (gt, plan, plan_flip)
+
+    def host_ovf(p, n_slots):
+        m = np.zeros(n_slots, dtype=bool)
+        sl = np.asarray(p.ovf_slots)
+        mk = np.asarray(p.ovf_mask)[:, 0] > 0
+        m[sl[mk]] = True
+        return m
+
+    # overflow mask in ORIGINAL slot coordinates (stable across rounds)
+    ovf = host_ovf(plan, Ep)
+    if plan_flip is not None:
+        ovf |= host_ovf(plan_flip, Ep)
+    if 2 * int(ovf.sum()) > E or not ovf.any():
+        return orig            # degenerate graph (or nothing to move)
+    for _ in range(4):
+        n_ovf = int(ovf.sum())
+        # power-of-two region bounds the number of compiled shapes across
+        # masked/clustered units (same rationale as the scatter-mode pad);
+        # the padding grows by a tile multiple so Ep2 stays tile-aligned
+        R = max(8, 1 << (max(n_ovf, 1) - 1).bit_length())
+        import math
+        unit = math.lcm(tile_e, max(1, divisible_by))
+        grow = -(-R // unit) * unit
+        Ep2 = Ep + grow
+        gt2 = _tailed_layout(gt, ovf, Ep2, R)
+        E0 = Ep2 - R
+        p2, s2 = build_windowed_plan(gt2, flip=False, tile_e=tile_e,
+                                     window=wu, window_v=wv,
+                                     forced_region=(E0, R))
+        pf2 = sf2 = None
+        if flip_too:
+            pf2, sf2 = build_windowed_plan(gt2, flip=True, tile_e=tile_e,
+                                           window=wv, window_v=wu,
+                                           forced_region=(E0, R))
+        if ((p2 is not None or not _any(s2))
+                and (not flip_too or pf2 is not None or not _any(sf2))):
+            if p2 is not None and (not flip_too or pf2 is not None):
+                return gt2, p2, pf2
+            return orig        # a forced plan failed for a non-straggler reason
+        # stragglers: map their gt2 slots back to ORIGINAL slots via edge id
+        # (interior slots are position-identical, so the eid map is enough)
+        soe = gt.host("slot_of_eid")
+        for s_mask in (s2, sf2):
+            if s_mask is None or not s_mask.any():
+                continue
+            eids = gt2.host("eid_of_slot")[np.nonzero(s_mask)[0]]
+            eids = eids[eids < E]
+            ovf[soe[eids]] = True
+    return orig
+
+
+def _any(mask):
+    return mask is not None and bool(mask.any())

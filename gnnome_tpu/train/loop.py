@@ -156,12 +156,16 @@ def _run_epoch(ds, params, state, opt_state, pos_weight, cfg, rng_np, rng_key,
                     loss, logits = eval_step(params, state, ex.gt, ex.x,
                                              ex.x_rev, ex.e, ex.labels,
                                              ex.mask, pw, gt_proc=gt_proc)
-                logits_np = np.asarray(logits)[: ex.n_edges]
                 # flagship examples run slot-ordered: pair logits with the
-                # identically-permuted labels (metrics are order-invariant)
+                # identically-permuted labels (metrics are order-invariant).
+                # Select by the slot-validity mask, not a prefix — the
+                # tail-overflow layout holes the interior slot range
                 if ex.slot_io:
-                    labels_np = np.asarray(ex.labels)[: ex.n_edges]
+                    mk = ex.gt.host("edge_mask")[:, 0] > 0
+                    logits_np = np.asarray(logits)[mk]
+                    labels_np = np.asarray(ex.labels)[mk]
                 else:
+                    logits_np = np.asarray(logits)[: ex.n_edges]
                     labels_np = unit.y[: ex.n_edges].astype(np.float32)
                 metrics_list.append(compute_metrics(logits_np, labels_np,
                                                     float(loss)))

@@ -77,7 +77,8 @@ def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
             or (cfg.compute.remat == "full"
                 and gt.n_edges_pad > DUAL_FULL_REMAT_MAX_EDGES))
         gt = with_windowed_plans(
-            gt, flip_too=(cfg.train.use_symmetry_loss and dual_declines))
+            gt, flip_too=(cfg.train.use_symmetry_loss and dual_declines),
+            divisible_by=max(1, cfg.compute.mesh))
     zi, zo = _zscore(in_deg), _zscore(out_deg)
     x = gt.pad_nodes(np.stack([zi, zo], axis=1))
     x_rev = gt.pad_nodes(np.stack([zo, zi], axis=1))
