@@ -322,7 +322,7 @@ def bench_projection(n_nodes: int, avg_degree: float,
     out = {}
     for p in curve:
         if p.P > 1:
-            out[f"projected_eff_overlap_{p.P}dev"] = p.eff_overlap
+            out[f"projected_eff_measured_{p.P}dev"] = p.eff_overlap_measured
             out[f"projected_eff_serial_{p.P}dev"] = p.eff_serial
             out[f"projected_halo_k_{p.P}dev"] = p.K
     return out
@@ -477,11 +477,12 @@ def mesh_worker(n_devices: int, n_nodes: int, avg_degree: float,
         "mesh_platform": "cpu-mesh-sim",
         "edges_per_s_1dev": round(eps_1, 1),
         "edges_per_s_mesh": round(eps_n, 1),
-        # the N virtual devices share this host's cores, so equal total
-        # compute is the ideal; the throughput ratio isolates the
-        # communication + partition-imbalance overhead of the halo step —
-        # the proxy for real-pod scaling efficiency measurable on this host
-        "mesh_efficiency_proxy": round(eps_n / eps_1, 4),
+        # DEBUG-ONLY sanity ratio: N virtual devices sharing this host's
+        # cores prove non-catastrophe of the halo step, nothing more — it is
+        # NOT scaling evidence (round-4 verdict).  Real scaling expectations
+        # live in SCALING_PROJECTION.json (eff_serial floor,
+        # eff_overlap_measured operating point).
+        "debug_mesh_throughput_ratio": round(eps_n / eps_1, 4),
     }
     print(json.dumps(out))
     return out
