@@ -279,8 +279,13 @@ def make_steps(cfg: Config):
     sched = cfg.compute.scheduler
     if sched == "auto":
         sched = "memory" if remat == "full" else "latency"
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        plat = "cpu"
+    # TPU-only compile option — CPU/GPU compilers reject unknown options
     copts = ({"xla_tpu_enable_latency_hiding_scheduler": "false"}
-             if sched == "memory" else None)
+             if sched == "memory" and plat in ("tpu", "axon") else None)
 
     @partial(jax.jit, static_argnames=(), compiler_options=copts)
     def train_step(params, state, opt_state, gt, x, x_rev, e, labels, mask,
