@@ -56,7 +56,9 @@ def build_dataset(root: str, mode: str, seed: int = 20260820) -> None:
     os.makedirs(os.path.join(root, "hifiasm", "processed"), exist_ok=True)
     os.makedirs(os.path.join(root, "hifiasm", "info"), exist_ok=True)
     if mode == "tpu-full":
-        # one chromosome-scale full-graph training unit (remat='full').
+        # one chromosome-scale full-graph training unit (remat='full') plus
+        # a smaller held-out VALIDATION graph, so the recording carries real
+        # validation metrics (round-5 verdict ask #7).
         # Size note: the symmetry-loss step at 1M nodes / 4.8M edges needs
         # ~18.5 GB on today's code (measured OOM logs, 2026-08-20) — the
         # round-2 "6.3M edges on 16 GB" claim predates the dual-era carries.
@@ -64,22 +66,29 @@ def build_dataset(root: str, mode: str, seed: int = 20260820) -> None:
         from gnnome_tpu.graphs.synthetic import positional_bench_graph
         from gnnome_tpu.graphs.container import AssemblyGraph
         from gnnome_tpu.graphs.labels import compute_gt_labels
-        n_nodes = 786_432
-        src, dst, strand, start, end, chrom = positional_bench_graph(
-            n_nodes, 6.0, seed=seed)
-        g = AssemblyGraph(
-            num_nodes=n_nodes, src=src, dst=dst,
-            read_length=np.repeat(end[::2] - start[::2], 2),
-            prefix_length=np.maximum(
-                1, (end[src] - start[src]) // 2).astype(np.int64),
-            overlap_length=np.maximum(
-                1, (end[src] - start[src]) // 3).astype(np.int64))
-        g.read_strand, g.read_start, g.read_end, g.read_chr = (
-            strand, start, end, chrom)
-        g.y = compute_gt_labels(src, dst, strand, start, end, chrom)
-        g.overlap_similarity = np.random.default_rng(seed).uniform(
-            0.9, 1.0, src.shape[0]).astype(np.float32)
-        g.save(os.path.join(root, "hifiasm", "processed", "0.npz"))
+
+        def make(n_nodes, sd):
+            src, dst, strand, start, end, chrom = positional_bench_graph(
+                n_nodes, 6.0, seed=sd)
+            g = AssemblyGraph(
+                num_nodes=n_nodes, src=src, dst=dst,
+                read_length=np.repeat(end[::2] - start[::2], 2),
+                prefix_length=np.maximum(
+                    1, (end[src] - start[src]) // 2).astype(np.int64),
+                overlap_length=np.maximum(
+                    1, (end[src] - start[src]) // 3).astype(np.int64))
+            g.read_strand, g.read_start, g.read_end, g.read_chr = (
+                strand, start, end, chrom)
+            g.y = compute_gt_labels(src, dst, strand, start, end, chrom)
+            g.overlap_similarity = np.random.default_rng(sd).uniform(
+                0.9, 1.0, src.shape[0]).astype(np.float32)
+            return g
+
+        make(786_432, seed).save(
+            os.path.join(root, "hifiasm", "processed", "0.npz"))
+        vdir = os.path.join(root, "valid", "hifiasm", "processed")
+        os.makedirs(vdir, exist_ok=True)
+        make(131_072, seed + 1).save(os.path.join(vdir, "0.npz"))
         return
     # three graphs straddling the cluster threshold so epochs mix full-graph
     # units with clustered ones (reference train.py:324-348 both paths)
@@ -126,11 +135,12 @@ def run_training(root: str, mode: str, epochs: int, resume_from: str | None,
     jax.config.update("jax_log_compiles", True)
 
     t0 = time.time()
-    # full reference protocol incl. the validation epoch on the CPU modes;
-    # overfit (train-set selection, no validation) for the big TPU graph
-    model_path = train(root, root, "hifiasm", out_name=out_name,
-                       overfit=(mode == "tpu-full"),
-                       resume=bool(resume_from), cfg=cfg)
+    # full reference protocol incl. the validation epoch on every mode
+    # (tpu-full validates on its smaller held-out graph, round-5 ask #7)
+    valid_root = (os.path.join(root, "valid")
+                  if os.path.isdir(os.path.join(root, "valid")) else root)
+    model_path = train(root, valid_root, "hifiasm", out_name=out_name,
+                       overfit=False, resume=bool(resume_from), cfg=cfg)
     wall = time.time() - t0
     return model_path, wall, counter.count
 
