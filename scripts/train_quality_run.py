@@ -53,18 +53,27 @@ ECOLI_BP = 4_641_652
 
 # training-graph spec: the golden recipe (error/hard-negative/repeat/gap
 # knobs identical to scripts/golden_ecoli_run.py) at ~1/13 scale so a
-# multi-graph dataset builds in minutes, with coverage ~20x like the golden
+# multi-graph dataset builds in minutes, with coverage ~20x like the golden.
+# Repeats are the hard part: the round-5 diagnosis showed a model trained on
+# 2 easy repeat pairs leaves golden repeat cross-edges (similarity ~1,
+# label 0) at p>0.9 and the greedy decode chains segments into one 14 Mb
+# mis-assembly — so every graph plants SEVERAL pairs at VARIED length
+# fractions of the read length (the structural motif the GNN must learn).
 TRAIN_SPEC = dict(genome_len=360_000, read_len=6_000, n_reads=1_200,
                   error_rate=0.02, hard_false_frac=0.10, false_edge_frac=0.15,
-                  n_coverage_gaps=1, n_repeat_pairs=2, sim_band_frac=0.15)
-TRAIN_SEEDS = [100, 101, 102, 103, 104, 105]
+                  n_coverage_gaps=1, n_repeat_pairs=5, sim_band_frac=0.15)
+REPEAT_FRACS = [0.5, 0.6, 0.7, 0.8]      # repeat_len = frac * read_len
+TRAIN_SEEDS = [100, 101, 102, 103, 104, 105, 106, 107]
 VALID_SEEDS = [200, 201]
 
 
 def _build_graph(seed: int):
     from gnnome_tpu.graphs.synthetic import synthetic_assembly_graph
+    spec = dict(TRAIN_SPEC)
+    spec["repeat_len"] = int(
+        spec["read_len"] * REPEAT_FRACS[seed % len(REPEAT_FRACS)])
     g, _, _, _ = synthetic_assembly_graph(
-        seed=seed, with_labels=True, with_sequences=True, **TRAIN_SPEC)
+        seed=seed, with_labels=True, with_sequences=True, **spec)
     return g
 
 
