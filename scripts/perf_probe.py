@@ -159,7 +159,12 @@ def main():
             float(run_once())
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            float(run_once())
+            r = run_once()
+        # single sync at the end: dispatches are async, so device steps
+        # back-to-back and host-CPU load / tunnel sync latency don't pollute
+        # the per-step time (a per-step float() read measured up to +5%
+        # under concurrent host load)
+        float(r)
         dt = (time.perf_counter() - t0) / args.iters
         print(f"[{v}] {dt*1000:.1f} ms/step  ({n_edges/dt:,.0f} edges/s)",
               flush=True)
