@@ -97,7 +97,7 @@ def stage_build(root: str) -> dict:
     return info
 
 
-def stage_train(root: str, epochs: int) -> dict:
+def stage_train(root: str, epochs: int, resume: bool = False) -> dict:
     from gnnome_tpu.config import Config
     from gnnome_tpu.train.loop import train
 
@@ -113,13 +113,18 @@ def stage_train(root: str, epochs: int) -> dict:
 
     t0 = time.perf_counter()
     model_path = train(os.path.join(root, "train"), os.path.join(root, "valid"),
-                       "hifiasm", out_name="quality_r05", cfg=cfg)
+                       "hifiasm", out_name="quality_r05", resume=resume,
+                       cfg=cfg)
     wall = time.perf_counter() - t0
 
-    log_path = os.path.join(cfg.paths.checkpoints_path,
-                            "log_quality_r05_seed1.jsonl")
-    with open(log_path) as f:
-        epoch_log = [json.loads(line) for line in f]
+    logs = sorted(
+        f for f in os.listdir(cfg.paths.checkpoints_path)
+        if f.startswith("log_quality_r05"))
+    epoch_log = []
+    for lf in logs:
+        with open(os.path.join(cfg.paths.checkpoints_path, lf)) as f:
+            epoch_log += [json.loads(line) for line in f]
+    epoch_log.sort(key=lambda r: r.get("epoch", 0))
     best = max(epoch_log, key=lambda r: r.get("valid/ap", 0.0))
     return {"model_path": model_path, "epochs": epochs,
             "total_wall_s": round(wall, 1),
@@ -348,6 +353,8 @@ def main():
     ap.add_argument("--parity-epochs", type=int, default=8)
     ap.add_argument("--model", default=None,
                     help="golden stage: self-trained model npz override")
+    ap.add_argument("--resume", action="store_true",
+                    help="train stage: continue from the checkpoint")
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
@@ -369,7 +376,8 @@ def main():
         if st == "build":
             out["dataset"] = stage_build(args.root)
         elif st == "train":
-            out["training"] = stage_train(args.root, args.epochs)
+            out["training"] = stage_train(args.root, args.epochs,
+                                          resume=args.resume)
         elif st == "parity":
             out["collapse_parity"] = stage_parity(args.root, args.parity_epochs)
         elif st == "golden":
