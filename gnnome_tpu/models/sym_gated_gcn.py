@@ -172,17 +172,14 @@ def sym_gated_gcn_layer(p, s, gt: GraphTensors, h, e, *, training: bool,
             b3e = e @ w3 + b3
 
     if packed and not training:
-        # whole edge stage in one fused Pallas pass (eval BN = affine; B3
-        # computed in-kernel — the b3e matmul above is dead code on this
-        # path and XLA removes it)
+        # whole edge stage in one fused Pallas pass (eval BN = affine)
         from ..ops.message import fused_eval_edge_stage
         bn_e_scale = (p["bn_e"]["scale"]
                       * jax.lax.rsqrt(s["bn_e"]["var"] + 1e-5)).astype(dtype)
         bn_e_bias = (p["bn_e"]["bias"]
                      - s["bn_e"]["mean"] * bn_e_scale).astype(dtype)
         e_out, sum_v, sum_u = fused_eval_edge_stage(
-            gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d], wbd,
-            jnp.concatenate([b3, b3]), e_in,
+            gt, proj[:, : 2 * d], proj[:, 2 * d: 4 * d], b3e, e_in,
             bn_e_scale, bn_e_bias, flip=flip)
         s_bn_e = s["bn_e"]
     elif packed:
@@ -340,13 +337,13 @@ def _layer_dual(p, s, gt: GraphTensors, h, e, *, training: bool,
     else:
         w_uv, b_uv = _dual_wuv(p, dtype)
         proj = h @ w_uv + b_uv
-        # cast discipline identical to the single-pass eval path (forward);
-        # B3 is computed in-kernel from e and wbd3/b3b
+        b3e = e @ wbd3 + b3b
+        # cast discipline identical to the single-pass eval path (forward)
         scale = (p["bn_e"]["scale"]
                  * jax.lax.rsqrt(s["bn_e"]["var"] + 1e-5)).astype(dtype)
         bias = (p["bn_e"]["bias"] - s["bn_e"]["mean"] * scale).astype(dtype)
         e_out, sum_v, sum_u = fused_eval_edge_stage(
-            gt, proj[:, : 4 * d], proj[:, 4 * d:], wbd3, b3b, e,
+            gt, proj[:, : 4 * d], proj[:, 4 * d:], b3e, e,
             jnp.concatenate([scale] * 2), jnp.concatenate([bias] * 2),
             flip=False)
         s_bn_e = s["bn_e"]

@@ -313,43 +313,30 @@ def _ovf_apply(plan, packed, new, mask, mode: str = "set"):
     return packed.at[rows].add(full.astype(packed.dtype))
 
 
-def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, wbd3, b3b,
-                          e_in_p, bn_scale, bn_bias, flip: bool = False):
+def fused_eval_edge_stage(gt: GraphTensors, proj_u, proj_v, b3e_p, e_in_p,
+                          bn_scale, bn_bias, flip: bool = False):
     """EVAL-mode fused edge stage (Pallas K3) over PACKED edge arrays:
     returns (e_out_p [Ep/2, 2d], sum_into_v [Np, 2d], sum_into_u [Np, 2d])
-    where u/v are the flip-resolved endpoint roles.  The B3 projection is
-    computed IN-KERNEL from ``e_in_p`` and the packed block-diagonal
-    ``wbd3``/``b3b`` — no [Ep/2, 2d] b3e array is ever materialised
-    (round-5: ~2.4 GB of HBM traffic per layer per step).  Requires a
-    windowed plan; caller must check.  Not differentiable (inference path;
-    the training path wraps the same kernel in ``fused_train_stage``'s
-    custom VJP)."""
+    where u/v are the flip-resolved endpoint roles.  Requires a windowed
+    plan; caller must check.  Not differentiable (inference path; the
+    training path wraps the same kernel in ``fused_train_stage``'s custom
+    VJP)."""
     plan = _plan_for(gt, flip)
     u_idx, v_idx = (gt.src, gt.dst) if not flip else (gt.dst, gt.src)
-    return _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, wbd3, b3b,
+    return _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e_p,
                             e_in_p, bn_scale, bn_bias)
 
 
-def _ovf_b3e(plan, e_p, wbd3, b3b, d, dt):
-    """b3e rows of the patch region: small [n_ovf_pad, d] matmul from the
-    region's e rows (b3e no longer exists as an array)."""
-    e_o = _ovf_take(plan, e_p, d)
-    return (jnp.matmul(e_o, wbd3[:d, :d],
-                       preferred_element_type=jnp.float32).astype(dt)
-            + b3b[:d].astype(dt))
-
-
-def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, wbd3, b3b, e_in_p,
+def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, b3e_p, e_in_p,
                      bn_scale, bn_bias):
-    from .pallas_kernels import k3_fused_edge_stage, w3pack_rows
+    from .pallas_kernels import k3_fused_edge_stage
 
-    d = e_in_p.shape[1] // 2
+    d = b3e_p.shape[1] // 2
     n_pad = plan.n_pad
-    dt = e_in_p.dtype
+    dt = b3e_p.dtype
 
     e_out_p, pu_parts, pv_parts = k3_fused_edge_stage(
-        plan, proj_u, proj_v, e_in_p, w3pack_rows(wbd3, b3b, dt),
-        bn_scale, bn_bias)
+        plan, proj_u, proj_v, b3e_p, e_in_p, bn_scale, bn_bias)
     sum_u = combine_block_partials(pu_parts, plan.u_visited, n_pad,
                                    plan.window, plan.u_all)
     sum_v = combine_block_partials(pv_parts, plan.v_visited, n_pad,
@@ -361,8 +348,7 @@ def _eval_edge_stage(plan, u_idx, v_idx, proj_u, proj_v, wbd3, b3b, e_in_p,
     uo, vo = _ovf_idx(plan, u_idx), _ovf_idx(plan, v_idx)
     gu = jnp.take(proj_u, uo, axis=0)
     gv = jnp.take(proj_v, vo, axis=0)
-    gate = ((gu[:, :d] + gv[:, :d]).astype(dt)
-            + _ovf_b3e(plan, e_in_p, wbd3, b3b, d, dt))
+    gate = (gu[:, :d] + gv[:, :d]).astype(dt) + _ovf_take(plan, b3e_p, d)
     gate = gate * bn_scale.astype(dt) + bn_bias.astype(dt)
     gate = jax.nn.relu(gate)
     eo_ovf = gate + _ovf_take(plan, e_in_p, d)
@@ -421,14 +407,14 @@ def fused_train_stage(gt: GraphTensors, h, w_uv, b_uv, wbd3, b3b, e_p,
 
 def _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
                       wbd3, b3b, e_p, gamma, beta, n_edges, em_p):
-    from .pallas_kernels import k7_gate_stats, w3pack_rows
+    from .pallas_kernels import k7_gate_stats
 
     d = h.shape[1]
     dt = e_p.dtype
     proj = h @ w_uv + b_uv
     proj_u, proj_v = proj[:, : 2 * d], proj[:, 2 * d:]
-    stats = k7_gate_stats(plan, proj_u, proj_v, e_p,
-                          w3pack_rows(wbd3, b3b, dt))
+    b3e_p = e_p @ wbd3 + b3b
+    stats = k7_gate_stats(plan, proj_u, proj_v, b3e_p)
     stats = stats.reshape(plan.n_tiles, 8, 2 * d).sum(axis=0)
     s1 = stats[0, :d]
     s2 = stats[0, d:]
@@ -438,8 +424,7 @@ def _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
     uo, vo = _ovf_idx(plan, u_idx), _ovf_idx(plan, v_idx)
     gu = jnp.take(proj_u, uo, axis=0)
     gv = jnp.take(proj_v, vo, axis=0)
-    x_o = ((gu[:, :d] + gv[:, :d]).astype(dt)
-           + _ovf_b3e(plan, e_p, wbd3, b3b, d, dt))
+    x_o = (gu[:, :d] + gv[:, :d]).astype(dt) + _ovf_take(plan, b3e_p, d)
     xf_o = x_o.astype(jnp.float32) * m
     s1 = s1 + xf_o.sum(axis=0)
     s2 = s2 + (xf_o * x_o.astype(jnp.float32)).sum(axis=0)
@@ -453,7 +438,7 @@ def _train_stage_impl(plan, u_idx, v_idx, h, w_uv, b_uv,
     unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
 
     e_out_p, sum_v, sum_u = _eval_edge_stage(plan, u_idx, v_idx, proj_u,
-                                             proj_v, wbd3, b3b, e_p,
+                                             proj_v, b3e_p, e_p,
                                              scale_eff, bias_eff)
     # emit the aggregation sums in the compute dtype (no-op in f32 parity
     # mode): they are the node stage's checkpoint inputs, i.e. the largest
@@ -495,17 +480,17 @@ def _train_stage_bwd(res, cots):
 
     # recompute the projections (deterministic: same inputs, same precision
     # -> bitwise-identical to the forward's, so K8's recomputed relu masks
-    # match K3's exactly; b3e is recomputed IN-KERNEL with K3/K7's dot)
-    from .pallas_kernels import w3pack_rows
+    # match K3's exactly)
     proj = h @ w_uv + b_uv
     proj_u, proj_v = proj[:, : 2 * d], proj[:, 2 * d:]
+    b3e_p = e_p @ wbd3 + b3b
 
     # cast BEFORE the kernel: bf16 node-window DMAs are ~2x cheaper (no-op in
     # f32 mode); padded slots carry sentinel one-hots -> zero selects
     x_p, deo_p, pu_parts, pv_parts, k8_stats = k8_train_layer_bwd(
         plan, d_sum_u.astype(dt), d_sum_v.astype(dt), proj_u, proj_v,
-        w3pack_rows(wbd3, b3b, dt), e_p, d_e_out_p.astype(dt),
-        scale_eff, bias_eff, with_xsum=True)
+        b3e_p, e_p, d_e_out_p.astype(dt), scale_eff, bias_eff,
+        with_xsum=True)
     # partials are [NB*W, 3d] = [d_gate | d_msg | x]: one combine per
     # endpoint yields both the d_proj sums and the batch-stat x-sums
     cu = combine_block_partials(pu_parts, plan.u_visited, n_pad,

@@ -315,19 +315,13 @@ def _k3_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     serves both the selects and the scatters against the same node windows."""
     uws = refs[:ku]
     vws = refs[ku:ku + kv]
-    ule, ulo, vle, vlo, e_in, w3pack, affine, e_out = refs[ku + kv:ku + kv + 8]
+    ule, ulo, vle, vlo, b3e, e_in, affine, e_out = refs[ku + kv:ku + kv + 8]
     pu = refs[ku + kv + 8:ku + kv + 8 + ku]
     pv = refs[ku + kv + 8 + ku:]
     io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
     io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
-    scale1 = affine[0:1, :d]                  # stacked-row affine (d-wide)
-    bias1 = affine[1:2, :d]
-    # B3 weights live in VMEM: b3e = e @ W3 + b is computed per chunk on the
-    # MXU instead of streaming a materialised [Ep/2, 2d] b3e array from HBM
-    # (round-5: the standalone B3 matmul + its kernel re-reads were ~2.4 GB
-    # of pure HBM traffic per layer per step)
-    w3 = w3pack[:d, :]
-    b3row = w3pack[d:d + 1, :]
+    scale2 = affine[0:1, :]                   # [1, 2d] = [scale | scale]
+    bias2 = affine[1:2, :]
     _zero_on_run_change(u_blk_ref, pu)
     _zero_on_run_change(v_blk_ref, pv)
 
@@ -342,50 +336,37 @@ def _k3_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
         gu = _selT(ohT_u, uws, pr)            # [2hc, 2d] rows: even | odd
         gv = _selT(ohT_v, vws, pr)
         dt = e_out.dtype
-        e_st = _stack_p(e_in[psl, :], d)      # [2hc, d] rows: even | odd
-        b3e_st = jnp.dot(e_st, w3, preferred_element_type=jnp.float32,
-                         precision=_prec(dt)).astype(dt) + b3row
-        gate = (gu[:, :d] + gv[:, :d]).astype(dt) + b3e_st
-        gate = gate * scale1 + bias1
+        gate = _unstack_p((gu[:, :d] + gv[:, :d]).astype(dt), hc) + b3e[psl, :]
+        gate = gate * scale2 + bias2
         gate = jax.nn.relu(gate)
-        eo = gate + e_st
-        e_out[psl, :] = _unstack_p(eo, hc)
+        eo = gate + e_in[psl, :]
+        e_out[psl, :] = eo
         # sigmoid in f32: Mosaic's bf16 logistic lowering miscompiles
         # (f32 constant broadcast into a bf16 vector); padded/overflow edges
         # need no masking — their one-hot columns are all-zero (sentinel)
-        sig2 = jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
+        sigma = jax.nn.sigmoid(eo.astype(jnp.float32)).astype(dt)
+        sig2 = _stack_p(sigma, d)             # [2hc, d] rows: even | odd
         _scatT(ohT_u, jnp.concatenate(
             [sig2 * gv[:, d:].astype(dt), sig2], 1), pu)         # into src
         _scatT(ohT_v, jnp.concatenate(
             [sig2 * gu[:, d:].astype(dt), sig2], 1), pv)         # into dst
 
 
-def w3pack_rows(wbd3, b3b, dtype):
-    """[d+8, d] VMEM operand for the in-kernel B3: rows 0:d hold the
-    per-stacked-row weight block (the top-left block of the packed
-    block-diagonal ``wbd3``), row d the bias."""
-    d = wbd3.shape[0] // 2
-    return jnp.concatenate(
-        [wbd3[:d, :d], b3b[None, :d],
-         jnp.zeros((7, d), wbd3.dtype)], axis=0).astype(dtype)
-
-
-def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, e_in_p, w3pack,
+def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, b3e_p, e_in_p,
                         bn_scale, bn_bias):
     """Fused edge stage over PACKED edge arrays ([Ep/2, 2d], see _k3_kernel).
-    ``w3pack`` (w3pack_rows) supplies the B3 projection computed in-kernel
-    from ``e_in_p``.  Returns (e_out_p [Ep/2, 2d], pu_parts, pv_parts —
-    per-block partial tuples, see k2_aggregate); overflow slots carry
+    Returns (e_out_p [Ep/2, 2d], pu_parts, pv_parts — per-block partial
+    tuples, see k2_aggregate); overflow slots carry
     gate = affine(b3e) + residual only and contribute nothing to the partials
     (caller patches e_out and adds overflow payloads)."""
-    Eh, d2 = e_in_p.shape
+    Eh, d2 = b3e_p.shape
     d = d2 // 2
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
     ku, kv = plan.k_u, plan.k_v
-    dtype = e_in_p.dtype
+    dtype = b3e_p.dtype
     rows = plan.rows_p
-    # [8, 2d]: min sublane tile is 8; rows 0/1 hold scale/bias (d-wide used)
+    # [8, 2d]: min sublane tile is 8; rows 0/1 hold [scale|scale]/[bias|bias]
     affine = jnp.concatenate(
         [jnp.stack([jnp.concatenate([bn_scale, bn_scale]),
                     jnp.concatenate([bn_bias, bn_bias])]),
@@ -402,7 +383,7 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, e_in_p, w3pack,
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-               pl.BlockSpec((d + 8, d), lambda t, ub, vb: (0, 0)),
+               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (0, 0))]),
         out_specs=(
             [pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0))]
@@ -425,7 +406,7 @@ def k3_fused_edge_stage(plan: WindowedPlan, proj_u, proj_v, e_in_p, w3pack,
         interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk, *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
-      e_in_p, w3pack, affine)
+      b3e_p, e_in_p, affine)
     return out[0], out[1:1 + ku], out[1 + ku:]
 
 
@@ -441,13 +422,11 @@ def _k7_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     PACKED [Ep/2, 2d] (see _k3_kernel)."""
     uws = refs[:ku]
     vws = refs[ku:ku + kv]
-    ule, ulo, vle, vlo, e_in, w3pack, stats_out = refs[ku + kv:]
+    ule, ulo, vle, vlo, b3e, stats_out = refs[ku + kv:]
     io2u = jax.lax.broadcasted_iota(jnp.int32, (ku * wu, chunk), 0)
     io2v = jax.lax.broadcasted_iota(jnp.int32, (kv * wv, chunk), 0)
     acc = jnp.zeros((1, 2 * d), jnp.float32)    # [s1 | s2], both parities
-    dt = e_in.dtype
-    w3 = w3pack[:d, :]
-    b3row = w3pack[d:d + 1, :]
+    dt = b3e.dtype
     hc = chunk // 2
     hp = jax.lax.Precision.HIGHEST
     for c in range(tile_e // chunk):
@@ -460,9 +439,7 @@ def _k7_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
         ohT_v = _ohT2(io2v, vle, vlo, c, uws[0].dtype)
         xu = _selT(ohT_u, uws, pr)            # [2hc, d] rows: even | odd
         xv = _selT(ohT_v, vws, pr)
-        b3e2 = jnp.dot(_stack_p(e_in[psl, :], d), w3,
-                       preferred_element_type=jnp.float32,
-                       precision=_prec(dt)).astype(dt) + b3row
+        b3e2 = _stack_p(b3e[psl, :], d)
         x = (xu + xv).astype(dt) + b3e2
         xf = x.astype(jnp.float32)
         # padded AND overflow slots carry the sentinel -> excluded here and
@@ -477,12 +454,11 @@ def _k7_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
         [acc, jnp.zeros((7, 2 * d), jnp.float32)], axis=0)
 
 
-def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, e_in_p, w3pack):
+def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, b3e_p):
     """First (statistics) pass of the training edge stage (packed edge
-    layout); the B3 projection is computed in-kernel from ``e_in_p`` (see
-    w3pack_rows).  Returns stats [T*8, 2d] f32 — per tile, row 0 holds
+    layout).  Returns stats [T*8, 2d] f32 — per tile, row 0 holds
     [sum(x) | sum(x^2)].  The backward's x-sum node partials come from K8."""
-    Eh, d2 = e_in_p.shape
+    Eh, d2 = b3e_p.shape
     d = d2 // 2
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
@@ -506,8 +482,7 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, e_in_p, w3pack):
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
-               pl.BlockSpec((d + 8, d), lambda t, ub, vb: (0, 0))]),
+               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0))]),
         out_specs=out_specs,
     )
     kern = functools.partial(_k7_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
@@ -516,8 +491,7 @@ def k7_gate_stats(plan: WindowedPlan, proj_u, proj_v, e_in_p, w3pack):
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk, *([pu_g] * ku), *([pv_g] * kv),
-      plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
-      e_in_p, w3pack)
+      plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o, b3e_p)
     return stats
 
 
@@ -540,7 +514,7 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     dvs = refs[ku:ku + kv]
     uws = refs[ku + kv:2 * ku + kv]
     vws = refs[2 * ku + kv:2 * ku + 2 * kv]
-    (ule, ulo, vle, vlo, w3pack, e_in, d_e_out, affine,
+    (ule, ulo, vle, vlo, b3e, e_in, d_e_out, affine,
      x_out, deo_out) = refs[2 * ku + 2 * kv:2 * ku + 2 * kv + 10]
     pu = refs[2 * ku + 2 * kv + 10:2 * ku + 2 * kv + 10 + ku]
     pv = refs[2 * ku + 2 * kv + 10 + ku:2 * ku + 2 * kv + 10 + ku + kv]
@@ -550,8 +524,6 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
     scale1 = affine[0:1, :d]                 # stacked rows: d-wide affine
     bias1 = affine[1:2, :d]
     scale1_f = scale1.astype(jnp.float32)
-    w3 = w3pack[:d, :]                       # in-kernel B3 (see w3pack_rows)
-    b3row = w3pack[d:d + 1, :]
     _zero_on_run_change(u_blk_ref, pu)
     _zero_on_run_change(v_blk_ref, pv)
     # per-tile [sum(d_y) | sum(d_y * x)] — the batch-statistics chain's
@@ -581,16 +553,11 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
         du = _selT(ohT_u, dus, pr)
         dv = _selT(ohT_v, dvs, pr)
         # recomputed forward, bit-matching the K3/K7 dtype discipline
-        # (the b3e dot is the SAME in-kernel stacked dot K3/K7 run, so the
-        # recomputed relu masks match exactly)
-        e_st = _stack_p(e_in[psl, :], d)
-        b3e_st = jnp.dot(e_st, w3, preferred_element_type=jnp.float32,
-                         precision=_prec(dt)).astype(dt) + b3row
-        x = (gu[:, :d] + gv[:, :d]).astype(dt) + b3e_st
+        x = (gu[:, :d] + gv[:, :d]).astype(dt) + _stack_p(b3e[psl, :], d)
         gaff = x * scale1 + bias1
         # compare in f32: Mosaic has no bf16 vector cmpf (conversion is exact)
         relu_m = (gaff.astype(jnp.float32) > 0).astype(jnp.float32)
-        eo = jax.nn.relu(gaff) + e_st
+        eo = jax.nn.relu(gaff) + _stack_p(e_in[psl, :], d)
         # f32 sigmoid: Mosaic's bf16 logistic lowering miscompiles
         sigma = jax.nn.sigmoid(eo.astype(jnp.float32))
         a2u = gu[:, d:].astype(dt).astype(jnp.float32)
@@ -635,7 +602,7 @@ def _k8_kernel(u_blk_ref, v_blk_ref, *refs, tile_e, wu, wv, d, chunk,
 
 
 def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
-                       w3pack, e_in_p, d_e_out_p, scale_eff, bias_eff,
+                       b3e_p, e_in_p, d_e_out_p, scale_eff, bias_eff,
                        with_xsum: bool = False):
     """Fused training-layer backward (packed edge layout).  ``d_sum_u``/
     ``d_sum_v`` are the node cotangent arrays [Np, 2d] (caller casts to the
@@ -648,15 +615,13 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     ([d_gate | d_msg | x]) — the x-sums for the batch-statistics chain ride
     the same scatter dots.  Overflow edges select zero everywhere (sentinel
     one-hots) and their x/deo/partial contributions are patched by the
-    caller.  The B3 projection is recomputed in-kernel from ``e_in_p``
-    with the same stacked dot as K3/K7 (w3pack_rows), so no [Ep/2, 2d] b3e
-    array exists anywhere in the step."""
-    Eh, d2 = e_in_p.shape
+    caller."""
+    Eh, d2 = b3e_p.shape
     d = d2 // 2
     T, ET, C = plan.n_tiles, plan.tile_e, plan.chunk
     Wu, Wv = plan.window, plan.win_v
     ku, kv = plan.k_u, plan.k_v
-    dtype = e_in_p.dtype
+    dtype = b3e_p.dtype
     rows = plan.rows_p
     affine = jnp.concatenate(
         [jnp.stack([jnp.concatenate([scale_eff, scale_eff]),
@@ -689,7 +654,7 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((rows, Ch), lambda t, ub, vb: (t, 0)),
-               pl.BlockSpec((d + 8, d), lambda t, ub, vb: (0, 0)),
+               pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((ETh, 2 * d), lambda t, ub, vb: (t, 0)),
                pl.BlockSpec((8, 2 * d), lambda t, ub, vb: (0, 0))]),
@@ -697,22 +662,20 @@ def k8_train_layer_bwd(plan: WindowedPlan, d_sum_u, d_sum_v, proj_u, proj_v,
     )
     kern = functools.partial(_k8_kernel, tile_e=ET, wu=Wu, wv=Wv, d=d,
                              chunk=C, ku=ku, kv=kv, with_xsum=with_xsum)
-    # in-place: deo_out overwrites d_e_out_p (0.75 GB at 6.3M edges).
-    # Exact: at overflow rows the kernel writes deo = d_e_out verbatim
-    # (sentinel selects are zero), so the caller's overflow patches read the
-    # output in place of the destroyed input.  (x_out used to alias the
-    # materialised b3e_p input; with the in-kernel B3 there is no b3e array
-    # — x_out gets a fresh allocation of the same size, peak unchanged.)
-    # Alias indices count scalar-prefetch args too.
-    pos_w3 = 2 + 2 * ku + 2 * kv + 4
+    # in-place: x_out overwrites b3e_p and deo_out overwrites d_e_out_p
+    # (0.75 GB each at 6.3M edges).  Exact: at overflow rows the kernel
+    # writes x = b3e and deo = d_e_out verbatim (sentinel selects are zero),
+    # so the caller's overflow patches read the outputs in place of the
+    # destroyed inputs.  Alias indices count scalar-prefetch args too.
+    pos_b3e = 2 + 2 * ku + 2 * kv + 4
     out = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        input_output_aliases={pos_w3 + 2: 1},
+        input_output_aliases={pos_b3e: 0, pos_b3e + 2: 1},
         interpret=_interpret(), compiler_params=_CPARAMS,
     )(plan.u_blk, plan.v_blk, *([d_sum_u] * ku), *([d_sum_v] * kv),
       *([proj_u] * ku), *([proj_v] * kv),
       plan.u_local_e, plan.u_local_o, plan.v_local_e, plan.v_local_o,
-      w3pack, e_in_p, d_e_out_p, affine)
+      b3e_p, e_in_p, d_e_out_p, affine)
     return (out[0], out[1], out[2:2 + ku], out[2 + ku:2 + ku + kv],
             out[2 + ku + kv])
 

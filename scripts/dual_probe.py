@@ -106,12 +106,10 @@ def main():
     # --- K7 dual
     from gnnome_tpu.ops.pallas_kernels import k7_gate_stats
 
-    from gnnome_tpu.ops.pallas_kernels import w3pack_rows
-
     def k7_f(i, h_, e_):
         pr = h_ @ w_uv + b_uv
-        st = k7_gate_stats(gt.wplan, pr[:, :4 * d], pr[:, 4 * d:], e_,
-                           w3pack_rows(wbd3, b3b, e_.dtype))
+        b3 = e_ @ wbd3 + b3b
+        st = k7_gate_stats(gt.wplan, pr[:, :4 * d], pr[:, 4 * d:], b3)
         return h_ + st[:1, :1].astype(h_.dtype)
 
     timeit("proj + K7 stats", k7_f, h, e_p)
@@ -119,8 +117,9 @@ def main():
     # --- K3 dual (eval stage, affine folded)
     def k3_f(i, h_, e_):
         pr = h_ @ w_uv + b_uv
+        b3 = e_ @ wbd3 + b3b
         eo, sv, su = message.fused_eval_edge_stage(
-            gt, pr[:, :4 * d], pr[:, 4 * d:], wbd3, b3b, e_,
+            gt, pr[:, :4 * d], pr[:, 4 * d:], b3, e_,
             scale2.astype(dtype), bias2.astype(dtype))
         return h_ + eo[:1, :1].astype(h_.dtype) + sv[:1, :1].astype(h_.dtype)
 

@@ -120,32 +120,25 @@ def main():
     e_in_p = message.pack_edges(e_in)
     deo_p = message.pack_edges(e_in) * 0.01
 
-    # in-kernel B3 (round 5): kernels take e + packed W3 rows, not b3e
-    from gnnome_tpu.ops.pallas_kernels import w3pack_rows
-    d1 = e_in_p.shape[1] // 2
-    wbd_id = jnp.eye(2 * d1, dtype=e_in_p.dtype) * 0.1
-    b3b_id = jnp.zeros(2 * d1, e_in_p.dtype)
-    w3p = w3pack_rows(wbd_id, b3b_id, e_in_p.dtype)
-
-    def k3_body(i, e, pu, pv, g):
-        eo, sv, su = message.fused_eval_edge_stage(g, pu, pv, wbd_id,
-                                                   b3b_id, e, scale, bias)
+    def k3_body(i, e, pu, pv, b3, g):
+        eo, sv, su = message.fused_eval_edge_stage(g, pu, pv, b3, e,
+                                                   scale, bias)
         return eo + sv[:1, :].astype(eo.dtype) + su[:1, :].astype(eo.dtype)
 
     timeit("K3 fused edge stage (packed)", k3_body, e_in_p, proj_u, proj_v,
-           gt)
+           b3e_p, gt)
 
-    def k7_body(i, e, pu, pv, pl):
+    def k7_body(i, b3, pu, pv, pl):
         from gnnome_tpu.ops.pallas_kernels import k7_gate_stats
-        stats = k7_gate_stats(pl, pu, pv, e, w3p)
-        return e + stats[:1, :].astype(e.dtype)
+        stats = k7_gate_stats(pl, pu, pv, b3)
+        return b3 + stats[:1, :].astype(b3.dtype)
 
-    timeit("K7 gate stats", k7_body, e_in_p, proj_u, proj_v, plan)
+    timeit("K7 gate stats", k7_body, b3e_p, proj_u, proj_v, plan)
 
-    def k8_body(i, ei, de, pu, pv, pl):
+    def k8_body(i, b3, ei, de, pu, pv, pl):
         from gnnome_tpu.ops.pallas_kernels import k8_train_layer_bwd
         xp, dp, pu_parts, pv_parts, _st = k8_train_layer_bwd(
-            pl, pu, pv, pu, pv, w3p, ei, de,
+            pl, pu, pv, pu, pv, b3, ei, de,
             scale.astype(jnp.float32), bias.astype(jnp.float32),
             with_xsum=True)
         return xp + dp[:1, :] + pu_parts[0][:1, :1].astype(xp.dtype)

@@ -1,10 +1,5 @@
 """Minimal repro hunt for the fused-f32 Mosaic remote-compile failure.
 
-HISTORICAL ARTIFACT (round 2/3): pins the kernel signatures of that era
-(k3 took a materialised b3e operand; round 5 moved B3 in-kernel), kept
-verbatim as the record of the compiler bisection — do not run against
-current kernels.
-
 Round 2 and the round-3 on-TPU parity suite both see `tpu_compile_helper
 subprocess exit code 1` (error text swallowed by the remote-compile tunnel)
 when the fused K3/K7/K8 kernels compile at f32.  bf16 compiles and runs.
