@@ -75,6 +75,7 @@ def make_cfg(cluster: int, remat, epochs: int):
     cfg.train.masking = False
     cfg.train.num_nodes_per_cluster = cluster
     cfg.compute.dtype = "bfloat16"
+    cfg.compute.matmul_precision = "default"   # bf16 perf mode (as bench.py)
     cfg.compute.remat = remat
     cfg.compute.bucket_growth = 1.2
     return cfg
@@ -159,7 +160,7 @@ def main():
     ap.add_argument("--stage", default="all", choices=["a", "b", "all"])
     ap.add_argument("--config4-nodes", type=int, default=1_048_576)
     ap.add_argument("--both-nodes", type=int, default=458_752)
-    ap.add_argument("--cluster-nodes", type=int, default=131_072)
+    ap.add_argument("--cluster-nodes", type=int, default=65_536)
     ap.add_argument("--epochs-a", type=int, default=2)
     ap.add_argument("--epochs-b", type=int, default=10)
     args = ap.parse_args()
