@@ -55,6 +55,8 @@ def build_dataset(root: str, mode: str, seed: int = 20260820) -> None:
 
     os.makedirs(os.path.join(root, "hifiasm", "processed"), exist_ok=True)
     os.makedirs(os.path.join(root, "hifiasm", "info"), exist_ok=True)
+    if os.path.isfile(os.path.join(root, "hifiasm", "processed", "0.npz")):
+        return                         # reuse a previously built dataset
     if mode == "tpu-full":
         # one chromosome-scale full-graph training unit (remat='full') plus
         # a smaller held-out VALIDATION graph, so the recording carries real
@@ -184,14 +186,18 @@ def main():
     epochs_log = epoch_walls(os.path.join(ck, log_file))
 
     # ---- resume reproducibility: continue the SAME checkpoint twice for
-    # one extra epoch; both continuations must end bitwise-identical
+    # one extra epoch; both continuations must end bitwise-identical.
+    # Compare the CHECKPOINTS (written every epoch) — the best-model file
+    # only exists when the extra epoch improves validation loss
     import numpy as np
     finals = []
     for attempt in range(2):
-        mp, _, _ = run_training(root, args.mode, args.epochs + 1, "resume",
-                                "r04")
-        with np.load(mp) as z:
-            finals.append({k: z[k].copy() for k in z.files})
+        run_training(root, args.mode, args.epochs + 1, "resume", "r04")
+        cp = [f for f in os.listdir(ck)
+              if f.startswith("ckpt_") and "resumed" in f][0]
+        with np.load(os.path.join(ck, cp)) as z:
+            finals.append({k: z[k].copy() for k in z.files
+                           if k.startswith("params/")})
         # remove the resumed artifacts so the second attempt is identical
         for f in os.listdir(ck):
             if "resumed" in f:
