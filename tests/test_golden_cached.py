@@ -26,10 +26,21 @@ pytestmark = pytest.mark.skipif(
 def golden_sub():
     from gnnome_tpu.graphs.container import AssemblyGraph
     g = AssemblyGraph.load(FIXTURE)
-    # first 1200 reads: the graph is banded, so a node-range subgraph keeps
-    # real structure (incl. error-spread similarities and hard negatives)
-    sub, _, _ = g.node_subgraph(np.arange(2400))
+    # The graph is banded along the genome, but the hard negatives (repeat
+    # cross-copy edges: similarity ~1, label 0) connect DISTANT copies, so no
+    # contiguous node range contains both endpoints.  Take the band around
+    # node 0 plus bands around the endpoints of the first few hard negatives
+    # so the subgraph sample stays discriminating (AP strictly < 1).
+    hard = np.nonzero((g.y == 0) & (g.overlap_similarity > 0.95))[0]
+    keep = np.zeros(g.num_nodes, dtype=bool)
+    keep[:1600] = True
+    band = 400
+    for eid in hard[:: max(1, len(hard) // 4)][:4]:
+        for v in (int(g.src[eid]), int(g.dst[eid])):
+            keep[max(0, v - band): v + band] = True
+    sub, _, _ = g.node_subgraph(keep)
     assert sub.num_edges > 10_000
+    assert ((sub.y == 0) & (sub.overlap_similarity > 0.95)).sum() > 0
     return sub
 
 
