@@ -125,6 +125,45 @@ def test_tail_vs_scatter_vs_xla_equality(monkeypatch):
                                            rtol=0, atol=3e-4)
 
 
+def test_make_example_mask_matches_label_order(monkeypatch):
+    """``make_example``'s loss mask must ride the same ordering as its
+    labels: slot-order edge_mask when ``slot_io`` (flagship), host-order
+    prefix otherwise (zoo models) — under the tail layout the two orderings
+    differ, and mixing them silently leaks pad logits into the loss."""
+    from gnnome_tpu.config import Config
+    from gnnome_tpu.models.features import edge_features as efeat
+    from gnnome_tpu.train.step import make_example
+
+    monkeypatch.setenv("GN_TAIL_OVF", "1")
+    g = _graph()
+    e = efeat(g)
+    y = np.random.default_rng(0).integers(0, 2, g.num_edges).astype(np.float32)
+    ind = np.bincount(g.dst, minlength=g.num_nodes).astype(np.float32)
+    outd = np.bincount(g.src, minlength=g.num_nodes).astype(np.float32)
+
+    for model, expect_slot in (("sym_gatedgcn", True), ("gcn", False)):
+        cfg = Config()
+        cfg.model.model = model
+        cfg.compute.backend = "pallas"
+        cfg.compute.edge_pad_multiple = TILE
+        cfg.compute.node_pad_multiple = WIN
+        ex = make_example(cfg, ind, outd, e, y, g.src, g.dst, g.num_nodes)
+        assert ex.slot_io == expect_slot
+        mask = np.asarray(ex.mask)
+        labels = np.asarray(ex.labels)
+        if expect_slot:
+            np.testing.assert_array_equal(
+                mask, ex.gt.host("edge_mask")[:, 0])
+        else:
+            np.testing.assert_array_equal(
+                mask, (np.arange(ex.gt.n_edges_pad)
+                       < g.num_edges).astype(np.float32))
+        # the mask keeps exactly the real labels in either ordering
+        assert int(mask.sum()) == g.num_edges
+        lab_sum = labels[mask > 0].sum()
+        assert abs(lab_sum - y.sum()) < 1e-3
+
+
 def test_tail_infeasible_small_graph_falls_back(monkeypatch):
     """A graph whose region can't fit keeps the scatter plans unchanged."""
     monkeypatch.setenv("GN_TAIL_OVF", "1")

@@ -64,7 +64,13 @@ def _run(setup, path, dtype, remat):
           'two_xla' — two sequential XLA passes (ground truth).
     """
     cfg, gt, x, x_rev, e, params, state, y, g = setup
-    mask = gt.edge_mask[:, 0]
+    # HOST-order validity mask: e/y/logits ride host edge order here
+    # (slot_io=False), where real edges are exactly the [:n] prefix.
+    # gt.edge_mask is SLOT order — since the round-5 tail-overflow layout
+    # it no longer coincides with the host prefix (real edges live in the
+    # interior AND the tail region), so using it here would leak pad-slot
+    # logits into the loss and make the grads backend-dependent.
+    mask = (jnp.arange(gt.n_edges_pad) < g.num_edges).astype(jnp.float32)
 
     def loss_fn(p):
         if path == "dual":

@@ -42,7 +42,11 @@ def _setup():
 
 
 def _run(cfg, gt, x, e, params, state, y, backend, dtype, training):
-    mask = gt.edge_mask
+    # HOST-order validity mask (see test_on_tpu_dual._run): e/y/logits are
+    # host-ordered here, and gt.edge_mask (slot order) stopped coinciding
+    # with the host prefix when the tail-overflow layout landed (round 5)
+    n_real = int(np.asarray(gt.edge_mask).sum())
+    mask = (jnp.arange(gt.n_edges_pad)[:, None] < n_real).astype(jnp.float32)
 
     def loss_fn(p):
         logits, _ = forward(p, state, gt, x, e, cfg, training=training,
