@@ -132,6 +132,13 @@ def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
     Np, Ep = gt.n_nodes_pad, gt.n_edges_pad
     if Np % P != 0:
         return None
+    if not gt.dst_sorted:
+        # the vectorised per-device fill below derives each edge's position
+        # from cumulative owner counts, which requires globally dst-sorted
+        # slots; a tail-overflow (windowed-plan) layout breaks that order.
+        # Halo callers always build a fresh plain gt, so this only fires on
+        # misuse — fall back to GSPMD instead of silently colliding slots.
+        return None
     Nb = Np // P
     src = gt.host("src")
     dst = gt.host("dst")
