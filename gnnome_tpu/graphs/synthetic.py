@@ -387,6 +387,33 @@ def positional_bench_graph(num_nodes: int, avg_degree: float = 6.0,
             np.full(num_nodes, 1, dtype=np.int16))
 
 
+def positional_bench_assembly_graph(num_nodes: int, seed: int = 0,
+                                    avg_degree: float = 6.0):
+    """``positional_bench_graph`` wrapped into a full labeled AssemblyGraph
+    (GT labels from the positional ground truth, read-scale length/prefix/
+    overlap heuristics, near-1 similarities) — the shared recipe of the
+    product-run and config-4 recorders (scripts/product_train_run.py,
+    scripts/config4_route.py), hoisted so both measure the SAME graph."""
+    from .container import AssemblyGraph
+    from .labels import compute_gt_labels
+
+    src, dst, strand, start, end, chrom = positional_bench_graph(
+        num_nodes, avg_degree, seed=seed)
+    g = AssemblyGraph(
+        num_nodes=num_nodes, src=src, dst=dst,
+        read_length=np.repeat(end[::2] - start[::2], 2),
+        prefix_length=np.maximum(
+            1, (end[src] - start[src]) // 2).astype(np.int64),
+        overlap_length=np.maximum(
+            1, (end[src] - start[src]) // 3).astype(np.int64))
+    g.read_strand, g.read_start, g.read_end, g.read_chr = (
+        strand, start, end, chrom)
+    g.y = compute_gt_labels(src, dst, strand, start, end, chrom)
+    g.overlap_similarity = np.random.default_rng(seed).uniform(
+        0.9, 1.0, src.shape[0]).astype(np.float32)
+    return g
+
+
 def random_rc_bench_graph(num_nodes: int, avg_degree: float, seed: int = 0,
                           locality: int = 64):
     """Assembly-shaped AssemblyGraph with the RC-twin invariant (edge u->v

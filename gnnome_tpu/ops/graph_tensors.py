@@ -187,6 +187,20 @@ class GraphTensors:
         return cls.build(graph.src, graph.dst, graph.num_nodes,
                          edge_pad_multiple, node_pad_multiple, divisible_by)
 
+    def host_prefix_mask(self, n_real: int | None = None) -> np.ndarray:
+        """Float32 [Ep] validity mask for HOST-edge-order arrays, where real
+        edges are exactly the ``[:n_edges]`` prefix.
+
+        This is THE mask to pair with host-ordered labels/logits
+        (``slot_io=False``).  ``edge_mask`` is slot order, and since the
+        tail-overflow reslot the two orderings differ (real edges live in
+        the interior AND the tail region) — mixing them silently leaks pad
+        logits into a loss.  ``n_real`` overrides ``self.n_edges`` for
+        callers that rounded the static count up to the padded size (shape
+        bucketing)."""
+        n = self.n_edges if n_real is None else n_real
+        return (np.arange(self.n_edges_pad) < n).astype(np.float32)
+
     # ----------------------------------------------------- edge-order mapping
     def edges_to_slots(self, x: jax.Array) -> jax.Array:
         """Host-edge-order [Ep, ...] -> slot order (device, one narrow gather)."""

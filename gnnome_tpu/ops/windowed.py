@@ -116,10 +116,6 @@ class WindowedPlan:
     # summed counts may ride bf16 partials)
     deg_u: jax.Array = None  # float32 [n_pad]
     deg_v: jax.Array = None  # float32 [n_pad]
-    # real-edge count on the patch path, as a traced f32 scalar (tail mode:
-    # interior slot validity = slot < ne_valid - n_ovf_f; a static int would
-    # key the jit cache per masked unit)
-    n_ovf_f: jax.Array = None  # f32 []
     # --- static ---
     tile_e: int = TILE_E
     window: int = WINDOW    # u-side block rows
@@ -190,7 +186,7 @@ jax.tree_util.register_dataclass(
     data_fields=["u_blk", "v_blk", "u_local", "v_local",
                  "u_local_e", "u_local_o", "v_local_e", "v_local_o",
                  "u_visited", "v_visited", "ovf_slots", "ovf_mask",
-                 "deg_u", "deg_v", "n_ovf_f"],
+                 "deg_u", "deg_v"],
     meta_fields=["tile_e", "window", "chunk", "n_tiles", "n_pad",
                  "u_all", "v_all", "window_v", "k_u", "k_v", "ovf_start"],
 )
@@ -387,7 +383,6 @@ def build_windowed_plan(gt, flip: bool = False, tile_e: int = TILE_E,
             u[valid], minlength=Np).astype(np.float32)),
         deg_v=jnp.asarray(np.bincount(
             v[valid], minlength=Np).astype(np.float32)),
-        n_ovf_f=jnp.asarray(np.float32(n_ovf)),
         tile_e=tile_e, window=wu, chunk=chunk, n_tiles=n_tiles,
         n_pad=Np, window_v=wv, k_u=k_u, k_v=k_v,
         u_all=bool(u_visited.all()), v_all=bool(v_visited.all()),

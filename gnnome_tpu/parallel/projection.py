@@ -121,8 +121,12 @@ def overlap_windows(n_edges_shard: float, K: int, Rpad: int, P: int,
     t_raw = K * d * dtype_bytes / bw
     t_part = K * 2 * d * 4 / bw
     t_ovf = ring * (Rpad * 4 * d * dtype_bytes + Rpad * 2 * d * 4) / bw
-    hidden = (min(t_raw, t_gather) + min(t_part, t_segsum)
-              + min(t_ovf, t_gather))
+    # raw strips and the overflow psum hide under the SAME gather op, so
+    # they share its duration (summing two min(.., t_gather) terms would
+    # let 2x the gather's seconds hide under one op and overstate overlap
+    # exactly in the transfer-dominated regime this estimate exists to
+    # bound)
+    hidden = min(t_raw + t_ovf, t_gather) + min(t_part, t_segsum)
     return hidden, t_raw + t_part + t_ovf
 
 

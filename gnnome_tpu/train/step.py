@@ -93,16 +93,11 @@ def make_example(cfg: Config, in_deg, out_deg, e_feat, y, src, dst,
         eid_of_slot = gt.host("eid_of_slot")
         e_np = e_np[eid_of_slot]
         y_np = y_np[eid_of_slot]
-    if slot_io:
-        # labels/e ride SLOT order -> the slot-order validity mask matches
-        mask = jnp.asarray(gt.host("edge_mask")[:, 0])
-    else:
-        # labels/e stay in HOST edge order, where real edges are the [:n]
-        # prefix.  gt.edge_mask is slot order and no longer coincides with
-        # the host prefix under the tail-overflow layout (real edges live in
-        # the interior AND the tail region), so it must not be used here.
-        mask = jnp.asarray(
-            (np.arange(gt.n_edges_pad) < y.shape[0]).astype(np.float32))
+    # the loss mask must ride the SAME ordering as labels/logits: slot-order
+    # edge_mask with slot_io, host-order prefix otherwise (the two differ
+    # under the tail-overflow layout — see GraphTensors.host_prefix_mask)
+    mask = jnp.asarray(gt.host("edge_mask")[:, 0] if slot_io
+                       else gt.host_prefix_mask(y.shape[0]))
     if slot_io:
         # round the gt's STATIC real counts up to the padded sizes: masked/
         # clustered units then share one compiled program per shape bucket.

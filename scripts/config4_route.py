@@ -45,26 +45,8 @@ class CompileCounter(logging.Handler):
 
 
 def build_graph(n_nodes: int, seed: int):
-    import numpy as np
-    from gnnome_tpu.graphs.container import AssemblyGraph
-    from gnnome_tpu.graphs.labels import compute_gt_labels
-    from gnnome_tpu.graphs.synthetic import positional_bench_graph
-
-    src, dst, strand, start, end, chrom = positional_bench_graph(
-        n_nodes, 6.0, seed=seed)
-    g = AssemblyGraph(
-        num_nodes=n_nodes, src=src, dst=dst,
-        read_length=np.repeat(end[::2] - start[::2], 2),
-        prefix_length=np.maximum(
-            1, (end[src] - start[src]) // 2).astype(np.int64),
-        overlap_length=np.maximum(
-            1, (end[src] - start[src]) // 3).astype(np.int64))
-    g.read_strand, g.read_start, g.read_end, g.read_chr = (
-        strand, start, end, chrom)
-    g.y = compute_gt_labels(src, dst, strand, start, end, chrom)
-    g.overlap_similarity = np.random.default_rng(seed).uniform(
-        0.9, 1.0, src.shape[0]).astype(np.float32)
-    return g
+    from gnnome_tpu.graphs.synthetic import positional_bench_assembly_graph
+    return positional_bench_assembly_graph(n_nodes, seed)
 
 
 def make_cfg(cluster: int, remat, epochs: int):

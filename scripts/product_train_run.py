@@ -55,8 +55,15 @@ def build_dataset(root: str, mode: str, seed: int = 20260820) -> None:
 
     os.makedirs(os.path.join(root, "hifiasm", "processed"), exist_ok=True)
     os.makedirs(os.path.join(root, "hifiasm", "info"), exist_ok=True)
-    if os.path.isfile(os.path.join(root, "hifiasm", "processed", "0.npz")):
-        return                         # reuse a previously built dataset
+    have_train = os.path.isfile(
+        os.path.join(root, "hifiasm", "processed", "0.npz"))
+    have_valid = os.path.isdir(os.path.join(root, "valid"))
+    # reuse only a COMPLETE previous dataset: a tpu-full tree without the
+    # held-out valid/ split (pre-round-5 layout) must be rebuilt, or
+    # run_training's valid_root fallback silently selects on the TRAINING
+    # graph while the artifact claims held-out validation
+    if have_train and (mode != "tpu-full" or have_valid):
+        return
     if mode == "tpu-full":
         # one chromosome-scale full-graph training unit (remat='full') plus
         # a smaller held-out VALIDATION graph, so the recording carries real
@@ -65,26 +72,8 @@ def build_dataset(root: str, mode: str, seed: int = 20260820) -> None:
         # ~18.5 GB on today's code (measured OOM logs, 2026-08-20) — the
         # round-2 "6.3M edges on 16 GB" claim predates the dual-era carries.
         # 768k nodes / ~3.5M edges is the largest that holds on one chip.
-        from gnnome_tpu.graphs.synthetic import positional_bench_graph
-        from gnnome_tpu.graphs.container import AssemblyGraph
-        from gnnome_tpu.graphs.labels import compute_gt_labels
-
-        def make(n_nodes, sd):
-            src, dst, strand, start, end, chrom = positional_bench_graph(
-                n_nodes, 6.0, seed=sd)
-            g = AssemblyGraph(
-                num_nodes=n_nodes, src=src, dst=dst,
-                read_length=np.repeat(end[::2] - start[::2], 2),
-                prefix_length=np.maximum(
-                    1, (end[src] - start[src]) // 2).astype(np.int64),
-                overlap_length=np.maximum(
-                    1, (end[src] - start[src]) // 3).astype(np.int64))
-            g.read_strand, g.read_start, g.read_end, g.read_chr = (
-                strand, start, end, chrom)
-            g.y = compute_gt_labels(src, dst, strand, start, end, chrom)
-            g.overlap_similarity = np.random.default_rng(sd).uniform(
-                0.9, 1.0, src.shape[0]).astype(np.float32)
-            return g
+        from gnnome_tpu.graphs.synthetic import (
+            positional_bench_assembly_graph as make)
 
         make(786_432, seed).save(
             os.path.join(root, "hifiasm", "processed", "0.npz"))
@@ -195,9 +184,11 @@ def main():
         run_training(root, args.mode, args.epochs + 1, "resume", "r04")
         cp = [f for f in os.listdir(ck)
               if f.startswith("ckpt_") and "resumed" in f][0]
+        # EVERY array in the checkpoint: params, BN running stats, optimizer
+        # moments, scheduler state, epoch — a resume nondeterminism that
+        # perturbs only the non-param state must fail this gate too
         with np.load(os.path.join(ck, cp)) as z:
-            finals.append({k: z[k].copy() for k in z.files
-                           if k.startswith("params/")})
+            finals.append({k: z[k].copy() for k in z.files})
         # remove the resumed artifacts so the second attempt is identical
         for f in os.listdir(ck):
             if "resumed" in f:

@@ -67,7 +67,6 @@ def test_tail_layout_invariants(monkeypatch):
     n_reg = int(np.asarray(gt.wplan.ovf_mask).sum())
     assert em[E0:E0 + n_reg].all() and not em[E0 + n_reg:].any()
     assert int(em[:E0].sum()) + n_reg == g.num_edges
-    assert float(gt.wplan.n_ovf_f) == n_reg
 
     # the slot maps stay a bijection over all padded slots
     eos, soe = gt.host("eid_of_slot"), gt.host("slot_of_eid")
@@ -88,11 +87,8 @@ def test_tail_vs_scatter_vs_xla_equality(monkeypatch):
         x = jnp.asarray(gt.pad_nodes(x_np))
         e = jnp.asarray(gt.pad_edges(e_np))
         labels = jnp.asarray(gt.pad_edges(y[:, None]))[:, 0]
-        # logits/labels are in HOST edge order here (slot_io=False), so the
-        # mask must be the host-order one — gt.edge_mask is slot order and
-        # differs between the two layouts
-        mask = jnp.asarray(
-            (np.arange(gt.n_edges_pad) < g.num_edges).astype(np.float32))
+        # logits/labels are in HOST edge order here (slot_io=False):
+        mask = jnp.asarray(gt.host_prefix_mask(g.num_edges))
 
         def loss_fn(p):
             logits, _ = forward(p, state, gt, x, e, cfg, training=training,

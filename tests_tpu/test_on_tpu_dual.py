@@ -64,13 +64,10 @@ def _run(setup, path, dtype, remat):
           'two_xla' — two sequential XLA passes (ground truth).
     """
     cfg, gt, x, x_rev, e, params, state, y, g = setup
-    # HOST-order validity mask: e/y/logits ride host edge order here
-    # (slot_io=False), where real edges are exactly the [:n] prefix.
-    # gt.edge_mask is SLOT order — since the round-5 tail-overflow layout
-    # it no longer coincides with the host prefix (real edges live in the
-    # interior AND the tail region), so using it here would leak pad-slot
-    # logits into the loss and make the grads backend-dependent.
-    mask = (jnp.arange(gt.n_edges_pad) < g.num_edges).astype(jnp.float32)
+    # e/y/logits ride HOST edge order here (slot_io=False) — the mask must
+    # too, or pad-slot logits leak into the loss and the grads become
+    # backend-dependent (see GraphTensors.host_prefix_mask)
+    mask = jnp.asarray(gt.host_prefix_mask(g.num_edges))
 
     def loss_fn(p):
         if path == "dual":

@@ -42,11 +42,10 @@ def _setup():
 
 
 def _run(cfg, gt, x, e, params, state, y, backend, dtype, training):
-    # HOST-order validity mask (see test_on_tpu_dual._run): e/y/logits are
-    # host-ordered here, and gt.edge_mask (slot order) stopped coinciding
-    # with the host prefix when the tail-overflow layout landed (round 5)
+    # e/y/logits are host-ordered here — so must the mask be (see
+    # GraphTensors.host_prefix_mask)
     n_real = int(np.asarray(gt.edge_mask).sum())
-    mask = (jnp.arange(gt.n_edges_pad)[:, None] < n_real).astype(jnp.float32)
+    mask = jnp.asarray(gt.host_prefix_mask(n_real))[:, None]
 
     def loss_fn(p):
         logits, _ = forward(p, state, gt, x, e, cfg, training=training,
