@@ -15,7 +15,7 @@ Usage:
   # (same with -fsanitize=undefined / libubsan.so)
   sh native/build.sh   # restore the production build afterwards
 
-Both sanitizers ran clean on 2026-08-20 (round 5).
+ASan, TSan (-fsanitize=thread / libtsan.so) and UBSan all ran clean on 2026-08-20 (round 5).
 """
 import os, sys, tempfile
 sys.path.insert(0, "/root/repo")
