@@ -43,6 +43,9 @@ def setup():
     cfg = ModelConfig(num_gnn_layers=8, dropout=0.0)
     gt = GraphTensors.build(g.src, g.dst, g.num_nodes, 2048, 512)
     gt = with_windowed_plans(gt, flip_too=True)
+    # keep the production tail-overflow layout under Mosaic coverage (see
+    # test_on_tpu_parity._setup)
+    assert gt.wplan.ovf_start >= 0 and not gt.dst_sorted
     x = node_features(g)
     x_rev = x[:, ::-1].copy()          # swapped in/out degrees (train.py:165)
     e = gt.pad_edges(edge_features(g))

@@ -31,6 +31,10 @@ def _setup():
     cfg = ModelConfig(num_gnn_layers=3, dropout=0.0)
     gt = GraphTensors.build(g.src, g.dst, g.num_nodes, 2048, 512)
     gt = with_windowed_plans(gt, flip_too=True)
+    # this suite must exercise the production tail-overflow layout — if plan
+    # building ever stops activating it here, the Mosaic coverage of the
+    # slice-mode patch paths silently vanishes
+    assert gt.wplan.ovf_start >= 0 and not gt.dst_sorted
     x = gt.pad_nodes(node_features(g))
     e = gt.pad_edges(edge_features(g))
     params, state = init_params(jax.random.PRNGKey(0), cfg)
