@@ -34,6 +34,8 @@ plan, falling back to GSPMD otherwise.
 """
 from __future__ import annotations
 
+import dataclasses
+import json
 from dataclasses import dataclass
 from functools import partial
 
@@ -181,6 +183,12 @@ def build_halo_plan(gt: GraphTensors, e_feat_host: np.ndarray, n_devices: int,
         K = _round_up(_geom_bucket(K, bucket_growth), 8)
         Emax = _round_up(_geom_bucket(Emax, bucket_growth), 128)
     K = min(K, k_cap)
+    if K > Nb:
+        # tiny blocks (large mesh / small graph): the strip slices h[Nb-K:]
+        # and the layer adds [K, .] ppermute results into Nb-row regions —
+        # K > Nb would crash at trace time inside jit.  The documented
+        # contract is None -> GSPMD fallback.
+        return None
 
     # overflow: edges whose src escapes the strips read from a psum-shared
     # row buffer (unique global src nodes, each owned by one device)
@@ -252,26 +260,6 @@ def _perm_bwd(P):
     return [(i, (i - 1) % P) for i in range(P)]
 
 
-def halo_extend(h_block: jax.Array, K: int, P: int) -> jax.Array:
-    """[Nb, D] -> [K+Nb+K, D]: receive the left neighbour's bottom strip and
-    the right neighbour's top strip (one ppermute each over ICI)."""
-    from_left = jax.lax.ppermute(h_block[-K:], GRAPH_AXIS, _perm_fwd(P))
-    from_right = jax.lax.ppermute(h_block[:K], GRAPH_AXIS, _perm_bwd(P))
-    return jnp.concatenate([from_left, h_block, from_right], axis=0)
-
-
-def halo_return(partial_ext: jax.Array, K: int, Nb: int, P: int) -> jax.Array:
-    """Inverse of halo_extend for partial sums: rows [0,K) belong to the left
-    neighbour's tail, rows [K+Nb,) to the right neighbour's head — send them
-    home and add."""
-    local = partial_ext[K:K + Nb]
-    to_left = jax.lax.ppermute(partial_ext[:K], GRAPH_AXIS, _perm_bwd(P))
-    to_right = jax.lax.ppermute(partial_ext[K + Nb:], GRAPH_AXIS, _perm_fwd(P))
-    local = local.at[Nb - K:].add(to_left)
-    local = local.at[:K].add(to_right)
-    return local
-
-
 def _psum_bn(p, s, x, mask, n_valid, training, repeat_updates=1):
     """Masked BatchNorm with cross-device statistics (psum'd sums);
     torch semantics as in models/norm.py.  ``n_valid`` may be a traced
@@ -325,10 +313,19 @@ def _halo_layer(p, s, plan: HaloPlan, h, fl, fr, e_dev, nmask, n_nodes_real,
     b = jnp.concatenate([p["B1"]["b"], p["A2"]["b"], p["B2"]["b"],
                          p["A3"]["b"], p["A1"]["b"]]).astype(dtype)
 
+    # ``flip`` is a static Python bool and each directional pass consumes
+    # exactly ONE 2d half of the 4d projection per endpoint side — the
+    # halo/src side reads [B1h|A2h] (org) or [B2h|A3h] (flip), the local/dst
+    # side the other half.  Slice BEFORE the strip matmuls and the overflow
+    # psum: halves the strip-projection FLOPs and the overflow wire bytes
+    # with bitwise-identical results.
+    h0 = 0 if not flip else 2 * d          # halo-side column offset
+    l0 = 2 * d - h0                        # local-side = the other half
+
     # receiver-side strip projection (strips arrived during the previous
     # layer's tail compute)
-    from_left = fl @ w[:, : 4 * d] + b[: 4 * d]
-    from_right = fr @ w[:, : 4 * d] + b[: 4 * d]
+    from_left = fl @ w[:, h0: h0 + 2 * d] + b[h0: h0 + 2 * d]
+    from_right = fr @ w[:, h0: h0 + 2 * d] + b[h0: h0 + 2 * d]
 
     proj = h @ w + b                       # interior + a1h
     a1h = proj[:, 4 * d:]
@@ -341,27 +338,19 @@ def _halo_layer(p, s, plan: HaloPlan, h, fl, fr, e_dev, nmask, n_nodes_real,
     proj_pad = jnp.pad(proj[:, : 4 * d], ((0, 1), (0, 0)))  # row Nb = dump
 
     # overflow row buffer: each stray far-reaching src row is contributed by
-    # its owner (sentinel rows are zero) and psum-shared — O(Rpad*D), also in
-    # flight during the local gather below
-    buf = jax.lax.psum(jnp.take(proj_pad, ovf_rows, axis=0), GRAPH_AXIS)
+    # its owner (sentinel rows are zero) and psum-shared — O(Rpad*2d), also
+    # in flight during the local gather below
+    buf = jax.lax.psum(
+        jnp.take(proj_pad[:, h0: h0 + 2 * d], ovf_rows, axis=0), GRAPH_AXIS)
 
     # local (dst-side) gather runs while the strips are in flight
-    if not flip:
-        g_loc = jnp.take(proj_pad[:, 2 * d: 4 * d], dst_loc, axis=0)
-    else:
-        g_loc = jnp.take(proj_pad[:, : 2 * d], dst_loc, axis=0)
+    g_loc = jnp.take(proj_pad[:, l0: l0 + 2 * d], dst_loc, axis=0)
 
-    # extended row space: [left strip | local | right strip | overflow]
-    proj_ext = jnp.concatenate([from_left, proj[:, : 4 * d], from_right, buf],
-                               axis=0)
-    if not flip:
-        # B1h/A2h from src (halo), B2h/A3h from dst (local)
-        g_ext = jnp.take(proj_ext[:, : 2 * d], src_ext, axis=0,
-                         fill_value=0.0, mode="fill")
-    else:
-        # B1h/A2h from dst (local), B2h/A3h from src (halo)
-        g_ext = jnp.take(proj_ext[:, 2 * d: 4 * d], src_ext, axis=0,
-                         fill_value=0.0, mode="fill")
+    # extended row space: [left strip | local | right strip | overflow],
+    # already sliced to the halo-side half
+    proj_ext = jnp.concatenate(
+        [from_left, proj[:, h0: h0 + 2 * d], from_right, buf], axis=0)
+    g_ext = jnp.take(proj_ext, src_ext, axis=0, fill_value=0.0, mode="fill")
     gate = g_ext[:, :d] + g_loc[:, :d]
     m_ext = g_ext[:, d:]             # message value aggregated into dst
     m_loc = g_loc[:, d:]             # message value aggregated into src
@@ -845,9 +834,36 @@ def halo_score_graph(graph, params, state, cfg: Config, mesh):
     rshard = replicated_sharding(mesh)
     params = jax.device_put(params, rshard)
     state = jax.device_put(state, rshard)
-    fwd = make_halo_forward(cfg, mesh)
+    fwd = _cached_halo_forward(cfg, mesh)
     logits = fwd(params, state, ex.plan, ex.x, ex.scalars)
-    return halo_scores_to_host(ex.plan, np.asarray(logits)[..., None], ex.gt)
+    return halo_scores_to_host(ex.plan, fetch_global(logits)[..., None],
+                               ex.gt)
+
+
+# jitted shard_map forwards memoized per (config fingerprint, mesh): scoring
+# N graphs in one process must not rebuild the jit closure N times — the
+# persistent XLA cache skips only backend compilation, not tracing.  (The
+# train loop's _HaloRunner does the same by holding its steps per run.)
+_FWD_CACHE: dict = {}
+
+
+def _cached_halo_forward(cfg: Config, mesh):
+    key = (json.dumps(dataclasses.asdict(cfg.model), sort_keys=True),
+           cfg.compute.dtype, id(mesh))
+    fn = _FWD_CACHE.get(key)
+    if fn is None:
+        fn = _FWD_CACHE[key] = make_halo_forward(cfg, mesh)
+    return fn
+
+
+def fetch_global(arr) -> np.ndarray:
+    """Host numpy copy of a globally-sharded device array.  On a
+    multi-process mesh ``np.asarray`` raises on non-addressable shards;
+    gather across processes first (every process gets the full array)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
 
 
 def halo_scores_to_host(plan: HaloPlan, scores_dev: np.ndarray,

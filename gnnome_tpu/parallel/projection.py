@@ -14,7 +14,7 @@ Wire traffic per device per layer per direction-pass (parallel/halo.py):
   - raw boundary strips OUT, 2 ppermutes x [K, d] in the compute dtype
     (layer-tail, double-buffered across the scan back-edge);
   - src-side partial sums BACK, 2 ppermutes x [K, 2d] f32;
-  - overflow rows, psum of [Rpad, 4d] dtype + [Rpad, 2d] f32 (ring
+  - overflow rows, psum of [Rpad, 2d] dtype + [Rpad, 2d] f32 (ring
     all-reduce moves ~2*(P-1)/P of the payload through each link).
 
 A symmetry train step runs ``passes=2`` directional passes, each with a
@@ -91,7 +91,7 @@ def layer_wire_bytes(K: int, Rpad: int, P: int, d: int = 64,
     strips_out = K * d * dtype_bytes          # raw [K, d] boundary strip
     partials_back = K * 2 * d * 4             # [K, 2d] f32 partial sums
     ring = 2.0 * (P - 1) / P if P > 1 else 0.0
-    overflow = ring * (Rpad * 4 * d * dtype_bytes + Rpad * 2 * d * 4)
+    overflow = ring * (Rpad * 2 * d * dtype_bytes + Rpad * 2 * d * 4)
     return strips_out + partials_back + overflow
 
 
@@ -112,7 +112,7 @@ def overlap_windows(n_edges_shard: float, K: int, Rpad: int, P: int,
         true window, which also spans the node stage and projections);
       * returning [K, 2d] partial sums — window = the dst-side sorted
         segment-sum (into_dst), explicitly scheduled between issue and use;
-      * overflow psum ([Rpad, 4d]) — window = the same local gather.
+      * overflow psum ([Rpad, 2d]) — window = the same local gather.
     """
     bw = link_gbps * 1e9
     t_gather = SEC_PER_EDGE["gather_f32"] * n_edges_shard * 2  # [Eb, 2d]
@@ -120,7 +120,7 @@ def overlap_windows(n_edges_shard: float, K: int, Rpad: int, P: int,
     ring = 2.0 * (P - 1) / P if P > 1 else 0.0
     t_raw = K * d * dtype_bytes / bw
     t_part = K * 2 * d * 4 / bw
-    t_ovf = ring * (Rpad * 4 * d * dtype_bytes + Rpad * 2 * d * 4) / bw
+    t_ovf = ring * (Rpad * 2 * d * dtype_bytes + Rpad * 2 * d * 4) / bw
     # raw strips and the overflow psum hide under the SAME gather op, so
     # they share its duration (summing two min(.., t_gather) terms would
     # let 2x the gather's seconds hide under one op and overstate overlap

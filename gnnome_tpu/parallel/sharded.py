@@ -122,4 +122,5 @@ def sharded_score_graph(graph, params, state, cfg: Config, mesh) -> np.ndarray:
     state = replicate(state, mesh)
     fwd = make_sharded_forward(cfg, mesh)
     scores = fwd(params, state, gt, x, e, gt_proc)
-    return np.asarray(scores).reshape(-1)[: graph.num_edges]
+    from .halo import fetch_global   # multi-process-safe device->host copy
+    return fetch_global(scores).reshape(-1)[: graph.num_edges]

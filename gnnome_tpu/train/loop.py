@@ -94,7 +94,7 @@ class _HaloRunner:
     def run_unit(self, unit, params, state, opt_state, pw, rng_key, training):
         """Returns (params, state, opt_state, loss, logits_host) or None when
         the unit has no halo plan (caller falls back to GSPMD)."""
-        from ..parallel.halo import (halo_example_from_unit,
+        from ..parallel.halo import (fetch_global, halo_example_from_unit,
                                      halo_scores_to_host)
         hex_ = halo_example_from_unit(self.cfg, self.mesh, unit)
         if hex_ is None:
@@ -107,8 +107,10 @@ class _HaloRunner:
             loss, logits = self.eval_step(params, state, hex_.plan, hex_.x,
                                           hex_.x_rev, hex_.labels, pw,
                                           hex_.scalars)
+        # fetch_global: np.asarray on a multi-process mesh raises on
+        # non-addressable shards
         logits_host = halo_scores_to_host(
-            hex_.plan, np.asarray(logits)[..., None], hex_.gt)
+            hex_.plan, fetch_global(logits)[..., None], hex_.gt)
         return params, state, opt_state, float(loss), logits_host
 
 
@@ -217,9 +219,8 @@ def train(train_path: str, valid_path: str, assembler: str,
     opt_state = tx.init(params)
 
     halo_runner = None
-    if (cfg.compute.mesh > 1
-            and cfg.model.model in ("sym_gatedgcn", "sym_gated_gcn")
-            and cfg.model.normalization == "batch"):
+    from ..parallel.halo import halo_supported
+    if cfg.compute.mesh > 1 and halo_supported(cfg):
         # production multi-chip training: halo-exchange graph parallelism
         # (zero all-gathers), GSPMD fallback per unit
         from ..parallel import make_mesh

@@ -43,6 +43,20 @@ def test_halo_plan_build():
     assert int(np.asarray(plan.emask).sum()) == gt.n_edges
 
 
+def test_halo_plan_tiny_blocks_fall_back():
+    """Nb < K floor (huge mesh / tiny graph) must yield None (GSPMD
+    fallback), never a plan whose strip slices would crash inside jit."""
+    from gnnome_tpu.graphs.synthetic import synthetic_assembly_graph
+    g, _, _, _ = synthetic_assembly_graph(n_reads=30, genome_len=3000,
+                                          read_len=300, seed=3)
+    # force Nb = Np/P below the K floor of 8
+    gt = GraphTensors.build(g.src, g.dst, g.num_nodes, 128, 4,
+                            divisible_by=4)
+    P = gt.n_nodes_pad // 4
+    plan = build_halo_plan(gt, np.zeros((gt.n_edges_pad, 2), np.float32), P)
+    assert plan is None
+
+
 def _halo_scores(g, cfg, gt, params, state, mesh):
     ex = prepare_halo_example(cfg, mesh, gt, node_features(g), None,
                               edge_features(g), None, bucket_growth=0.0)
