@@ -42,8 +42,10 @@ def cmd_run(args):
     hifiasm_out = os.path.join(out, "hifiasm", "output")
     os.makedirs(hifiasm_out, exist_ok=True)
     print(f"Step 1: hifiasm on {args.reads}")
+    import shlex
     subprocess.run(
-        f"{hifiasm} --prt-raw -o {hifiasm_out}/asm -t{args.threads} -l0 {args.reads}",
+        f"{shlex.quote(hifiasm)} --prt-raw -o {shlex.quote(hifiasm_out)}/asm "
+        f"-t{args.threads} -l0 {shlex.quote(args.reads)}",
         shell=True, check=True)
     gfa = os.path.join(hifiasm_out, "asm.bp.raw.r_utg.gfa")
     print("Step 2: building the inference graph")
@@ -144,15 +146,23 @@ def cmd_evaluate(args):
         report = _os.path.join(outdir, "minigraph.txt")
         p = run_minigraph(args.ref, args.assembly, paf,
                           minigraph=cfg.paths.minigraph)
-        p.wait()
+        if p.wait() != 0:
+            raise SystemExit(f"minigraph failed (rc={p.returncode}); "
+                             f"no NG50/NGA50 computed")
         idx = args.ref + ".fai"
+        if not _os.path.isfile(idx):
+            raise SystemExit(f"missing reference index {idx} "
+                             f"(run: samtools faidx {args.ref})")
         p = parse_pafs(idx, report, paf, paftools=cfg.paths.paftools)
-        p.wait()
+        if p.wait() != 0:
+            raise SystemExit(f"paftools failed (rc={p.returncode}); "
+                             f"no NG50/NGA50 computed")
         print(parse_minigraph_report(report))
 
 
 def cmd_convert_weights(args):
     """torch weights.pt <-> native npz."""
+    _load_cfg(args)      # honour --config/--set (e.g. compute.device=cpu)
     from .models.checkpoint import load_model_weights, save_model_weights
     params, state = load_model_weights(args.src)
     if args.dst.endswith(".pt"):

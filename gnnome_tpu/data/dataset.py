@@ -20,10 +20,22 @@ from __future__ import annotations
 import os
 import pickle
 import re
+import shlex
 import subprocess
 
 from ..config import Config
 from ..graphs import AssemblyGraph, ReadStore, parse_gfa
+
+
+def _npz_indices(save_dir: str) -> set[int]:
+    """Graph indices from "<digits>.npz" filenames; foreign .npz files
+    (backups, "12.old.npz") are ignored instead of crashing discovery."""
+    out = set()
+    for f in os.listdir(save_dir):
+        m = re.fullmatch(r"(\d+)\.npz", f)
+        if m:
+            out.add(int(m.group(1)))
+    return out
 
 
 class AssemblyGraphDataset:
@@ -55,9 +67,7 @@ class AssemblyGraphDataset:
         if generate and not self.has_cache():
             self.process()
 
-        self.indices = sorted(
-            int(re.findall(r"(\d+)\.npz", f)[0])
-            for f in os.listdir(self.save_dir) if f.endswith(".npz"))
+        self.indices = sorted(_npz_indices(self.save_dir))
 
     # ------------------------------------------------------------------ access
     def __len__(self) -> int:
@@ -87,8 +97,7 @@ class AssemblyGraphDataset:
             return pickle.load(f)
 
     def has_cache(self) -> bool:
-        prc = {int(re.findall(r"(\d+)\.npz", f)[0])
-               for f in os.listdir(self.save_dir) if f.endswith(".npz")}
+        prc = _npz_indices(self.save_dir)
         return len(set(range(self.n_need)) - prc) == 0
 
     # ----------------------------------------------------------------- process
@@ -104,8 +113,7 @@ class AssemblyGraphDataset:
         raise NotImplementedError
 
     def process(self) -> None:
-        prc = {int(re.findall(r"(\d+)\.npz", f)[0])
-               for f in os.listdir(self.save_dir) if f.endswith(".npz")}
+        prc = _npz_indices(self.save_dir)
         for idx in sorted(set(range(self.n_need)) - prc):
             reads_path = self._raw_reads_path(idx)
             gfa_path = self._assemble(idx, reads_path)
@@ -135,7 +143,8 @@ class AssemblyGraphDatasetHiFi(AssemblyGraphDataset):
     def _assemble(self, idx: int, reads_path: str) -> str:
         hifiasm = os.path.abspath(os.path.join(self.config.paths.hifiasm_dir, "hifiasm"))
         subprocess.run(
-            f"{hifiasm} --prt-raw -o {idx}_asm -t{self.threads} -l0 {reads_path}",
+            f"{shlex.quote(hifiasm)} --prt-raw -o {idx}_asm "
+            f"-t{self.threads} -l0 {shlex.quote(reads_path)}",
             shell=True, cwd=self.output_dir, check=True)
         gfa = os.path.join(self.output_dir, f"{idx}_raw_graph.gfa")
         os.replace(os.path.join(self.output_dir, f"{idx}_asm.bp.raw.r_utg.gfa"), gfa)
@@ -170,8 +179,8 @@ class AssemblyGraphDatasetONT(AssemblyGraphDataset):
         raven = os.path.abspath(os.path.join(self.config.paths.raven_dir,
                                              "build/bin/raven"))
         subprocess.run(
-            f"{raven} --disable-checkpoints -t{self.threads} -p0 {reads_path} "
-            f"> {idx}_assembly.fasta",
+            f"{shlex.quote(raven)} --disable-checkpoints -t{self.threads} "
+            f"-p0 {shlex.quote(reads_path)} > {idx}_assembly.fasta",
             shell=True, cwd=self.output_dir, check=True)
         gfa = os.path.join(self.output_dir, f"{idx}_graph_1.gfa")
         os.replace(os.path.join(self.output_dir, "graph_1.gfa"), gfa)

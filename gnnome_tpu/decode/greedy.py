@@ -215,10 +215,16 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
                   checkpoint_dir: str | None = None,
                   rng: np.random.Generator | None = None,
                   use_labels: bool = False,
-                  verbose: bool = False) -> DecodeResult:
+                  verbose: bool = False,
+                  checkpoint_name: str = "checkpoint.pkl") -> DecodeResult:
     """Decode contig walks from edge logits (reference inference.py:167-361).
 
     ``scores`` are raw logits (or labels when ``use_labels``).
+    ``checkpoint_name`` keys the resume file inside ``checkpoint_dir`` —
+    callers decoding several graphs into one savedir MUST key it per graph
+    (run_inference passes ``checkpoint_{idx}.pkl``), or graph i would resume
+    from graph i-1's walks.  A completed decode removes its file, so a
+    finished run never resumes from a stale snapshot.
     """
     cfg = cfg or DecodeConfig()
     rng = rng or np.random.default_rng(0)
@@ -245,7 +251,8 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
     result = DecodeResult(visited=np.zeros(n, dtype=np.uint8))
     visited = result.visited
 
-    ckpt_file = os.path.join(checkpoint_dir, "checkpoint.pkl") if checkpoint_dir else None
+    ckpt_file = (os.path.join(checkpoint_dir, checkpoint_name)
+                 if checkpoint_dir else None)
     if ckpt_file and cfg.load_checkpoint and os.path.isfile(ckpt_file):
         with open(ckpt_file, "rb") as f:
             ck = pickle.load(f)
@@ -376,6 +383,7 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
                     os.replace(tmp, ckpt_file)
             if int(status[0]) != 0:
                 break
+        _remove_completed_ckpt(ckpt_file)
         return result
 
     # native_sample never reaches here — the chunked gn_decode_chunk driver
@@ -467,4 +475,12 @@ def decode_greedy(graph, scores: np.ndarray, cfg: DecodeConfig | None = None,
                 pickle.dump(ck, f)
             os.replace(tmp, ckpt_file)
 
+    _remove_completed_ckpt(ckpt_file)
     return result
+
+
+def _remove_completed_ckpt(ckpt_file):
+    """A finished decode must not leave its resume snapshot behind — a
+    re-run would otherwise 'resume' an already-complete result."""
+    if ckpt_file and os.path.isfile(ckpt_file):
+        os.remove(ckpt_file)

@@ -88,14 +88,38 @@ def score_graph(graph, params, state, cfg: Config | None = None) -> np.ndarray:
                                   cfg.compute.edge_pad_multiple,
                                   cfg.compute.node_pad_multiple)
 
-    _, model_fwd = get_model(cfg.model.model)
-    dtype = jnp.bfloat16 if cfg.compute.dtype == "bfloat16" else jnp.float32
-    fwd = jax.jit(partial(model_fwd, cfg=cfg.model, training=False,
-                          backend=cfg.compute.backend if cfg.compute.backend != "auto" else None,
-                          dtype=dtype))
+    backend = (cfg.compute.backend if cfg.compute.backend != "auto" else None)
+    fwd = _cached_score_fwd(cfg, backend, cfg.compute.dtype)
     with _matmul_precision(cfg):
         scores, _ = fwd(params, state, gt, x, e, gt_proc=gt_proc)
     return np.asarray(scores).reshape(-1)[: graph.num_edges]
+
+
+# jitted forwards memoized per (model config, backend, dtype): scoring N
+# graphs reuses ONE jit wrapper, so same-shape buckets hit the in-memory
+# trace/executable cache instead of re-tracing per graph (the persistent XLA
+# disk cache skips only backend compilation, not tracing/lowering)
+_SCORE_FWD_CACHE: dict = {}
+
+
+def _cached_score_fwd(cfg: Config, backend, dtype_key: str):
+    import dataclasses
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from .models.zoo import get_model
+
+    key = (json.dumps(dataclasses.asdict(cfg.model), sort_keys=True),
+           backend, dtype_key)
+    fn = _SCORE_FWD_CACHE.get(key)
+    if fn is None:
+        _, model_fwd = get_model(cfg.model.model)
+        dtype = jnp.bfloat16 if dtype_key == "bfloat16" else jnp.float32
+        fn = _SCORE_FWD_CACHE[key] = jax.jit(
+            partial(model_fwd, cfg=cfg.model, training=False,
+                    backend=backend, dtype=dtype))
+    return fn
 
 
 def run_inference(data_path: str, model_path: str, assembler: str,
@@ -109,8 +133,10 @@ def run_inference(data_path: str, model_path: str, assembler: str,
     rng_np, _ = set_seed(cfg.train.seed)
     timer = Timer()
 
+    # cache=False: each graph is visited exactly once here — the dataset's
+    # training-epoch reuse cache would pin every decoded graph in RSS
     ds = dataset_for(assembler, data_path, threads=cfg.decode.num_threads,
-                     config=cfg)
+                     config=cfg, cache=False)
     decode_dir = os.path.join(savedir, "decode")
     checkpoint_dir = os.path.join(savedir, "checkpoint")
     assembly_dir = os.path.join(savedir, "assembly")
@@ -127,11 +153,18 @@ def run_inference(data_path: str, model_path: str, assembler: str,
         predicts_path = os.path.join(decode_dir, f"{idx}_predicts.npy")
         with timer.phase("score"):
             if cfg.decode.decode_with_labels:
+                if graph.y is None:
+                    raise ValueError(
+                        "decode_with_labels requires a graph parsed with "
+                        "training=True (no GT labels present)")
                 scores = np.asarray(graph.y, dtype=np.float32)
+            elif cfg.decode.random_baseline:
+                # explicit baseline request beats the predicts cache — a
+                # cached model-score file must not silently bias the
+                # 'random' comparison
+                scores = np.full(graph.num_edges, 10.0, dtype=np.float32)
             elif os.path.isfile(predicts_path):
                 scores = np.load(predicts_path)
-            elif cfg.decode.random_baseline:
-                scores = np.full(graph.num_edges, 10.0, dtype=np.float32)
             else:
                 if params is None:
                     params, state = load_model_weights(model_path)
@@ -139,10 +172,15 @@ def run_inference(data_path: str, model_path: str, assembler: str,
                 np.save(predicts_path, scores)
 
         with timer.phase("decode"):
+            # per-graph checkpoint name: a shared checkpoint.pkl would make
+            # graph i resume from graph i-1's walks/visited set (the
+            # reference shares one file, inference.py:189, but only ever
+            # decodes one graph per savedir in practice)
             result = decode_greedy(graph, scores, cfg.decode,
                                    checkpoint_dir=checkpoint_dir, rng=rng_np,
                                    use_labels=cfg.decode.decode_with_labels,
-                                   verbose=verbose)
+                                   verbose=verbose,
+                                   checkpoint_name=f"checkpoint_{idx}.pkl")
         with open(os.path.join(decode_dir, f"{idx}_walks.pkl"), "wb") as f:
             pickle.dump(result.walks, f)
 
@@ -161,10 +199,10 @@ def run_inference(data_path: str, model_path: str, assembler: str,
             print(f"graph {idx}: {ev}")
 
     summary["timing"] = dict(timer.phases)
+    import resource
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    summary["peak_rss_mb"] = rss_mb
     if verbose:
         print(timer.summary())
-        import resource
-        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         print(f"peak host memory: {rss_mb:.0f} MB")
-        summary["peak_rss_mb"] = rss_mb
     return summary

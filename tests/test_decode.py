@@ -92,21 +92,50 @@ def test_decode_respects_len_threshold_and_visited():
 
 
 def test_decode_checkpoint_resume(tmp_path):
+    import os
+    import pickle
+
     g, _, _, _ = _graph(seed=8, n_reads=300, genome_len=30000)
     scores = np.full(g.num_edges, 5.0, dtype=np.float32)
     cfg = DecodeConfig(num_decoding_paths=5, len_threshold=800,
                        load_checkpoint=True)
     ckdir = str(tmp_path)
+    ckfile = os.path.join(ckdir, "checkpoint.pkl")
     res1 = decode_greedy(g, scores, cfg, checkpoint_dir=ckdir,
                          rng=np.random.default_rng(4))
-    if len(res1.walks) >= 10:  # checkpoint written
-        import os
-        assert os.path.isfile(os.path.join(ckdir, "checkpoint.pkl"))
+    # a COMPLETED decode removes its resume snapshot — a re-run must start
+    # fresh, never "resume" an already-finished result
+    assert not os.path.isfile(ckfile)
+
+    if len(res1.walks) >= 10:
+        # simulate an interrupted run: hand-write the mid-run snapshot a
+        # crash would have left behind (exact on-disk schema)
+        k = (len(res1.walks) // 10) * 10
+        vis = set()
+        for w in res1.walks[:k]:
+            vis.update(w)
+            vis.update(x ^ 1 for x in w)
+        ck = {"walks": res1.walks[:k],
+              "visited": np.array(sorted(vis), dtype=np.int64),
+              "all_walks_len": res1.walks_len[:k],
+              "all_contigs_len": res1.contigs_len[:k]}
+        with open(ckfile, "wb") as f:
+            pickle.dump(ck, f)
         res2 = decode_greedy(g, scores, cfg, checkpoint_dir=ckdir,
                              rng=np.random.default_rng(4))
-        # resumed run must keep the checkpointed walks as a prefix
-        k = (len(res1.walks) // 10) * 10
+        # resumed run keeps the checkpointed walks as its prefix and cleans
+        # up once complete
         assert res2.walks[:k] == res1.walks[:k]
+        assert len(res2.walks) >= k
+        assert not os.path.isfile(ckfile)
+        # per-graph keying: a foreign-named checkpoint is ignored
+        with open(ckfile, "wb") as f:
+            pickle.dump(ck, f)
+        res3 = decode_greedy(g, scores, cfg, checkpoint_dir=ckdir,
+                             rng=np.random.default_rng(4),
+                             checkpoint_name="checkpoint_7.pkl")
+        assert os.path.isfile(ckfile)       # untouched: different key
+        assert res3.walks == res1.walks
 
 
 def test_batch_candidate_walks_match_python():
